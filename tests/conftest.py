@@ -6,6 +6,7 @@ do NOT import this — they run on the real chip.
 """
 
 import os
+import pathlib
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -13,3 +14,11 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent compile cache: XLA:CPU compiles of the scan-heavy test programs
+# are expensive; cache them across test runs.
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

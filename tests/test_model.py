@@ -1,0 +1,154 @@
+"""Model-layer tests: net shapes/bounds, loss math vs hand calculations, and a
+train_data session that actually learns a synthetic target (the reference's
+manual sanity scripts `tools/test.py` upgraded to automated tests, incl. its
+horizontal-flip RMSE probe)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tetris_mcts_tpu.models import losses as L
+from tetris_mcts_tpu.models.nets import DistNet, VPNet, VVNet
+from tetris_mcts_tpu.train.trainer import VVModel
+
+
+class TestNets:
+    def test_vv_shapes_and_bounds(self):
+        net = VVNet()
+        x = jnp.asarray(np.random.RandomState(0).rand(5, 20, 10, 1), jnp.float32)
+        ub = jnp.asarray([100.0, 1000.0])
+        lb = jnp.asarray([0.0, 0.1])
+        params = net.init(jax.random.PRNGKey(0), x, ub, lb)
+        out = net.apply(params, x, ub, lb)
+        assert out.shape == (5, 2)
+        assert np.all(np.asarray(out[:, 0]) >= 0.0)
+        assert np.all(np.asarray(out[:, 0]) <= 100.0)
+        assert np.all(np.asarray(out[:, 1]) >= 0.1)
+        assert np.all(np.asarray(out[:, 1]) <= 1000.1)
+
+    def test_vv_param_count_matches_reference_scale(self):
+        # Reference Model_VV is ~0.5M params (SURVEY.md §6, tools/test.py:11-15).
+        net = VVNet()
+        params = net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 20, 10, 1)),
+            jnp.ones(2), jnp.zeros(2),
+        )
+        n = sum(p.size for p in jax.tree.leaves(params))
+        assert 3e5 < n < 8e5, n
+
+    def test_vp_shapes(self):
+        net = VPNet()
+        x = jnp.zeros((3, 20, 10, 1))
+        params = net.init(jax.random.PRNGKey(0), x)
+        v, logits = net.apply(params, x)
+        assert v.shape == (3, 1)
+        assert logits.shape == (3, 7)
+        # optimistic value-head bias init (reference model_vp.py:32)
+        assert np.all(np.asarray(v) > 50.0)
+
+    def test_dist_simplex(self):
+        net = DistNet(atoms=50)
+        x = jnp.zeros((4, 20, 10, 1))
+        params = net.init(jax.random.PRNGKey(0), x)
+        probs = net.apply(params, x)
+        assert probs.shape == (4, 50)
+        np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
+
+
+class TestLosses:
+    def test_gaussian_ll_zero_at_match(self):
+        # KL(N(m,v) || N(m,v)) = 0.
+        out = L.gaussian_ll(
+            jnp.asarray([2.0]), jnp.asarray([1.0]),
+            jnp.asarray([2.0]), jnp.asarray([1.0]),
+        )
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_gaussian_ll_hand_value(self):
+        vp, mp, v, m = 4.0, 1.0, 2.0, 3.0
+        want = np.log(vp) + ((m - mp) ** 2 + v) / vp - np.log(v) - 1
+        got = L.gaussian_ll(*map(jnp.asarray, (vp, mp, v, m)))
+        np.testing.assert_allclose(float(got), want, rtol=1e-6)
+
+    def test_weak_gaussian_quadratic_inside_threshold(self):
+        vp, mp, v, m = 9.0, 0.0, 1.0, 1.0  # diff=1 < 3*sqrt(9)=9
+        want = np.log(vp) + (v + 1.0) / vp - np.log(v) - 1
+        got = L.weak_gaussian_ll(*map(jnp.asarray, (vp, mp, v, m)))
+        np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+    def test_kl_policy_minimized_at_smoothed_target(self):
+        target = jnp.asarray([[0.7, 0.1, 0.05, 0.05, 0.05, 0.03, 0.02]])
+        good = L.kl_div_policy(jnp.log(target), target)
+        bad = L.kl_div_policy(jnp.zeros((1, 7)), target)
+        assert float(good[0]) < float(bad[0])
+
+    def test_smooth_l1(self):
+        np.testing.assert_allclose(
+            float(L.smooth_l1(jnp.asarray(0.5), jnp.asarray(0.0))), 0.125
+        )
+        np.testing.assert_allclose(
+            float(L.smooth_l1(jnp.asarray(3.0), jnp.asarray(0.0))), 2.5
+        )
+
+
+class TestVVModel:
+    def _synth(self, n=512, seed=0):
+        """Boards whose 'value' is the (scaled) number of filled cells."""
+        rnd = np.random.RandomState(seed)
+        boards = (rnd.rand(n, 20, 10) < 0.3).astype(np.int8)
+        value = boards.reshape(n, -1).sum(1).astype(np.float32) / 10.0
+        variance = np.full(n, 1.0, np.float32)
+        weight = np.ones(n, np.float32)
+        return [boards, value, variance, weight]
+
+    def test_inference_shapes(self):
+        m = VVModel(seed=0)
+        v, var = m.inference(np.zeros((3, 20, 10), np.int8))
+        assert v.shape == (3, 1) and var.shape == (3, 1)
+
+    def test_training_reduces_loss(self):
+        m = VVModel(seed=0)
+        data = self._synth()
+        hist = m.train_data(
+            data, batch_size=64, iters_per_val=50, max_iters=300,
+            early_stopping=False, log=lambda *a, **k: None,
+        )
+        assert len(hist) >= 2
+        assert hist[-1][2] < hist[0][2]  # validation loss fell
+
+    def test_early_stopping_triggers_on_plateau(self):
+        m = VVModel(seed=1)
+        data = self._synth(n=256)
+        # Unlearnable pure-noise target: validation loss plateaus fast, so
+        # with threshold 0 (any non-improvement is a failure) patience=3
+        # must fire well before max_iters.
+        data[1] = np.random.RandomState(9).rand(256).astype(np.float32) * 10
+        hist = m.train_data(
+            data, batch_size=32, iters_per_val=20, max_iters=2000,
+            early_stopping=True, early_stopping_patience=3,
+            early_stopping_threshold=0.0,
+            log=lambda *a, **k: None,
+        )
+        assert len(hist) < 100  # actually stopped early
+
+    def test_save_load_roundtrip(self, tmp_path):
+        m = VVModel(seed=2, checkpoint_path=str(tmp_path / "ck.msgpack"))
+        data = self._synth(n=128)
+        m.train_data(data, batch_size=32, iters_per_val=20, max_iters=40,
+                     early_stopping=False, log=lambda *a, **k: None)
+        v1, _ = m.inference(data[0][:4])
+        m.save()
+        m2 = VVModel(seed=3, checkpoint_path=str(tmp_path / "ck.msgpack"))
+        assert m2.load()
+        v2, _ = m2.inference(data[0][:4])
+        np.testing.assert_allclose(v1, v2, rtol=1e-5)
+
+    def test_flip_probe(self):
+        """Horizontal-flip response probe (reference tools/test.py:35-41):
+        measurable, finite RMSE between board and mirrored-board predictions."""
+        m = VVModel(seed=4)
+        boards = (np.random.RandomState(1).rand(16, 20, 10) < 0.3).astype(np.int8)
+        v, _ = m.inference(boards)
+        vf, _ = m.inference(boards[:, :, ::-1])
+        rmse = float(np.sqrt(np.mean((v - vf) ** 2)))
+        assert np.isfinite(rmse)

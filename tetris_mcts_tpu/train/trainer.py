@@ -1,0 +1,336 @@
+"""Model wrapper + training loops — the L3 capability of the reference
+(`model/model.py`, `model/model_vv.py`) rebuilt for TPU.
+
+Everything hot is jitted and stays on device:
+- `train_step` samples its own minibatch from the device-resident training
+  arrays (one fused XLA program: sample -> forward -> loss -> grad -> yogi),
+- validation loss runs as one jitted program over the whole split,
+- inference is a jitted pure function, also usable inside the MCTS program.
+
+Host Python only does the loop/early-stopping bookkeeping, mirroring the
+reference's `train_data` semantics (`model/model.py:176-249`): weight
+normalization, 90/10 tail split, random minibatches with replacement,
+validate every `iters_per_val`, early stop when the val loss stops improving
+by more than `threshold * std`, keep/restore the best params, plus the
+grad-norm watchdog that dumps offending batches (`model/model.py:97-118`).
+
+The jitted functions are built once in __init__ as closures over immutable
+config; all mutable state (params, opt state, bounds, EWC anchors) is passed
+explicitly, so there are no stale-trace hazards.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tetris_mcts_tpu.models import losses as L
+from tetris_mcts_tpu.models.nets import VVNet, boards_to_input
+from tetris_mcts_tpu.train import optim
+
+DEFAULT_CKPT = "./checkpoints/model_vv.msgpack"
+
+
+def _col(x):
+    """Accept (N,), (N,1) or (N,1,...) columns, return (N,) float32."""
+    x = jnp.asarray(x, jnp.float32)
+    return x.reshape(x.shape[0])
+
+
+def _boards(x):
+    """Accept (N,20,10) or (N,1,20,10) boards, return (N,20,10,1) float."""
+    x = jnp.asarray(x)
+    if x.ndim == 4:  # NCHW from reference-style callers
+        x = x[:, 0]
+    return boards_to_input(x)
+
+
+def _zeros_like_tree(tree):
+    return jax.tree.map(jnp.zeros_like, tree)
+
+
+class VVModel:
+    """Value/variance model (reference `Model_VV`, model_vv.py:104-231).
+
+    `weighted` semantics are carried by the weight column itself: pass ones to
+    train unweighted (the reference's boolean flag multiplies by the weight
+    column, `model_vv.py:146-152`).
+    """
+
+    def __init__(
+        self,
+        loss_type: str = "kldiv",
+        weighted: bool = True,
+        lr: float = 1e-3,
+        weight_decay: float = 1e-3,
+        seed: int = 0,
+        compute_dtype: Any = jnp.float32,
+        ewc: bool = False,
+        ewc_lambda: float = 1.0,
+        checkpoint_path: str = DEFAULT_CKPT,
+    ):
+        self.net = VVNet(compute_dtype=compute_dtype)
+        self.loss_type = loss_type
+        self.weighted = weighted
+        self.ewc = ewc
+        self.ewc_lambda = float(ewc_lambda)
+        self.checkpoint_path = checkpoint_path
+
+        key = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, 20, 10, 1), jnp.float32)
+        # Reference output bounds: out_ubound=[1e2,1e3], lbound=[0, eps]
+        # (model_vv.py:45-46), rescaled to the data max before each training
+        # session (model_vv.py:227-231).
+        self.ubound = jnp.asarray([1e2, 1e3], jnp.float32)
+        self.lbound = jnp.asarray([0.0, L.VARIANCE_BOUND], jnp.float32)
+        self.params = self.net.init(key, dummy, self.ubound, self.lbound)
+
+        self.tx = optim.yogi(lr=lr, weight_decay=weight_decay)
+        self.opt_state = self.tx.init(self.params)
+
+        self.fisher = _zeros_like_tree(self.params)
+        self.p0 = self.params
+        self._rng = np.random.RandomState(seed + 1)
+
+        net, tx = self.net, self.tx
+        loss_fn = L.vv_loss(loss_type)
+        lbound = self.lbound
+
+        def per_sample_loss(params, ubound, states, value, variance, weight):
+            out = net.apply(params, states, ubound, lbound)
+            v_pred, var_pred = out[:, 0], out[:, 1]
+            variance = jnp.maximum(variance, L.VARIANCE_BOUND)
+            return weight * loss_fn(var_pred, v_pred, variance, value)
+
+        def train_step(params, opt_state, ubound, data, key, fisher, p0, lam, bs):
+            states, value, variance, weight = data
+            n = states.shape[0]
+            idx = jax.random.randint(key, (bs,), 0, n)
+            batch = tuple(d[idx] for d in (states, value, variance, weight))
+
+            def total_loss(p):
+                per = per_sample_loss(p, ubound, *batch)
+                penalty = sum(
+                    jnp.sum(f * (a - b) ** 2)
+                    for f, a, b in zip(
+                        jax.tree.leaves(fisher),
+                        jax.tree.leaves(p),
+                        jax.tree.leaves(p0),
+                    )
+                )
+                return jnp.mean(per) + 0.5 * lam * penalty, per
+
+            (loss, per), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+            gnorm = jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(grads)))
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            metrics = {"loss": loss, "loss_std": jnp.std(per), "grad_norm": gnorm}
+            return params, opt_state, metrics, batch
+
+        def eval_loss(params, ubound, data):
+            per = per_sample_loss(params, ubound, *data)
+            return jnp.mean(per), jnp.std(per)
+
+        def infer(params, ubound, states):
+            out = net.apply(params, states, ubound, lbound)
+            return out[:, 0], out[:, 1]
+
+        self._train_step = jax.jit(train_step, static_argnums=(8,))
+        self._eval_loss = jax.jit(eval_loss)
+        self._infer = jax.jit(infer)
+        self._per_sample_loss = per_sample_loss
+
+    # ------------------------------------------------------------- public API
+    def inference(self, boards):
+        """boards: (N,20,10) or (N,1,20,10) -> (value (N,1), variance (N,1))
+        numpy arrays (reference `Model.inference`, model/model.py:127-134)."""
+        v, var = self._infer(self.params, self.ubound, _boards(boards))
+        return np.asarray(v)[:, None], np.asarray(var)[:, None]
+
+    def inference_stochastic(self, boards):
+        """Thompson-style sample (reference model_vv.py:219-225)."""
+        v, var = self.inference(boards)
+        return [self._rng.normal(v, np.sqrt(var)), var]
+
+    def apply_fn(self):
+        """(params, ubound, states_nhwc) -> (v, var) for use inside other jits
+        (the MCTS evaluator)."""
+        net, lbound = self.net, self.lbound
+
+        def f(params, ubound, states):
+            out = net.apply(params, states, ubound, lbound)
+            return out[:, 0], out[:, 1]
+
+        return f
+
+    def train_data(
+        self,
+        data,
+        batch_size: int = 128,
+        iters_per_val: int = 500,
+        validation_fraction: float = 0.1,
+        weighted: bool | None = None,
+        early_stopping: bool = True,
+        early_stopping_patience: int = 10,
+        early_stopping_threshold: float = 1.0,
+        shuffle: bool = False,
+        max_iters: int = 100000,
+        grad_norm_warn: float = 1e3,
+        dump_dir: str = "./data",
+        log=print,
+    ):
+        """Full training session over `data = [states, values, variance,
+        weights]` with reference semantics (see module docstring). Returns the
+        (iter, train_loss, val_loss, val_std) history."""
+        if weighted is not None:
+            self.weighted = weighted
+        states = _boards(data[0])
+        value = _col(data[1])
+        variance = _col(data[2])
+        weight = _col(data[3])
+        if self.weighted:
+            weight = weight / jnp.mean(weight)
+        else:
+            weight = jnp.ones_like(weight)
+
+        n = states.shape[0]
+        n_val = max(int(n * validation_fraction), 1)
+        if shuffle:
+            perm = self._rng.permutation(n)
+            states, value, variance, weight = (
+                d[perm] for d in (states, value, variance, weight)
+            )
+
+        # Rescale output bounds to the data max (model_vv.py:227-231).
+        self.ubound = jnp.asarray(
+            [jnp.max(value), jnp.maximum(jnp.max(variance), L.VARIANCE_BOUND)],
+            jnp.float32,
+        )
+
+        train = tuple(d[:-n_val] for d in (states, value, variance, weight))
+        val = tuple(d[-n_val:] for d in (states, value, variance, weight))
+
+        log(f"Training data size: {n - n_val}    Validation data size: {n_val}")
+
+        lam = jnp.float32(self.ewc_lambda if self.ewc else 0.0)
+        fails = 0
+        best_val = float("inf")
+        best_params = self.params
+        loss_avg = gnorm_avg = 0.0
+        key = jax.random.PRNGKey(self._rng.randint(2**31))
+        history = []
+
+        for it in range(max_iters):
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, m, batch = self._train_step(
+                self.params, self.opt_state, self.ubound, train, sub,
+                self.fisher, self.p0, lam, batch_size,
+            )
+            loss_avg += float(m["loss"])
+            gnorm_avg += float(m["grad_norm"])
+
+            if float(m["grad_norm"]) > grad_norm_warn:
+                log(f"Large gradient ({float(m['grad_norm'])}) detected")
+                self._dump_grad_batch(batch, dump_dir)
+
+            if (it + 1) % iters_per_val == 0:
+                vmean, vstd = self._eval_loss(self.params, self.ubound, val)
+                vmean = float(vmean)
+                vstd = float(vstd) / n_val**0.5
+                suffix = ""
+                stop = False
+                if early_stopping:
+                    if vmean - best_val < vstd * early_stopping_threshold:
+                        fails = 0
+                        if vmean < best_val:
+                            suffix = "*"
+                            best_val = vmean
+                            best_params = self.params
+                    else:
+                        fails += 1
+                        stop = fails >= early_stopping_patience
+                log(
+                    f"Iteration:{it + 1:7d}  training loss:{loss_avg / iters_per_val:6.4f}  "
+                    f"validation loss:{vmean:6.4f}±{vstd:6.4f}  "
+                    f"gradient norm:{gnorm_avg / iters_per_val:6.3f}    {suffix}"
+                )
+                history.append((it + 1, loss_avg / iters_per_val, vmean, vstd))
+                loss_avg = gnorm_avg = 0.0
+                if stop:
+                    break
+
+        if early_stopping:
+            self.params = best_params
+        return history
+
+    # ------------------------------------------------------------------- EWC
+    def compute_fisher(self, data):
+        """Empirical Fisher from per-example gradients (reference
+        `compute_fisher`, model_vv.py:188-208) — vmapped instead of a Python
+        loop over samples."""
+        states = _boards(data[0])
+        value, variance, weight = map(_col, data[1:4])
+
+        def per_example_loss(p, s, v, var, w):
+            per = self._per_sample_loss(
+                p, self.ubound, s[None], v[None], var[None], w[None]
+            )
+            return per[0]
+
+        grads = jax.vmap(
+            lambda s, v, var, w: jax.grad(per_example_loss)(
+                self.params, s, v, var, w
+            )
+        )(states, value, variance, weight)
+        self.fisher = jax.tree.map(lambda g: jnp.mean(g**2, axis=0), grads)
+        self.p0 = self.params
+
+    # ---------------------------------------------------------- persistence
+    def save(self, path: str | None = None, verbose: bool = False):
+        """Checkpoint params + optimizer state + bounds (reference
+        `Model.save`, model/model.py:143-160)."""
+        path = path or self.checkpoint_path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = {
+            "params": flax.serialization.to_bytes(self.params),
+            "opt_state": flax.serialization.to_bytes(self.opt_state),
+            "ubound": np.asarray(self.ubound),
+            "lbound": np.asarray(self.lbound),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+        if verbose:
+            print("Saving model...", flush=True)
+
+    def load(self, path: str | None = None):
+        path = path or self.checkpoint_path
+        if not os.path.isfile(path):
+            print("Checkpoint not found, using default model", flush=True)
+            return False
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.params = flax.serialization.from_bytes(self.params, blob["params"])
+        self.opt_state = flax.serialization.from_bytes(
+            self.opt_state, blob["opt_state"]
+        )
+        self.ubound = jnp.asarray(blob["ubound"])
+        self.lbound = jnp.asarray(blob["lbound"])
+        self.p0 = self.params
+        return True
+
+    def _dump_grad_batch(self, batch, dump_dir):
+        """Grad-norm watchdog artifact (reference model/model.py:105-109)."""
+        os.makedirs(dump_dir, exist_ok=True)
+        states, value, variance, weight = (np.asarray(b) for b in batch)
+        v, var = self._infer(self.params, self.ubound, jnp.asarray(states))
+        np.savez(
+            os.path.join(dump_dir, "dump_grad"),
+            states=states, value=value, variance=variance, weight=weight,
+            pred_value=np.asarray(v), pred_variance=np.asarray(var),
+        )

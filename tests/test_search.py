@@ -1,0 +1,400 @@
+"""Search-core tests: golden comparisons against NumPy transcriptions of the
+reference backup/selection math (`agents/core_projection.py:133-146`,
+`agents/cppmodule/core.h:111-381`), transposition-projection behaviour, and
+batched sim/move smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tetris_mcts_tpu.env import engine
+from tetris_mcts_tpu.env.engine import EnvConfig
+from tetris_mcts_tpu.search import mcts as M
+from tetris_mcts_tpu.search import tree as T
+from tetris_mcts_tpu.search.quantiles import norm_quantile
+from tetris_mcts_tpu.search.tree import TreeConfig
+
+CFG = TreeConfig(max_nodes=256, max_obs=256, table_size=512, max_depth=32)
+
+
+def small_tree(seed=(3, 7)):
+    s = engine.reset(*seed, CFG.env)
+    return T.init_tree(s, CFG), s
+
+
+# ---------------------------------------------------------------------------
+# NumPy transcriptions of the reference update rules (the oracles)
+# ---------------------------------------------------------------------------
+
+def np_backup_trace_obs(trace, visit, value, variance, n_to_o, score, v, var,
+                        gamma):
+    """Transcription of `backup_trace_obs` (core_projection.py:133-146)."""
+    for idx in trace[::-1]:
+        v -= score[idx]
+        o = n_to_o[idx]
+        if visit[o] == 0:
+            value[o] = v
+            variance[o] = var
+        else:
+            delta = v - value[o]
+            value[o] += delta / (visit[o] + 1)
+            delta2 = v - value[o]
+            variance[o] += (delta * delta2 - variance[o]) / (visit[o] + 1)
+        visit[o] += 1
+        v = gamma * v + score[idx]
+
+
+def np_unique_child_obs(child_row, score, n_to_o):
+    """Transcription of `get_unique_child_obs` (core_projection.py:34-49)."""
+    c_nodes, c_obs = [], []
+    for c in child_row:
+        if c == 0:
+            continue
+        o = n_to_o[c]
+        if o not in c_obs:
+            c_nodes.append(c)
+            c_obs.append(o)
+        else:
+            i = c_obs.index(o)
+            if score[c] > score[c_nodes[i]]:
+                c_nodes[i] = c
+    return c_nodes, c_obs
+
+
+class TestAlloc:
+    def test_init_tree_root(self):
+        tree, s = small_tree()
+        assert int(tree.root) == 1
+        assert int(tree.n_nodes) == 2
+        assert int(tree.n_obs) == 2
+        assert int(tree.n_to_o[1]) == 1
+
+    def test_same_state_projects_to_same_obs(self):
+        tree, s = small_tree()
+        tree, i1 = T.alloc_node(tree, s, jnp.asarray(True), CFG)
+        tree, i2 = T.alloc_node(tree, s, jnp.asarray(True), CFG)
+        assert int(i1) == 2 and int(i2) == 3
+        assert int(tree.n_to_o[i1]) == int(tree.n_to_o[i2]) == 1  # root's obs
+        assert int(tree.n_obs) == 2  # no new obs
+
+    def test_different_state_new_obs(self):
+        tree, s = small_tree()
+        s2 = engine.step(s, jnp.int32(6), CFG.env)  # hard drop -> new board
+        tree, i = T.alloc_node(tree, s2, jnp.asarray(True), CFG)
+        assert int(tree.n_to_o[i]) == 2
+        assert int(tree.n_obs) == 3
+
+    def test_transposition_left_right_commutes(self):
+        """L,R and R,L reach identical full states (gravity applies equally):
+        their nodes must share one obs slot."""
+        tree, s = small_tree()
+        cfg = CFG
+        lr = engine.step(engine.step(s, jnp.int32(1), cfg.env), jnp.int32(2), cfg.env)
+        rl = engine.step(engine.step(s, jnp.int32(2), cfg.env), jnp.int32(1), cfg.env)
+        tree, i1 = T.alloc_node(tree, lr, jnp.asarray(True), cfg)
+        tree, i2 = T.alloc_node(tree, rl, jnp.asarray(True), cfg)
+        assert int(tree.n_to_o[i1]) == int(tree.n_to_o[i2])
+
+
+class TestExpand:
+    def test_expand_creates_children(self):
+        tree, s = small_tree()
+        tree = T.expand(tree, tree.root, jnp.asarray(True), CFG)
+        kids = np.asarray(tree.child[1])
+        assert np.all(kids > 0)
+        assert len(set(kids.tolist())) == 7  # distinct nodes
+        # children scores/ends recorded
+        assert np.all(np.asarray(tree.end[kids]) == False)  # noqa: E712
+
+    def test_expand_respects_ok_mask(self):
+        tree, s = small_tree()
+        tree2 = T.expand(tree, tree.root, jnp.asarray(False), CFG)
+        assert np.all(np.asarray(tree2.child[1]) == 0)
+        assert int(tree2.n_nodes) == int(tree.n_nodes)
+
+    def test_unique_children_matches_numpy(self):
+        tree, s = small_tree()
+        tree = T.expand(tree, tree.root, jnp.asarray(True), CFG)
+        kids, obs, kept = T.unique_children(tree, tree.root)
+        kids, obs, kept = map(np.asarray, (kids, obs, kept))
+        child_row = np.asarray(tree.child[1])
+        score = np.asarray(tree.score)
+        n_to_o = np.asarray(tree.n_to_o)
+        want_nodes, want_obs = np_unique_child_obs(child_row, score, n_to_o)
+        got_nodes = sorted(kids[kept].tolist())
+        assert got_nodes == sorted(want_nodes)
+        assert sorted(obs[kept].tolist()) == sorted(want_obs)
+
+
+class TestBackup:
+    def _hand_tree(self):
+        """Tiny fixed topology: 1 -> 2 -> 3, obs = identity, given scores."""
+        tree, _ = small_tree()
+        tree = tree._replace(
+            n_to_o=jnp.asarray(
+                np.arange(CFG.max_nodes, dtype=np.int32)
+            ),
+            score=jnp.asarray(
+                np.array([0, 10, 25, 40] + [0] * (CFG.max_nodes - 4), np.float32)
+            ),
+        )
+        return tree
+
+    def test_backup_matches_numpy_fresh(self):
+        tree = self._hand_tree()
+        trace = np.array([1, 2, 3], np.int32)
+        padded = np.zeros(CFG.max_depth, np.int32)
+        padded[:3] = trace
+        out = T.backup(tree, jnp.asarray(padded), jnp.int32(3),
+                       jnp.float32(100.0), jnp.float32(5.0), CFG)
+
+        visit = np.zeros(CFG.max_obs, np.int64)
+        value = np.zeros(CFG.max_obs, np.float64)
+        variance = np.zeros(CFG.max_obs, np.float64)
+        np_backup_trace_obs(
+            trace, visit, value, variance,
+            np.arange(CFG.max_nodes), np.asarray(tree.score, np.float64),
+            100.0, 5.0, CFG.gamma,
+        )
+        np.testing.assert_allclose(np.asarray(out.obs_visit)[:8], visit[:8])
+        np.testing.assert_allclose(
+            np.asarray(out.obs_value)[:8], value[:8], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.obs_var)[:8], variance[:8], rtol=1e-5, atol=1e-5
+        )
+
+    def test_backup_matches_numpy_repeated(self):
+        """Multiple backups through overlapping traces (Welford path)."""
+        tree = self._hand_tree()
+        visit = np.zeros(CFG.max_obs, np.int64)
+        value = np.zeros(CFG.max_obs, np.float64)
+        variance = np.zeros(CFG.max_obs, np.float64)
+        score64 = np.asarray(tree.score, np.float64)
+
+        rnd = np.random.RandomState(0)
+        for k in range(10):
+            trace = np.array([1, 2, 3], np.int32)[: rnd.randint(1, 4)]
+            v = float(rnd.rand() * 100)
+            var = float(rnd.rand() * 10)
+            padded = np.zeros(CFG.max_depth, np.int32)
+            padded[: len(trace)] = trace
+            tree = T.backup(
+                tree, jnp.asarray(padded), jnp.int32(len(trace)),
+                jnp.float32(v), jnp.float32(var), CFG,
+            )
+            np_backup_trace_obs(
+                trace, visit, value, variance,
+                np.arange(CFG.max_nodes), score64, v, var, CFG.gamma,
+            )
+        np.testing.assert_allclose(np.asarray(tree.obs_visit)[:8], visit[:8])
+        np.testing.assert_allclose(
+            np.asarray(tree.obs_value)[:8], value[:8], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(tree.obs_var)[:8], variance[:8], rtol=1e-3, atol=1e-3
+        )
+
+    def test_backup_lp_seeds_and_averages(self):
+        """LP backup: fresh child obs get NN seeds; the trace receives the
+        mean of score(c) + gamma * value(o) (core.h:338-367)."""
+        tree, s = small_tree()
+        tree = T.expand(tree, tree.root, jnp.asarray(True), CFG)
+        kids, obs, kept = T.unique_children(tree, tree.root)
+
+        v_nn = jnp.arange(7, dtype=jnp.float32) + 1.0
+        var_nn = jnp.full(7, 2.0, jnp.float32)
+        padded = np.zeros(CFG.max_depth, np.int32)
+        padded[0] = 1
+        out = T.backup_leaf_parallel(
+            tree, jnp.asarray(padded), jnp.int32(1), v_nn, var_nn,
+            jnp.asarray(True), CFG,
+        )
+
+        kept_np = np.asarray(kept)
+        obs_np = np.asarray(obs)
+        kids_np = np.asarray(kids)
+        # seeded children
+        for i in range(7):
+            if kept_np[i]:
+                assert int(np.asarray(out.obs_visit)[obs_np[i]]) == 1
+                np.testing.assert_allclose(
+                    float(np.asarray(out.obs_value)[obs_np[i]]),
+                    float(v_nn[i]), rtol=1e-6,
+                )
+        # averaged root update
+        k = kept_np.sum()
+        score = np.asarray(tree.score)
+        v_mean = (
+            score[kids_np[kept_np]] + CFG.gamma * np.asarray(v_nn)[kept_np]
+        ).sum() / k
+        root_obs = int(np.asarray(tree.n_to_o)[1])
+        # root: visit 0 -> value = v_mean - score[root]
+        np.testing.assert_allclose(
+            float(np.asarray(out.obs_value)[root_obs]),
+            v_mean - score[1], rtol=1e-5,
+        )
+
+    def test_terminal_leaf_backup(self):
+        tree, s = small_tree()
+        padded = np.zeros(CFG.max_depth, np.int32)
+        padded[0] = 1
+        out = T.backup_leaf_parallel(
+            tree, jnp.asarray(padded), jnp.int32(1),
+            jnp.zeros(7), jnp.zeros(7), jnp.asarray(False), CFG,
+        )
+        root_obs = int(np.asarray(tree.n_to_o)[1])
+        # v = score(leaf) = 0 -> value[root_obs] = 0 - score[root] = 0
+        assert int(np.asarray(out.obs_visit)[root_obs]) == 1
+        np.testing.assert_allclose(float(np.asarray(out.obs_value)[root_obs]), 0.0)
+
+
+class TestSelect:
+    def test_select_unexpanded_root_returns_root(self):
+        tree, _ = small_tree()
+        trace, length = T.select(tree, jax.random.PRNGKey(0), CFG)
+        assert int(length) == 1
+        assert int(trace[0]) == 1
+
+    def test_select_prefers_unvisited(self):
+        tree, _ = small_tree()
+        tree = T.expand(tree, tree.root, jnp.asarray(True), CFG)
+        trace, length = T.select(tree, jax.random.PRNGKey(0), CFG)
+        assert int(length) == 2
+        leaf = int(trace[1])
+        assert leaf in np.asarray(tree.child[1]).tolist()
+        assert int(tree.obs_visit[int(tree.n_to_o[leaf])]) == 0
+
+    def test_select_clt_argmax_when_all_visited(self):
+        tree, _ = small_tree()
+        tree = T.expand(tree, tree.root, jnp.asarray(True), CFG)
+        kids, obs, kept = T.unique_children(tree, tree.root)
+        kids_np, obs_np, kept_np = map(np.asarray, (kids, obs, kept))
+
+        # hand-assign stats to every kept obs
+        rnd = np.random.RandomState(1)
+        visit = np.asarray(tree.obs_visit).copy()
+        value = np.asarray(tree.obs_value).copy()
+        var = np.asarray(tree.obs_var).copy()
+        for o in obs_np[kept_np]:
+            visit[o] = rnd.randint(1, 10)
+            value[o] = rnd.rand() * 50
+            var[o] = rnd.rand() * 5
+        tree = tree._replace(
+            obs_visit=jnp.asarray(visit),
+            obs_value=jnp.asarray(value),
+            obs_var=jnp.asarray(var),
+        )
+
+        # numpy CLT policy over unique children (policy.py:8-14)
+        score = np.asarray(tree.score)
+        ks = kids_np[kept_np]
+        os_ = obs_np[kept_np]
+        n = visit[os_].sum()
+        q = (
+            value[os_] + score[ks] - score[1]
+            + float(norm_quantile(n)) * np.sqrt(var[os_] / visit[os_])
+        )
+        want_next = ks[np.argmax(q)]
+
+        trace, length = T.select(tree, jax.random.PRNGKey(0), CFG)
+        assert int(trace[1]) == int(want_next)
+
+
+class TestBatchedSimsAndMoves:
+    def _const_apply(self, v=10.0, var=4.0):
+        def apply_fn(params, ubound, x):
+            n = x.shape[0]
+            return jnp.full(n, v), jnp.full(n, var)
+        return apply_fn
+
+    def test_run_sims_accumulates_visits(self):
+        scfg = M.SearchConfig(tree=CFG, sims=12, evaluator="lp")
+        run = M.make_run_sims(M.nn_child_evaluator(self._const_apply()), scfg)
+        trees, envs = M.init_batch(7, 4, scfg)
+        trees = jax.jit(run)(None, None, trees, jax.random.PRNGKey(0))
+        root_obs = M.bgather(trees.n_to_o, trees.root)
+        visits = M.bgather(trees.obs_visit, root_obs)
+        # every sim backs up through the root
+        assert np.all(np.asarray(visits) == scfg.sims)
+        assert np.all(np.asarray(trees.n_nodes) > 1)
+
+    def test_move_fn_advances_env_and_root(self):
+        scfg = M.SearchConfig(tree=CFG, sims=8, evaluator="lp")
+        move = jax.jit(
+            M.make_move_fn(M.nn_child_evaluator(self._const_apply()), scfg)
+        )
+        trees, envs = M.init_batch(3, 4, scfg)
+        replay = M.init_replay(1024)
+        trees, envs, replay, stats = move(
+            None, None, trees, envs, replay, jax.random.PRNGKey(1)
+        )
+        assert stats.action.shape == (4,)
+        assert np.all(np.asarray(stats.action) >= 0)
+        assert np.all(np.asarray(stats.action) < 7)
+        assert np.all(np.asarray(trees.root) > 0)
+        # probs sum to 1 where visits exist
+        np.testing.assert_allclose(np.asarray(stats.probs).sum(-1), 1.0, atol=1e-4)
+
+    def test_many_moves_trigger_reset_and_replay(self):
+        tcfg = TreeConfig(max_nodes=512, max_obs=512, table_size=1024,
+                          max_depth=32, gamma=0.999)
+        scfg = M.SearchConfig(tree=tcfg, sims=6, evaluator="lp")
+        move = jax.jit(
+            M.make_move_fn(
+                M.nn_child_evaluator(self._const_apply()), scfg,
+                min_visits_store=1,
+            )
+        )
+        trees, envs = M.init_batch(11, 4, scfg)
+        replay = M.init_replay(4096)
+        key = jax.random.PRNGKey(2)
+        any_reset = False
+        for i in range(30):
+            key, sub = jax.random.split(key)
+            trees, envs, replay, stats = move(None, None, trees, envs, replay, sub)
+            any_reset = any_reset or bool(np.asarray(stats.reset).any())
+        assert any_reset
+        assert int(replay.count) > 0
+        # replay rows hold plausible data
+        cnt = int(replay.count)
+        vals = np.asarray(replay.value)[:cnt]
+        assert np.all(np.isfinite(vals))
+        ws = np.asarray(replay.weight)[:cnt]
+        assert np.all(ws >= 1)
+
+    def test_rollout_evaluator_runs(self):
+        scfg = M.SearchConfig(tree=CFG, sims=4, evaluator="rollout",
+                              rollout_cap=64)
+        run = M.make_run_sims(M.rollout_evaluator(scfg), scfg)
+        trees, envs = M.init_batch(5, 2, scfg)
+        trees = jax.jit(run)(None, None, trees, jax.random.PRNGKey(3))
+        root_obs = M.bgather(trees.n_to_o, trees.root)
+        visits = M.bgather(trees.obs_visit, root_obs)
+        assert np.all(np.asarray(visits) == scfg.sims)
+
+
+class TestReplay:
+    def test_ring_wraps(self):
+        rep = M.init_replay(8)
+        imgs = jnp.ones((6, 20, 10), jnp.int8)
+        rep = M.replay_add(rep, imgs, jnp.ones(6), jnp.ones(6), jnp.ones(6),
+                           jnp.ones(6, bool))
+        assert int(rep.count) == 6 and int(rep.idx) == 6
+        rep = M.replay_add(rep, imgs * 2, jnp.full(6, 2.0), jnp.ones(6),
+                           jnp.ones(6), jnp.ones(6, bool))
+        assert int(rep.count) == 8
+        assert int(rep.idx) == 4
+        # wrapped rows carry the new value
+        assert float(rep.value[0]) == 2.0
+        assert float(rep.value[5]) == 1.0
+
+    def test_mask_filters(self):
+        rep = M.init_replay(8)
+        mask = jnp.asarray([True, False, True, False])
+        rep = M.replay_add(
+            rep, jnp.zeros((4, 20, 10), jnp.int8),
+            jnp.arange(4.0), jnp.zeros(4), jnp.zeros(4), mask,
+        )
+        assert int(rep.count) == 2
+        np.testing.assert_allclose(np.asarray(rep.value[:2]), [0.0, 2.0])

@@ -1,0 +1,333 @@
+"""Batched MCTS self-play: B envs × B trees × one fused XLA program.
+
+This is the throughput core of the framework. Where the reference runs one
+game, crossing Python→C++→Torch per simulation with NN batches of ≤7
+(`SURVEY.md` §3.1 marks that boundary as the throughput killer), here a whole
+batch of envs runs sims in lockstep:
+
+    sim:   vmap(select) → vmap(expand: 7 engine.steps) →
+           ONE network forward over all B×7 child images →
+           vmap(leaf-parallel backup)
+    move:  fori(sims) → greedy root action → vmap(engine.step) →
+           vmap(advance_root) → [harvest+reset under lax.cond when triggered]
+
+Evaluators:
+- "lp":      NN value/variance on all 7 children, averaged leaf-parallel
+             backup (the reference's recommended ValueSimLP,
+             `agents/ValueSimLP.py:44-70`).
+- "leaf":    NN on the leaf only, absolute value = score + v
+             (`agents/ValueSim.py:76-94`).
+- "rollout": uniform random playout to game end from the leaf, variance 1e3
+             (`agents/Vanilla.py:41-64`) — runs on-device, vmapped.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tetris_mcts_tpu.env import engine
+from tetris_mcts_tpu.env.engine import EnvState
+from tetris_mcts_tpu.search import tree as T
+from tetris_mcts_tpu.search.tree import Tree, TreeConfig
+
+N_ACTIONS = T.N_ACTIONS
+
+
+class SearchConfig(NamedTuple):
+    tree: TreeConfig = TreeConfig()
+    sims: int = 100
+    evaluator: str = "lp"          # "lp" | "leaf" | "rollout"
+    rollout_cap: int = 512         # max random-playout length (rollout mode)
+    rollout_variance: float = 1e3  # fixed rollout variance (Vanilla.py:54)
+
+
+def bgather(arr, idx):
+    """Per-env row gather: arr (B, N, ...), idx (B,) -> (B, ...)."""
+    return jax.vmap(lambda a, i: a[i])(arr, idx)
+
+
+# ---------------------------------------------------------------------------
+# evaluators
+# ---------------------------------------------------------------------------
+
+def nn_child_evaluator(apply_fn):
+    """Evaluate all 7 children of every env's leaf in one forward pass.
+    apply_fn: (params, ubound, imgs NHWC) -> (v, var) flat."""
+
+    def ev(params, ubound, trees, leafs, key):
+        kids = bgather(trees.child, leafs)  # (B, 7)
+        states = jax.vmap(
+            lambda st, k: jax.tree.map(lambda leaf: leaf[k], st)
+        )(trees.state, kids)  # leaves (B, 7, ...)
+        imgs = jax.vmap(jax.vmap(engine.get_state))(states)  # (B, 7, 20, 10)
+        B = imgs.shape[0]
+        flat = imgs.reshape(B * N_ACTIONS, 20, 10, 1).astype(jnp.float32)
+        v, var = apply_fn(params, ubound, flat)
+        return v.reshape(B, N_ACTIONS), var.reshape(B, N_ACTIONS)
+
+    return ev
+
+
+def nn_leaf_evaluator(apply_fn):
+    """Evaluate the leaf obs only (ValueSim single-leaf semantics)."""
+
+    def ev(params, ubound, trees, leafs, key):
+        states = jax.vmap(
+            lambda st, i: jax.tree.map(lambda leaf: leaf[i], st)
+        )(trees.state, leafs)
+        imgs = jax.vmap(engine.get_state)(states)  # (B, 20, 10)
+        flat = imgs[..., None].astype(jnp.float32)
+        v, var = apply_fn(params, ubound, flat)
+        return v, var  # (B,), (B,)
+
+    return ev
+
+
+def rollout_evaluator(cfg: SearchConfig):
+    """Uniform-random playout to game end (bounded), on-device and vmapped —
+    the Vanilla agent's evaluator (`agents/Vanilla.py:47-55`)."""
+
+    env_cfg = cfg.tree.env
+    cap = cfg.rollout_cap
+
+    def one(st: EnvState, key):
+        def cond(c):
+            s, k, t = c
+            return (~s.end) & (t < cap)
+
+        def body(c):
+            s, k, t = c
+            k, sub = jax.random.split(k)
+            a = jax.random.randint(sub, (), 0, N_ACTIONS)
+            return engine.step(s, a, env_cfg), k, t + 1
+
+        final, _, _ = jax.lax.while_loop(cond, body, (st, key, jnp.int32(0)))
+        return final.score.astype(jnp.float32)
+
+    def ev(params, ubound, trees, leafs, key):
+        states = jax.vmap(
+            lambda st, i: jax.tree.map(lambda leaf: leaf[i], st)
+        )(trees.state, leafs)
+        B = leafs.shape[0]
+        keys = jax.random.split(key, B)
+        v = jax.vmap(one)(states, keys)
+        return v, jnp.full(B, cfg.rollout_variance, jnp.float32)
+
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# one simulation for the whole batch
+# ---------------------------------------------------------------------------
+
+def make_run_sims(evaluator: Callable, cfg: SearchConfig):
+    tcfg = cfg.tree
+    vselect = jax.vmap(T.select, in_axes=(0, 0, None))
+    vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, None))
+    vbackup_lp = jax.vmap(T.backup_leaf_parallel, in_axes=(0, 0, 0, 0, 0, 0, None))
+    vbackup = jax.vmap(T.backup, in_axes=(0, 0, 0, 0, 0, None))
+    vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
+
+    def sim_once(params, ubound, trees, key):
+        B = trees.root.shape[0]
+        key, k_sel, k_ev = jax.random.split(key, 3)
+        traces, lengths = vselect(trees, jax.random.split(k_sel, B), tcfg)
+        leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
+
+        leaf_end = bgather(trees.end, leafs)
+        childless = jnp.all(bgather(trees.child, leafs) == 0, axis=-1)
+        can = (~leaf_end) & childless & vheadroom(trees, tcfg)
+
+        trees = vexpand(trees, leafs, can, tcfg)
+
+        if cfg.evaluator == "lp":
+            v, var = evaluator(params, ubound, trees, leafs, k_ev)  # (B,7)
+            trees = vbackup_lp(trees, traces, lengths, v, var, can, tcfg)
+        else:
+            v, var = evaluator(params, ubound, trees, leafs, k_ev)  # (B,)
+            leaf_score = bgather(trees.score, leafs)
+            if cfg.evaluator == "leaf":
+                # ValueSim: absolute value = leaf score + NN value; terminal
+                # leaves back up (score, 0) (`agents/ValueSim.py:83-93`).
+                v0 = jnp.where(can, leaf_score + v, leaf_score)
+                var0 = jnp.where(can, var, 0.0)
+            else:  # rollout: absolute final score of the playout
+                v0 = jnp.where(can, v, leaf_score)
+                var0 = jnp.where(can, var, 0.0)
+            trees = vbackup(trees, traces, lengths, v0, var0, tcfg)
+        return trees, key
+
+    def run(params, ubound, trees, key):
+        def body(_, carry):
+            trees, key = carry
+            return sim_once(params, ubound, trees, key)
+
+        trees, _ = jax.lax.fori_loop(0, cfg.sims, body, (trees, key))
+        return trees
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# replay ring buffer (device-resident)
+# ---------------------------------------------------------------------------
+
+class Replay(NamedTuple):
+    """On-device training-memory ring (the reference's `self.memory` arrays,
+    `agents/ValueSim.py:25-32`, as a fixed ring buffer)."""
+
+    states: jax.Array  # int8[R, 20, 10]
+    value: jax.Array   # float32[R]
+    var: jax.Array     # float32[R]
+    weight: jax.Array  # float32[R]
+    idx: jax.Array     # int32 next write slot
+    count: jax.Array   # int32 rows ever written (clamped to R)
+
+
+def init_replay(capacity: int) -> Replay:
+    return Replay(
+        states=jnp.zeros((capacity, 20, 10), jnp.int8),
+        value=jnp.zeros(capacity, jnp.float32),
+        var=jnp.zeros(capacity, jnp.float32),
+        weight=jnp.zeros(capacity, jnp.float32),
+        idx=jnp.int32(0),
+        count=jnp.int32(0),
+    )
+
+
+def replay_add(rep: Replay, imgs, value, var, weight, mask) -> Replay:
+    """Append masked rows (any leading shape, flattened) at the ring head."""
+    R = rep.states.shape[0]
+    imgs = imgs.reshape(-1, 20, 10)
+    value = value.reshape(-1)
+    var = var.reshape(-1)
+    weight = weight.reshape(-1)
+    mask = mask.reshape(-1)
+
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dst = (rep.idx + pos) % R
+    dst = jnp.where(mask, dst, R)  # out-of-range rows drop
+    n = jnp.sum(mask.astype(jnp.int32))
+    return Replay(
+        states=rep.states.at[dst].set(imgs, mode="drop"),
+        value=rep.value.at[dst].set(value, mode="drop"),
+        var=rep.var.at[dst].set(var, mode="drop"),
+        weight=rep.weight.at[dst].set(weight, mode="drop"),
+        idx=(rep.idx + n) % R,
+        count=jnp.minimum(rep.count + n, R),
+    )
+
+
+# ---------------------------------------------------------------------------
+# one move for the whole batch
+# ---------------------------------------------------------------------------
+
+class MoveStats(NamedTuple):
+    action: jax.Array       # int32[B]
+    probs: jax.Array        # float32[B, 7] visit-proportional policy
+    child_stats: jax.Array  # float32[B, 3, 7]
+    root_value: jax.Array   # float32[B]
+    root_var: jax.Array     # float32[B]
+    score: jax.Array        # int32[B] score after the move
+    lines: jax.Array        # int32[B]
+    done: jax.Array         # bool[B] episode ended on this move
+    reset: jax.Array        # bool[B] tree was harvested+reset
+    n_nodes: jax.Array      # int32[B] nodes allocated before any reset
+
+
+def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
+                 store: bool = True):
+    """Build the jitted per-move function:
+
+        (params, ubound, trees, envs, replay, key)
+            -> (trees, envs, replay, MoveStats)
+
+    `store=False` is benchmark mode — harvesting never writes to replay
+    (reference `--benchmark` gating, `agents/ValueSim.py:109`).
+    """
+    tcfg = cfg.tree
+    run_sims = make_run_sims(evaluator, cfg)
+    vstats = jax.vmap(T.compute_stats, in_axes=(0, None))
+    vbest = jax.vmap(T.best_action, in_axes=(0, None))
+    vprobs = jax.vmap(T.visit_probs, in_axes=(0, None))
+    vrootv = jax.vmap(T.root_value)
+    vadvance = jax.vmap(T.advance_root, in_axes=(0, 0, 0, None))
+    vharvest = jax.vmap(T.harvest, in_axes=(0, None, None))
+    vinit = jax.vmap(T.init_tree, in_axes=(0, None))
+    vsoft_reset = jax.vmap(engine.soft_reset, in_axes=(0, None))
+
+    # Trees must fit a full move's expansions without mid-move exhaustion.
+    need_nodes = N_ACTIONS * (cfg.sims + 1) + 2
+    capacity_guard = min(need_nodes, tcfg.max_nodes - N_ACTIONS - 1)
+
+    def move(params, ubound, trees, envs: EnvState, replay: Replay, key):
+        key, k_sims = jax.random.split(key)
+        trees = run_sims(params, ubound, trees, k_sims)
+
+        action = vbest(trees, tcfg)
+        stats = vstats(trees, tcfg)
+        probs = vprobs(trees, tcfg)
+        rv, rvar = vrootv(trees)
+
+        envs2 = engine.step_batch(envs, action, tcfg.env)
+        trees2 = vadvance(trees, action, envs2, tcfg)
+
+        done = envs2.end
+        full = (trees2.n_nodes + capacity_guard > tcfg.max_nodes) | (
+            trees2.n_obs + capacity_guard > tcfg.max_obs
+        )
+        trigger = done | full | (trees2.root == 0)
+        n_nodes_before = trees2.n_nodes
+
+        envs3 = jax.tree.map(
+            lambda a, b: jnp.where(
+                done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            vsoft_reset(envs2, tcfg.env),
+            envs2,
+        )
+
+        def harvest_and_reset(args):
+            trees2, envs3, replay = args
+            imgs, val, var, w, mask = vharvest(trees2, min_visits_store, tcfg)
+            mask = mask & trigger[:, None]
+            if store:
+                replay = replay_add(replay, imgs, val, var, w, mask)
+            fresh = vinit(envs3, tcfg)
+            trees3 = jax.tree.map(
+                lambda f, t: jnp.where(
+                    trigger.reshape((-1,) + (1,) * (f.ndim - 1)), f, t
+                ),
+                fresh,
+                trees2,
+            )
+            return trees3, replay
+
+        def no_harvest(args):
+            trees2, _, replay = args
+            return trees2, replay
+
+        trees3, replay = jax.lax.cond(
+            jnp.any(trigger), harvest_and_reset, no_harvest,
+            (trees2, envs3, replay),
+        )
+
+        stats_out = MoveStats(
+            action=action, probs=probs, child_stats=stats,
+            root_value=rv, root_var=rvar,
+            score=envs2.score, lines=envs2.lines,
+            done=done, reset=trigger, n_nodes=n_nodes_before,
+        )
+        return trees3, envs3, replay, stats_out
+
+    return move
+
+
+def init_batch(seed: int, batch: int, cfg: SearchConfig):
+    """(trees, envs) for B fresh games."""
+    envs = engine.reset_batch(seed, batch, cfg.tree.env)
+    trees = jax.vmap(T.init_tree, in_axes=(0, None))(envs, cfg.tree)
+    return trees, envs

@@ -1,0 +1,475 @@
+"""Array-tree MCTS storage and single-tree ops (select / expand / backup).
+
+TPU-native redesign of the reference search layer: the numba cores
+(`agents/core_projection.py`), the C++ free functions
+(`agents/cppmodule/core.h:111-381`) and the tree memory of
+`agents/agent.py:58-130` become one pytree of fixed-shape arrays plus pure
+functions, batched over environments with `vmap` and compiled into the
+self-play program. No pointers, no dicts, no host round-trips:
+
+- nodes live in `(N,)` arrays with index 0 as the null sentinel (the
+  reference's convention, `agents/agent.py:72-73`); each node stores the full
+  env state so expansion is just 7 batched `engine.step` calls;
+- the transposition "projection" layer (`agents/agent.py:77-88`) becomes an
+  open-addressing hash table over the getState image (64-bit FNV-1a of the
+  board+piece bit-rows) mapping to obs slots that carry the shared
+  visit/value/variance statistics;
+- selection implements `select_trace_obs` (C++ `core.h:167-224`):
+  unique-children-by-obs keeping the max-score node, unvisited-first
+  (`check_low`), then the CLT policy `value + norm_quantile(Σn)·sqrt(var/n)`
+  (`agents/policy.py:8-14`);
+- backup implements `backup_trace_obs` (C++ `core.h:226-260`): reverse walk
+  with incremental mean/variance and v ← γ·v + score discounting, plus the
+  leaf-parallel seeding of `backup_trace_obs_LP` (`core.h:303-381`).
+
+All functions here operate on ONE tree (no leading batch dim) — `mcts.py`
+vmaps them over the env batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tetris_mcts_tpu.env import engine
+from tetris_mcts_tpu.env.engine import EnvConfig, EnvState
+from tetris_mcts_tpu.search.quantiles import norm_quantile
+
+N_ACTIONS = 7
+_A7 = jnp.arange(N_ACTIONS, dtype=jnp.int32)
+
+
+class TreeConfig(NamedTuple):
+    """Static search configuration (compiled into the program)."""
+
+    max_nodes: int = 4096
+    max_obs: int = 4096
+    table_size: int = 8192  # power of two, >= 2 * max_obs
+    max_depth: int = 96
+    low: int = 1           # unvisited-first threshold (`check_low` n)
+    gamma: float = 0.999   # backup discount (`agent.cpp:841` default)
+    projection: bool = True
+    env: EnvConfig = EnvConfig()
+
+
+class Tree(NamedTuple):
+    """One search tree. Batched trees carry a leading axis on every field."""
+
+    # node arrays (N,)
+    child: jax.Array      # int32[N, 7]
+    score: jax.Array      # float32[N] game score at node
+    end: jax.Array        # bool[N]
+    state: EnvState       # env state per node, leaves shaped [N, ...]
+    n_to_o: jax.Array     # int32[N] node -> obs slot
+    n_nodes: jax.Array    # int32 next free node id (starts at 1)
+    # obs arrays (M,)
+    obs_visit: jax.Array  # int32[M]
+    obs_value: jax.Array  # float32[M]
+    obs_var: jax.Array    # float32[M]
+    obs_end: jax.Array    # bool[M]
+    obs_node: jax.Array   # int32[M] representative node (for image render)
+    n_obs: jax.Array      # int32 next free obs id (starts at 1)
+    # transposition hash table (T,)
+    tbl_h1: jax.Array     # uint32[T]
+    tbl_h2: jax.Array     # uint32[T]
+    tbl_obs: jax.Array    # int32[T] obs id, 0 = empty
+    root: jax.Array       # int32
+
+
+# ---------------------------------------------------------------------------
+# hashing
+# ---------------------------------------------------------------------------
+
+def _hash_state(st: EnvState):
+    """64-bit (two-lane FNV-1a) hash of the getState image payload: locked
+    rows + rendered piece rows (the reference's `state.tobytes()` dict key,
+    `agents/agent.py:114-117`)."""
+    rows, prow = engine.obs_bits(st)
+    words = jnp.concatenate([rows, prow])  # (40,) uint32
+    h1 = jnp.uint32(0x811C9DC5)
+    h2 = jnp.uint32(0x9E3779B9)
+
+    def body(i, hs):
+        a, b = hs
+        w = words[i]
+        a = (a ^ w) * jnp.uint32(0x01000193)
+        b = (b ^ w) * jnp.uint32(0x85EBCA6B)
+        return a, b
+
+    h1, h2 = jax.lax.fori_loop(0, words.shape[0], body, (h1, h2))
+    return h1, h2
+
+
+def _probe(tree: Tree, h1, h2, cfg: TreeConfig):
+    """Linear-probe slot for key (h1, h2): first matching or empty slot.
+    Table load is capped at max_obs < table_size/2 so the loop terminates."""
+    mask = jnp.uint32(cfg.table_size - 1)
+    start = (h1 & mask).astype(jnp.int32)
+
+    def keep_probing(slot):
+        occupied = tree.tbl_obs[slot] != 0
+        match = (tree.tbl_h1[slot] == h1) & (tree.tbl_h2[slot] == h2)
+        return occupied & ~match
+
+    def advance(slot):
+        return ((slot + 1).astype(jnp.uint32) & mask).astype(jnp.int32)
+
+    return jax.lax.while_loop(keep_probing, advance, start)
+
+
+# ---------------------------------------------------------------------------
+# allocation
+# ---------------------------------------------------------------------------
+
+def _masked_set(arr, idx, val, ok):
+    return arr.at[idx].set(jnp.where(ok, val, arr[idx]))
+
+
+def alloc_node(tree: Tree, st: EnvState, ok, cfg: TreeConfig):
+    """Allocate a node for state `st` (when `ok`); project it onto an obs slot
+    (dedup via the hash table when cfg.projection). Returns (tree, node_id);
+    node_id is 0 when not allocated (pool full or ~ok)."""
+    has_node = tree.n_nodes < cfg.max_nodes
+    ok = ok & has_node
+    idx = jnp.where(ok, tree.n_nodes, 0)
+
+    # --- obs slot -----------------------------------------------------------
+    if cfg.projection:
+        h1, h2 = _hash_state(st)
+        slot = _probe(tree, h1, h2, cfg)
+        found = tree.tbl_obs[slot] != 0
+        has_obs = tree.n_obs < cfg.max_obs
+        new_o = ok & ~found & has_obs
+        o = jnp.where(found, tree.tbl_obs[slot], jnp.where(new_o, tree.n_obs, 0))
+        tree = tree._replace(
+            tbl_h1=_masked_set(tree.tbl_h1, slot, h1, new_o),
+            tbl_h2=_masked_set(tree.tbl_h2, slot, h2, new_o),
+            tbl_obs=_masked_set(tree.tbl_obs, slot, o, new_o),
+            n_obs=tree.n_obs + new_o.astype(jnp.int32),
+        )
+    else:
+        has_obs = tree.n_obs < cfg.max_obs
+        new_o = ok & has_obs
+        o = jnp.where(new_o, tree.n_obs, 0)
+        tree = tree._replace(n_obs=tree.n_obs + new_o.astype(jnp.int32))
+
+    tree = tree._replace(
+        obs_end=_masked_set(tree.obs_end, o, st.end, new_o),
+        obs_node=_masked_set(tree.obs_node, o, idx, new_o),
+    )
+
+    # --- node row ------------------------------------------------------------
+    new_state = jax.tree.map(
+        lambda leaf, s: _masked_set(leaf, idx, s, ok), tree.state, st
+    )
+    tree = tree._replace(
+        score=_masked_set(tree.score, idx, st.score.astype(jnp.float32), ok),
+        end=_masked_set(tree.end, idx, st.end, ok),
+        n_to_o=_masked_set(tree.n_to_o, idx, o, ok),
+        state=new_state,
+        n_nodes=tree.n_nodes + ok.astype(jnp.int32),
+    )
+    return tree, idx
+
+
+def init_tree(env_state: EnvState, cfg: TreeConfig) -> Tree:
+    """Fresh empty tree rooted at `env_state`."""
+    N, M, T = cfg.max_nodes, cfg.max_obs, cfg.table_size
+    dummy = jax.tree.map(
+        lambda leaf: jnp.zeros((N,) + leaf.shape, leaf.dtype), env_state
+    )
+    tree = Tree(
+        child=jnp.zeros((N, N_ACTIONS), jnp.int32),
+        score=jnp.zeros(N, jnp.float32),
+        end=jnp.zeros(N, bool),
+        state=dummy,
+        n_to_o=jnp.zeros(N, jnp.int32),
+        n_nodes=jnp.int32(1),
+        obs_visit=jnp.zeros(M, jnp.int32),
+        obs_value=jnp.zeros(M, jnp.float32),
+        obs_var=jnp.zeros(M, jnp.float32),
+        obs_end=jnp.zeros(M, bool),
+        obs_node=jnp.zeros(M, jnp.int32),
+        n_obs=jnp.int32(1),
+        tbl_h1=jnp.zeros(T, jnp.uint32),
+        tbl_h2=jnp.zeros(T, jnp.uint32),
+        tbl_obs=jnp.zeros(T, jnp.int32),
+        root=jnp.int32(0),
+    )
+    tree, root = alloc_node(tree, env_state, jnp.asarray(True), cfg)
+    return tree._replace(root=root)
+
+
+def reset_tree(tree: Tree, env_state: EnvState, cfg: TreeConfig) -> Tree:
+    """Zero all storage and re-root at `env_state` — the capability equivalent
+    of the reference's pool-exhaustion GC (`agents/agent.py:246-257`): instead
+    of BFS-marking the live subtree and recycling a free list (sequential,
+    pointer-heavy), the batched design harvests training data first
+    (`harvest`) and rebuilds from the current position. Same training tuples,
+    array-friendly (SURVEY.md §7 "Node-pool GC")."""
+    return init_tree(env_state, cfg)
+
+
+# ---------------------------------------------------------------------------
+# unique children by obs
+# ---------------------------------------------------------------------------
+
+def unique_children(tree: Tree, idx):
+    """`get_unique_child_obs` (C++ core.h:111-144): among the 7 children of
+    `idx`, keep one node per distinct obs — the earliest node with the
+    group-max score. Returns (kids int32[7], obs int32[7], kept bool[7])."""
+    kids = tree.child[idx]            # (7,)
+    valid = kids != 0
+    obs = jnp.where(valid, tree.n_to_o[kids], -1)
+    sc = tree.score[kids]
+    same = (obs[:, None] == obs[None, :]) & valid[:, None] & valid[None, :]
+    beats = (sc[:, None] > sc[None, :]) | (
+        (sc[:, None] == sc[None, :]) & (_A7[:, None] <= _A7[None, :])
+    )
+    kept = valid & jnp.all(~same | beats, axis=1)
+    return kids, obs, kept
+
+
+# ---------------------------------------------------------------------------
+# selection
+# ---------------------------------------------------------------------------
+
+def select(tree: Tree, key, cfg: TreeConfig):
+    """`select_trace_obs` (C++ core.h:167-224). Returns (trace int32[D],
+    length int32). trace[length-1] is the leaf."""
+    D = cfg.max_depth
+    trace0 = jnp.full(D, 0, jnp.int32)
+
+    def cond(carry):
+        _, _, depth, done, _ = carry
+        return (~done) & (depth < D)
+
+    def body(carry):
+        trace, idx, depth, done, key = carry
+        trace = trace.at[depth].set(idx)
+
+        kids, obs, kept = unique_children(tree, idx)
+        any_kid = jnp.any(kept)
+
+        visits = jnp.where(kept, tree.obs_visit[obs], 0)
+        low_mask = kept & (visits < cfg.low)
+        any_low = jnp.any(low_mask)
+
+        key, sub = jax.random.split(key)
+        gumbel = jax.random.gumbel(sub, (N_ACTIONS,))
+        low_choice = jnp.argmax(jnp.where(low_mask, gumbel, -jnp.inf))
+
+        n_total = jnp.sum(visits)
+        q = (
+            tree.obs_value[obs]
+            + tree.score[kids]
+            - tree.score[idx]
+            + norm_quantile(n_total)
+            # clamp: float Welford updates can leave tiny negative variances
+            * jnp.sqrt(jnp.maximum(tree.obs_var[obs], 0.0) / jnp.maximum(visits, 1))
+        )
+        clt_choice = jnp.argmax(jnp.where(kept, q, -jnp.inf))
+
+        choice = jnp.where(any_low, low_choice, clt_choice)
+        nxt = jnp.where(any_kid, kids[choice], idx)
+        return trace, nxt, depth + 1, ~any_kid, key
+
+    trace, _, depth, _, _ = jax.lax.while_loop(
+        cond, body, (trace0, tree.root, jnp.int32(0), jnp.asarray(False), key)
+    )
+    return trace, depth
+
+
+# ---------------------------------------------------------------------------
+# expansion
+# ---------------------------------------------------------------------------
+
+def expand(tree: Tree, leaf, ok, cfg: TreeConfig):
+    """Create the 7 children of `leaf` (when `ok`): 7 engine steps from the
+    stored leaf state, one alloc each (sequential so same-obs duplicates hit
+    the hash table correctly) — the reference's `TreeAgent.expand`
+    (`agents/agent.py:136-145`) without the Python/pyTetris boundary."""
+    st = jax.tree.map(lambda leafarr: leafarr[leaf], tree.state)
+
+    def body(a, carry):
+        tree, kid_arr = carry
+        child_st = engine.step(st, a, cfg.env)
+        tree, idx = alloc_node(tree, child_st, ok, cfg)
+        kid_arr = kid_arr.at[a].set(idx)
+        tree = tree._replace(
+            child=tree.child.at[leaf, a].set(
+                jnp.where(ok, idx, tree.child[leaf, a])
+            )
+        )
+        return tree, kid_arr
+
+    tree, kids = jax.lax.fori_loop(
+        0, N_ACTIONS, body, (tree, jnp.zeros(N_ACTIONS, jnp.int32))
+    )
+    return tree
+
+
+def headroom(tree: Tree, cfg: TreeConfig):
+    """True while one more expansion surely fits in node and obs pools."""
+    return (tree.n_nodes + N_ACTIONS <= cfg.max_nodes) & (
+        tree.n_obs + N_ACTIONS <= cfg.max_obs
+    )
+
+
+# ---------------------------------------------------------------------------
+# backup
+# ---------------------------------------------------------------------------
+
+def backup(tree: Tree, trace, length, value, variance, cfg: TreeConfig):
+    """`backup_trace_obs` (C++ core.h:226-260): reverse walk with Welford-style
+    incremental mean/variance and v ← γ·v + score(idx)."""
+    gamma = jnp.float32(cfg.gamma)
+
+    def body(i, carry):
+        visit, val, var, v = carry
+        t = length - 1 - i
+        live = t >= 0
+        idx = trace[jnp.maximum(t, 0)]
+        o = tree.n_to_o[idx]
+
+        v_rel = v - tree.score[idx]
+        first = visit[o] == 0
+        delta = v_rel - val[o]
+        val_new = jnp.where(first, v_rel, val[o] + delta / (visit[o] + 1))
+        delta2 = v_rel - val_new
+        var_new = jnp.where(
+            first, variance, var[o] + (delta * delta2 - var[o]) / (visit[o] + 1)
+        )
+
+        visit = visit.at[o].add(jnp.where(live, 1, 0))
+        val = val.at[o].set(jnp.where(live, val_new, val[o]))
+        var = var.at[o].set(jnp.where(live, var_new, var[o]))
+        v = jnp.where(live, gamma * v_rel + tree.score[idx], v)
+        return visit, val, var, v
+
+    visit, val, var, _ = jax.lax.fori_loop(
+        0, cfg.max_depth, body,
+        (tree.obs_visit, tree.obs_value, tree.obs_var, jnp.float32(value)),
+    )
+    return tree._replace(obs_visit=visit, obs_value=val, obs_var=var)
+
+
+def backup_leaf_parallel(tree: Tree, trace, length, v_nn, var_nn, expanded,
+                         cfg: TreeConfig):
+    """`backup_trace_obs_LP` with averaged=True (C++ core.h:303-381, the
+    ValueSimLP configuration, `agents/ValueSimLP.py:29-33`): seed each fresh
+    unique child obs with its NN estimate (zero for terminal children), then
+    back up the mean child value v̄ = mean(score(c) + γ·value(o)) − relative,
+    var̄ = γ²·mean(var(o)) through the trace.
+
+    v_nn / var_nn: float32[7] NN outputs aligned with the action slots.
+    expanded: whether the leaf was expanded this sim (else terminal backup:
+    v = score(leaf), var = 0)."""
+    leaf = trace[jnp.maximum(length - 1, 0)]
+    kids, obs, kept = unique_children(tree, leaf)
+    kept = kept & expanded
+
+    # Seed fresh obs (visit==0) with NN values; terminal children get (0, 0).
+    # Non-seeding slots are redirected out of range (mode="drop"): `obs` can
+    # contain duplicates (two actions reaching the same obs) and -1 for
+    # invalid slots, and a duplicate non-seeding lane must not clobber the
+    # seeding lane's write.
+    first = kept & (tree.obs_visit[obs] == 0)
+    seed_v = jnp.where(tree.end[kids], 0.0, v_nn)
+    seed_var = jnp.where(tree.end[kids], 0.0, var_nn)
+    M = tree.obs_visit.shape[0]
+    obs_w = jnp.where(first, obs, M)
+
+    obs_visit = tree.obs_visit.at[obs_w].add(1, mode="drop")
+    obs_value = tree.obs_value.at[obs_w].set(seed_v, mode="drop")
+    obs_var = tree.obs_var.at[obs_w].set(seed_var, mode="drop")
+    tree = tree._replace(obs_visit=obs_visit, obs_value=obs_value, obs_var=obs_var)
+
+    k = jnp.maximum(jnp.sum(kept.astype(jnp.int32)), 1)
+    gamma = jnp.float32(cfg.gamma)
+    v_sum = jnp.sum(
+        jnp.where(kept, tree.score[kids] + gamma * tree.obs_value[obs], 0.0)
+    )
+    var_sum = jnp.sum(jnp.where(kept, tree.obs_var[obs], 0.0))
+    v_mean = v_sum / k
+    var_mean = var_sum * gamma * gamma / k
+
+    v0 = jnp.where(expanded, v_mean, tree.score[leaf])
+    var0 = jnp.where(expanded, var_mean, 0.0)
+    return backup(tree, trace, length, v0, var0, cfg)
+
+
+# ---------------------------------------------------------------------------
+# root stats / advance
+# ---------------------------------------------------------------------------
+
+def compute_stats(tree: Tree, cfg: TreeConfig, idx=None):
+    """3x7 [visit, Q, variance] per action at `idx` (reference
+    `TreeAgent.compute_stats`, agents/agent.py:153-179)."""
+    idx = tree.root if idx is None else idx
+    kids = tree.child[idx]
+    valid = kids != 0
+    obs = tree.n_to_o[kids]
+    visit = jnp.where(valid, tree.obs_visit[obs], 0).astype(jnp.float32)
+    q = jnp.where(
+        valid,
+        tree.obs_value[obs] + tree.score[kids] - tree.score[idx],
+        -jnp.inf,
+    )
+    var = jnp.where(valid, tree.obs_var[obs], 0.0)
+    return jnp.stack([visit, q, var])
+
+
+def best_action(tree: Tree, cfg: TreeConfig):
+    """Greedy argmax over root Q (reference `get_action`, agent.py:181-185)."""
+    stats = compute_stats(tree, cfg)
+    return jnp.argmax(stats[1]).astype(jnp.int32)
+
+
+def visit_probs(tree: Tree, cfg: TreeConfig):
+    """Visit-proportional policy target (reference `get_prob`, agent.py:187)."""
+    stats = compute_stats(tree, cfg)
+    total = jnp.maximum(jnp.sum(stats[0]), 1.0)
+    return stats[0] / total
+
+
+def root_value(tree: Tree):
+    o = tree.n_to_o[tree.root]
+    return tree.obs_value[o], tree.obs_var[o]
+
+
+def advance_root(tree: Tree, action, new_env_state: EnvState, cfg: TreeConfig):
+    """Move the root to child[root, action] after the real env step — the
+    reference's `update_root` + node dedup (agent.py:296-301). The child's
+    stored state equals the stepped env state because `engine.step` is
+    deterministic given the in-state RNG. Allocates the node if the move was
+    never expanded."""
+    c = tree.child[tree.root, action]
+    need = c == 0
+    tree, fresh = alloc_node(tree, new_env_state, need, cfg)
+    return tree._replace(root=jnp.where(need, fresh, c))
+
+
+# ---------------------------------------------------------------------------
+# training-data harvest
+# ---------------------------------------------------------------------------
+
+def harvest(tree: Tree, min_visits: int, cfg: TreeConfig):
+    """Training tuples from the obs table (reference `ValueSim.store_nodes`,
+    agents/ValueSim.py:122-159): every obs with visit >= min_visits and not
+    terminal yields (board image, value, variance, visit-weight). Returns
+    (imgs int8[M,20,10], value f32[M], var f32[M], weight f32[M],
+    mask bool[M]). Images are rendered from each obs's representative node."""
+    M = cfg.max_obs
+    slots = jnp.arange(M)
+    mask = (
+        (slots >= 1)
+        & (slots < tree.n_obs)
+        & (tree.obs_visit >= min_visits)
+        & (~tree.obs_end)
+    )
+    states = jax.tree.map(lambda leaf: leaf[tree.obs_node], tree.state)
+    imgs = jax.vmap(engine.get_state)(states)
+    return imgs, tree.obs_value, tree.obs_var, tree.obs_visit.astype(jnp.float32), mask

@@ -1,0 +1,137 @@
+"""Benchmark: batched env throughput + fused MCTS simulation throughput.
+
+Runs on whatever jax.devices() provides (the real TPU chip under the driver).
+Prints ONE JSON line:
+  {"metric": "mcts_sims_per_s", "value": N, "unit": "sims/s/chip",
+   "vs_baseline": N, ...extras}
+
+Baselines (BASELINE.md targets): >= 1M env-steps/s/chip, >= 100k sims/s/chip.
+`vs_baseline` is measured sims/s over the 100k target. The reference never
+measured MCTS throughput at all (BASELINE.md: "never measured in repo"); its
+architecture caps sims/s at the Python->C++->Torch boundary crossed per
+simulation (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_env(batch: int = 8192, steps: int = 512, reps: int = 3, seed: int = 0):
+    """Random-action env stepping with auto-reset, one fused scan program."""
+    from tetris_mcts_tpu.env import engine
+
+    cfg = engine.EnvConfig()
+    envs = engine.reset_batch(seed, batch, cfg)
+    vreset = jax.vmap(lambda s: engine.soft_reset(s, cfg))
+
+    def body(carry, _):
+        s, key = carry
+        key, sub = jax.random.split(key)
+        a = jax.random.randint(sub, (batch,), 0, 7)
+        s = engine.step_batch(s, a, cfg)
+        fresh = vreset(s)
+        s = jax.tree.map(
+            lambda f, t: jnp.where(
+                s.end.reshape((-1,) + (1,) * (f.ndim - 1)), f, t
+            ),
+            fresh, s,
+        )
+        return (s, key), None
+
+    @jax.jit
+    def run(envs, key):
+        (envs, _), _ = jax.lax.scan(body, (envs, key), length=steps)
+        return envs
+
+    key = jax.random.PRNGKey(seed)
+    envs = run(envs, key)  # compile + warmup
+    jax.block_until_ready(envs.rows)
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        envs = run(envs, key)
+        jax.block_until_ready(envs.rows)
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best
+
+
+def bench_mcts(batch: int = 256, sims: int = 100, moves: int = 8,
+               reps: int = 3, seed: int = 0):
+    """Full NN-evaluated MCTS moves (select/expand/NN/backup/step/harvest)."""
+    from tetris_mcts_tpu.search import mcts
+    from tetris_mcts_tpu.search.tree import TreeConfig
+    from tetris_mcts_tpu.train.trainer import VVModel
+
+    cfg = mcts.SearchConfig(
+        tree=TreeConfig(
+            max_nodes=8192, max_obs=8192, table_size=16384, max_depth=64
+        ),
+        sims=sims,
+        evaluator="lp",
+    )
+    model = VVModel(seed=seed, compute_dtype=jnp.bfloat16)
+    move = mcts.make_move_fn(
+        mcts.nn_child_evaluator(model.apply_fn()), cfg, min_visits_store=25
+    )
+
+    def body(carry, _):
+        trees, envs, replay, key = carry
+        key, sub = jax.random.split(key)
+        trees, envs, replay, stats = move(
+            model.params, model.ubound, trees, envs, replay, sub
+        )
+        return (trees, envs, replay, key), stats.lines
+
+    @jax.jit
+    def run(trees, envs, replay, key):
+        (trees, envs, replay, _), lines = jax.lax.scan(
+            body, (trees, envs, replay, key), length=moves
+        )
+        return trees, envs, replay, lines
+
+    trees, envs = mcts.init_batch(seed, batch, cfg)
+    replay = mcts.init_replay(100_000)
+    key = jax.random.PRNGKey(seed)
+
+    trees, envs, replay, lines = run(trees, envs, replay, key)  # compile
+    jax.block_until_ready(lines)
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        trees, envs, replay, lines = run(trees, envs, replay, key)
+        jax.block_until_ready(lines)
+        best = min(best, time.perf_counter() - t0)
+    return batch * sims * moves / best
+
+
+def main():
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    # CPU fallback sizes keep local runs tractable; the driver runs on TPU.
+    if on_tpu:
+        env_rate = bench_env(batch=8192, steps=512)
+        sims_rate = bench_mcts(batch=256, sims=100, moves=8)
+    else:
+        env_rate = bench_env(batch=512, steps=64, reps=2)
+        sims_rate = bench_mcts(batch=16, sims=16, moves=2, reps=2)
+
+    print(json.dumps({
+        "metric": "mcts_sims_per_s",
+        "value": round(sims_rate, 1),
+        "unit": "sims/s/chip",
+        "vs_baseline": round(sims_rate / 100_000.0, 4),
+        "env_steps_per_s": round(env_rate, 1),
+        "env_vs_target": round(env_rate / 1_000_000.0, 4),
+        "device": str(dev.device_kind if on_tpu else dev.platform),
+    }))
+
+
+if __name__ == "__main__":
+    main()

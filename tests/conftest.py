@@ -8,7 +8,10 @@ do NOT import this — they run on the real chip.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment may pin JAX_PLATFORMS to the real TPU
+# (e.g. "axon"); tests must run on the virtual 8-device CPU mesh regardless.
+# Some TPU plugins ignore the env var, so set the config explicitly too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,3 +25,7 @@ _cache.mkdir(exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,88 @@
+"""Data persistence (utils/data.py) + observability (obs/metrics.py) tests —
+the reference's util/Data.py schema and play.py memmap protocol."""
+
+import numpy as np
+import pytest
+
+from tetris_mcts_tpu.obs.metrics import (
+    MetricsReader, MetricsWriter, StatusPublisher, StatusReader,
+)
+from tetris_mcts_tpu.utils.data import (
+    DataLoader, DataSaver, LossLoader, LossSaver, STATE_SCHEMA,
+)
+
+
+def _rows(n, ep0=0):
+    rng = np.random.RandomState(ep0)
+    return dict(
+        episode=np.arange(ep0, ep0 + n), board=rng.randint(-1, 2, (n, 20, 10)),
+        policy=np.full((n, 7), 1 / 7), action=rng.randint(0, 7, n),
+        combo=np.zeros(n), lines=np.arange(n),
+        line_stats=np.zeros((n, 4)), score=np.arange(n) * 100,
+        child_stats=rng.rand(n, 3, 7), value=rng.rand(n),
+        variance=rng.rand(n) + 1,
+    )
+
+
+def test_saver_loader_roundtrip(tmp_path):
+    s = DataSaver(str(tmp_path), "data", cycle=3)
+    r1, r2 = _rows(5), _rows(4, ep0=5)
+    s.add_batch(**r1)
+    s.add_batch(**r2)
+    assert len(s) == 9
+    s.close()
+
+    ld = DataLoader(str(tmp_path / "data3.h5"))
+    assert len(ld) == 9
+    np.testing.assert_array_equal(ld.episode, np.arange(9))
+    np.testing.assert_array_equal(
+        ld.board, np.concatenate([r1["board"], r2["board"]]).astype(np.int8)
+    )
+    assert (ld.cycle == 3).all()
+    for k in STATE_SCHEMA:
+        assert len(getattr(ld, k)) == 9
+
+
+def test_loader_concatenates_files(tmp_path):
+    for c in (0, 1):
+        s = DataSaver(str(tmp_path), "data", cycle=c)
+        s.add_batch(**_rows(3, ep0=3 * c))
+        s.close()
+    ld = DataLoader(str(tmp_path / "data*.h5"))
+    assert len(ld) == 6
+    assert set(ld.cycle.tolist()) == {0, 1}
+
+
+def test_loss_saver(tmp_path):
+    s = LossSaver(str(tmp_path), cycle=1)
+    s.add_history([(100, 2.0, 2.1, 0.1), (200, 1.5, 1.6, 0.1)])
+    s.close()
+    ld = LossLoader(str(tmp_path / "loss1.h5"))
+    assert ld.n == 2
+    np.testing.assert_allclose(ld.loss_val, [2.1, 1.6], rtol=1e-6)
+
+
+def test_metrics_roundtrip(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    w = MetricsWriter(path)
+    w.write("episode", n=1, lines=5, score=300)
+    w.write("train_session", n=1, rows=128)
+    r = MetricsReader(path)
+    new = r.poll()
+    assert len(new) == 2
+    w.write("episode", n=2, lines=7, score=500)
+    assert len(r.poll()) == 1
+    assert [e["n"] for e in r.of_kind("episode")] == [1, 2]
+    w.close()
+
+
+def test_status_memmaps(tmp_path):
+    pub = StatusPublisher(str(tmp_path), batch=4)
+    board = np.zeros((20, 10), np.int8)
+    board[19, :3] = 1
+    pub.publish(board, [0, 1, 0, 2], [10, 20, 30, 40], [0, 1, 2, 3],
+                np.zeros((4, 4)))
+    rd = StatusReader(str(tmp_path), batch=4).read()
+    np.testing.assert_array_equal(rd["board"], board)
+    np.testing.assert_array_equal(rd["score"], [10, 20, 30, 40])
+    assert StatusReader(str(tmp_path / "nope"), batch=4).read() is None

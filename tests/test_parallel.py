@@ -1,0 +1,117 @@
+"""SPMD correctness on the virtual 8-device CPU mesh (conftest.py).
+
+The reference has no distributed layer (SURVEY.md §2.7); these tests pin the
+new framework's sharding story: the same program, sharded over the mesh, must
+produce the same numbers as the single-device run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tetris_mcts_tpu.parallel import mesh as M
+from tetris_mcts_tpu.search import mcts
+from tetris_mcts_tpu.search.mcts import SearchConfig
+from tetris_mcts_tpu.search.tree import TreeConfig
+from tetris_mcts_tpu.train.trainer import VVModel
+
+
+def small_search_cfg():
+    return SearchConfig(
+        tree=TreeConfig(max_nodes=256, max_obs=256, table_size=512, max_depth=16),
+        sims=3,
+        evaluator="lp",
+    )
+
+
+def test_mesh_shapes():
+    m = M.make_mesh(8)
+    assert m.devices.shape == (8,)
+    m2 = M.make_mesh(8, model_parallel=2)
+    assert m2.devices.shape == (4, 2)
+    assert m2.axis_names == (M.DATA_AXIS, M.MODEL_AXIS)
+
+
+def test_sharded_move_matches_single_device():
+    cfg = small_search_cfg()
+    model = VVModel(seed=0)
+    ev = mcts.nn_child_evaluator(model.apply_fn())
+    move = mcts.make_move_fn(ev, cfg, min_visits_store=1)
+
+    trees, envs = mcts.init_batch(7, 8, cfg)
+    replay = mcts.init_replay(256)
+    key = jax.random.PRNGKey(5)
+
+    ref = jax.jit(move)(model.params, model.ubound, trees, envs, replay, key)
+
+    m = M.make_mesh(8)
+    smove = M.sharded_move_fn(move, m)
+    got = smove(model.params, model.ubound, trees, envs, replay, key)
+
+    for a, b, name in zip(
+        jax.tree.leaves(ref), jax.tree.leaves(got),
+        [str(p) for p, _ in jax.tree_util.tree_leaves_with_path(ref)],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
+        )
+
+
+def test_dp_train_step_matches_single_device():
+    model = VVModel(seed=1)
+    n = 64
+    rng = np.random.RandomState(0)
+    data = (
+        jnp.asarray(rng.randint(0, 2, (n, 20, 10, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 50, n), jnp.float32),
+        jnp.asarray(rng.uniform(1, 10, n), jnp.float32),
+        jnp.ones(n, jnp.float32),
+    )
+    key = jax.random.PRNGKey(2)
+    args = (model.fisher, model.p0, jnp.float32(0.0), 32)
+
+    p_ref, _, m_ref, _ = model._train_step(
+        model.params, model.opt_state, model.ubound, data, key, *args
+    )
+
+    m = M.make_mesh(8)
+    step = M.sharded_train_step(model, m)
+    p_got, _, m_got, _ = step(
+        model.params, model.opt_state, model.ubound, data, key, *args
+    )
+
+    assert np.allclose(float(m_ref["loss"]), float(m_got["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_tp_train_step_runs():
+    """2D (data x model) mesh: megatron-split FC block compiles and matches."""
+    model = VVModel(seed=1)
+    n = 32
+    rng = np.random.RandomState(1)
+    data = (
+        jnp.asarray(rng.randint(0, 2, (n, 20, 10, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 50, n), jnp.float32),
+        jnp.asarray(rng.uniform(1, 10, n), jnp.float32),
+        jnp.ones(n, jnp.float32),
+    )
+    key = jax.random.PRNGKey(3)
+    args = (model.fisher, model.p0, jnp.float32(0.0), 16)
+
+    p_ref, _, m_ref, _ = model._train_step(
+        model.params, model.opt_state, model.ubound, data, key, *args
+    )
+    m2 = M.make_mesh(8, model_parallel=2)
+    step = M.sharded_train_step(model, m2)
+    p_got, _, m_got, _ = step(
+        model.params, model.opt_state, model.ubound, data, key, *args
+    )
+    assert np.allclose(float(m_ref["loss"]), float(m_got["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )

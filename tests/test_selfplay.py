@@ -1,0 +1,86 @@
+"""End-to-end online self-play driver tests (tiny configs, CPU mesh).
+
+Covers the reference's main-loop capabilities (play.py:118-177 +
+ValueSim online training, SURVEY.md §3.1-3.2): moves advance batched games,
+episodes finish and are tracked, harvested tuples land in replay, the
+growth-gated training trigger fires, and benchmark mode stores nothing.
+"""
+
+import numpy as np
+import pytest
+
+from tetris_mcts_tpu.runtime.selfplay import SelfPlayConfig, SelfPlayDriver
+from tetris_mcts_tpu.train.trainer import VVModel
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        batch=4, sims=4, evaluator="lp",
+        max_nodes=512, max_obs=512, table_size=1024, max_depth=32,
+        min_visits_store=1, memory_size=2048, memory_growth=64,
+        train_rows_trigger=64, train_batch=16,
+        train_iters_per_val=5, train_max_iters=10,
+        seed=3,
+    )
+    base.update(kw)
+    return SelfPlayConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def driver():
+    d = SelfPlayDriver(tiny_cfg(), log=lambda s: None)
+    d.run(30)
+    return d
+
+
+def test_moves_advance(driver):
+    assert driver.moves == 30
+    stats = driver.last_stats
+    assert stats.action.shape == (4,)
+    assert stats.probs.shape == (4, 7)
+    assert stats.child_stats.shape == (4, 3, 7)
+    acts = np.asarray(stats.action)
+    assert ((acts >= 0) & (acts < 7)).all()
+
+
+def test_replay_fills_and_training_fires(driver):
+    # min_visits_store=1 + tiny trigger: after 30 moves with sims=4 some
+    # trees must have been harvested (full or episode end) and a session run
+    assert driver._total_rows > 0
+    assert driver.n_trains >= 1
+    assert len(driver.train_history) == driver.n_trains
+    # training history rows: (iter, train_loss, val_loss, val_std)
+    it, tr, va, vs = driver.train_history[0][0]
+    assert np.isfinite(tr) and np.isfinite(va)
+
+
+def test_probs_are_distributions(driver):
+    p = np.asarray(driver.last_stats.probs)
+    assert (p >= 0).all()
+    np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_benchmark_mode_stores_nothing():
+    d = SelfPlayDriver(tiny_cfg(benchmark=True), log=lambda s: None)
+    d.run(12)
+    assert int(d.replay.count) == 0
+    assert d.n_trains == 0
+
+
+def test_rollout_evaluator_runs():
+    d = SelfPlayDriver(
+        tiny_cfg(evaluator="rollout", benchmark=True), log=lambda s: None
+    )
+    d.run(3)
+    assert d.moves == 3
+
+
+def test_episodes_eventually_finish():
+    # Random-ish early play on a 20x10 board dies within a few hundred moves;
+    # use sims=2 to keep it fast and force weak play.
+    d = SelfPlayDriver(
+        tiny_cfg(sims=2, batch=8, benchmark=True), log=lambda s: None
+    )
+    d.run_episodes(1, max_moves=2000)
+    assert d.episodes >= 1
+    assert d.line_tracker.n == d.episodes

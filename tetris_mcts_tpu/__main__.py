@@ -1,0 +1,25 @@
+"""`python -m tetris_mcts_tpu {play,train,cycle,bench}` dispatcher."""
+
+import sys
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print("usage: python -m tetris_mcts_tpu {play,train,cycle} [args...]")
+        return 0
+    cmd, argv = sys.argv[1], sys.argv[2:]
+    if cmd == "play":
+        from tetris_mcts_tpu.cli.play import main as m
+    elif cmd == "train":
+        from tetris_mcts_tpu.cli.train import main as m
+    elif cmd == "cycle":
+        from tetris_mcts_tpu.cli.cycle import main as m
+    else:
+        print(f"unknown command {cmd!r}", file=sys.stderr)
+        return 2
+    m(argv)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

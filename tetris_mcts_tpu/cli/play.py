@@ -1,0 +1,153 @@
+"""`play` entrypoint — flag-parity CLI over the batched self-play driver.
+
+Mirrors the reference's `play.py` argparse surface (`/root/reference/
+play.py:46-70`: agent_type, mcts_sims, ngames, endless, benchmark, save,
+save_dir/save_file, online, app/scoring/randomizer env knobs, cycle, ...)
+plus the batched-TPU knobs that have no reference counterpart (batch size,
+memory/tree capacities). Agent-type strings map reference classes (SURVEY.md
+§2.3) onto evaluator/flags of the one batched driver:
+
+  Vanilla / VanillaC      -> rollout evaluator, no training
+  ValueSim                -> single-leaf NN evaluator, online training
+  ValueSimLP / ValueSimC  -> leaf-parallel NN evaluator, online training
+  Random                  -> rollout evaluator, sims=1 (trivial baseline)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+AGENT_TYPES = {
+    "Vanilla": ("rollout", False),
+    "VanillaC": ("rollout", False),
+    "ValueSim": ("leaf", True),
+    "ValueSimLP": ("lp", True),
+    "ValueSimC": ("lp", True),
+    "ApproxPolicyIter": ("vp", True),
+    "Random": ("rollout", False),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tetris-tpu play",
+        description="Batched MCTS Tetris self-play (TPU-native)",
+    )
+    # reference flags (play.py:46-70)
+    p.add_argument("--agent_type", default="ValueSimLP", choices=AGENT_TYPES)
+    p.add_argument("--mcts_sims", type=int, default=100)
+    p.add_argument("--ngames", type=int, default=50,
+                   help="episodes to play (reference default 50)")
+    p.add_argument("--endless", action="store_true")
+    p.add_argument("--benchmark", action="store_true",
+                   help="no training / storage (play.py:49)")
+    p.add_argument("--online", action="store_true",
+                   help="online training (implied by ValueSim* agents)")
+    p.add_argument("--save", action="store_true",
+                   help="save per-move rows to HDF5")
+    p.add_argument("--save_dir", default="./data")
+    p.add_argument("--save_file", default="data")
+    p.add_argument("--cycle", type=int, default=0)
+    p.add_argument("--app", type=int, default=1,
+                   help="actions per (gravity) drop")
+    p.add_argument("--scoring", type=int, default=0, choices=(0, 1),
+                   help="0 guideline, 1 raw line clears")
+    p.add_argument("--randomizer", type=int, default=0, choices=(0, 1),
+                   help="0 seven-bag, 1 uniform")
+    p.add_argument("--gamma", type=float, default=0.999)
+    p.add_argument("--min_visits", type=int, default=25)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--load_model", action="store_true",
+                   help="load checkpoint before playing")
+    p.add_argument("--checkpoint", default="./checkpoints/model_vv.msgpack")
+    # TPU-native knobs (no reference counterpart: reference runs 1 game)
+    p.add_argument("--batch", type=int, default=64,
+                   help="games in lockstep per chip")
+    p.add_argument("--max_nodes", type=int, default=4096)
+    p.add_argument("--max_obs", type=int, default=4096)
+    p.add_argument("--memory_size", type=int, default=100000)
+    p.add_argument("--memory_growth", type=int, default=5000)
+    p.add_argument("--train_rows", type=int, default=5000)
+    p.add_argument("--train_batch", type=int, default=128)
+    p.add_argument("--train_iters_per_val", type=int, default=100)
+    p.add_argument("--train_max_iters", type=int, default=50000)
+    p.add_argument("--max_moves", type=int, default=10_000_000)
+    p.add_argument("--metrics", default="",
+                   help="JSONL metrics path ('' = off)")
+    p.add_argument("--status_dir", default="",
+                   help="publish live-state memmaps here ('' = off)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from tetris_mcts_tpu.runtime.selfplay import (
+        SelfPlayConfig, SelfPlayDriver, VPSelfPlayDriver,
+    )
+    from tetris_mcts_tpu.train.trainer import VPModel, VVModel
+
+    evaluator, trains = AGENT_TYPES[args.agent_type]
+    sims = 1 if args.agent_type == "Random" else args.mcts_sims
+    # online training runs iff the agent trains, --online is set, and we are
+    # not in benchmark mode (reference gating, play.py:49 + ValueSim.py:109)
+    benchmark = args.benchmark or not (trains and args.online)
+
+    cfg = SelfPlayConfig(
+        batch=args.batch, sims=sims, evaluator=evaluator,
+        max_nodes=args.max_nodes, max_obs=args.max_obs,
+        table_size=max(2 * args.max_obs, 16), max_depth=96,
+        gamma=args.gamma, min_visits_store=args.min_visits,
+        memory_size=args.memory_size, memory_growth=args.memory_growth,
+        train_rows_trigger=args.train_rows, train_batch=args.train_batch,
+        train_iters_per_val=args.train_iters_per_val,
+        train_max_iters=args.train_max_iters,
+        benchmark=benchmark, seed=args.seed,
+        actions_per_drop=args.app, scoring=args.scoring,
+        randomizer=args.randomizer,
+    )
+    is_vp = evaluator == "vp"
+    if is_vp:
+        model = VPModel(checkpoint_path=args.checkpoint)
+    else:
+        model = VVModel(checkpoint_path=args.checkpoint)
+    if args.load_model:
+        model.load()
+
+    saver = metrics = status = None
+    if args.save:
+        from tetris_mcts_tpu.utils.data import DataSaver
+        saver = DataSaver(args.save_dir, args.save_file, cycle=args.cycle)
+    if args.metrics:
+        from tetris_mcts_tpu.obs.metrics import MetricsWriter
+        metrics = MetricsWriter(args.metrics)
+    if args.status_dir:
+        from tetris_mcts_tpu.obs.metrics import StatusPublisher
+        status = StatusPublisher(args.status_dir, batch=args.batch)
+
+    driver_cls = VPSelfPlayDriver if is_vp else SelfPlayDriver
+    driver = driver_cls(
+        cfg, model=model, saver=saver, metrics=metrics, status=status
+    )
+
+    try:
+        if args.endless:
+            while True:
+                driver.step()
+        else:
+            driver.run_episodes(args.ngames, max_moves=args.max_moves)
+    except KeyboardInterrupt:
+        print("interrupted", file=sys.stderr)
+    finally:
+        if trains and not benchmark:
+            model.save(verbose=True)
+        if saver is not None:
+            saver.close()
+        if metrics is not None:
+            metrics.close()
+    return driver
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""`train` entrypoint — offline training from saved self-play data.
+
+The reference's `train.py` (the pipeline `cycle.sh` drives, SURVEY.md §3.3),
+with its dead globals fixed (Appendix A): load HDF5 rows, build TD or
+Monte-Carlo targets, weight by 1/variance or visit count, split
+random/episodic validation, train with early stopping, write loss history.
+
+Target semantics (`/root/reference/train.py:81-131`):
+- TD: target value/variance = the stored per-node search statistics.
+- MC: target value = final episode score minus score at the state (undiscounted
+  return to end of episode); variance = 1.
+Weighting (`--weighted_mode`): 0 = visit counts (child_stats visits summed),
+1 = inverse variance (`train.py:96-104`).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="tetris-tpu train")
+    p.add_argument("--data", default="./data/data*.h5",
+                   help="glob of DataSaver files")
+    p.add_argument("--td", action="store_true", help="TD targets (else MC)")
+    p.add_argument("--weighted", action="store_true")
+    p.add_argument("--weighted_mode", type=int, default=1, choices=(0, 1))
+    p.add_argument("--early_stopping", action="store_true")
+    p.add_argument("--validation", action="store_true",
+                   help="episodic validation split (else random tail)")
+    p.add_argument("--val_fraction", type=float, default=0.1)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--iters_per_val", type=int, default=500)
+    p.add_argument("--max_iters", type=int, default=100000)
+    p.add_argument("--loss_type", default="kldiv")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--cycle", type=int, default=0)
+    p.add_argument("--save_loss", default="",
+                   help="loss-history dir ('' = off)")
+    p.add_argument("--checkpoint", default="./checkpoints/model_vv.msgpack")
+    p.add_argument("--load_model", action="store_true")
+    p.add_argument("--ewc", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def build_targets(loader, td: bool, weighted: bool, weighted_mode: int):
+    """(states, value, variance, weight) from a DataLoader's columns."""
+    boards = loader.board.astype(np.int8)
+    if td:
+        value = loader.value.astype(np.float32)
+        variance = np.maximum(loader.variance.astype(np.float32), 1e-1)
+    else:
+        # MC: return-to-episode-end = final episode score - score here
+        score = loader.score.astype(np.float64)
+        ep = loader.episode.astype(np.int64)
+        final = {}
+        for e, s in zip(ep, score):
+            final[e] = max(final.get(e, s), s)
+        value = np.asarray(
+            [final[e] - s for e, s in zip(ep, score)], np.float32
+        )
+        variance = np.ones_like(value)
+
+    if not weighted:
+        weight = np.ones(len(boards), np.float32)
+    elif weighted_mode == 0:
+        weight = loader.child_stats[:, 0, :].sum(axis=1).astype(np.float32)
+        weight = np.maximum(weight, 1.0)
+    else:
+        weight = 1.0 / np.maximum(variance, 1e-1)
+    return boards, value, variance, weight
+
+
+def episodic_split(loader, frac: float, rng):
+    """Hold out whole episodes for validation (`train.py:148-174`)."""
+    eps = np.unique(loader.episode)
+    n_val = max(int(len(eps) * frac), 1)
+    val_eps = set(rng.choice(eps, n_val, replace=False).tolist())
+    val_mask = np.asarray([e in val_eps for e in loader.episode])
+    return ~val_mask, val_mask
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from tetris_mcts_tpu.train.trainer import VVModel
+    from tetris_mcts_tpu.utils.data import DataLoader, LossSaver
+
+    loader = DataLoader(args.data)
+    print(f"Loaded {len(loader)} rows from {args.data}", flush=True)
+
+    states, value, variance, weight = build_targets(
+        loader, args.td, args.weighted, args.weighted_mode
+    )
+
+    rng = np.random.RandomState(args.seed)
+    if args.validation:
+        tr, va = episodic_split(loader, args.val_fraction, rng)
+        order = np.concatenate([np.nonzero(tr)[0], np.nonzero(va)[0]])
+        states, value, variance, weight = (
+            d[order] for d in (states, value, variance, weight)
+        )
+        shuffle = False  # split already arranged: validation tail
+    else:
+        shuffle = True
+
+    model = VVModel(
+        loss_type=args.loss_type, weighted=args.weighted, lr=args.lr,
+        seed=args.seed, checkpoint_path=args.checkpoint, ewc=args.ewc,
+    )
+    if args.load_model:
+        model.load()
+
+    history = model.train_data(
+        [states, value, variance, weight],
+        batch_size=args.batch_size,
+        iters_per_val=args.iters_per_val,
+        validation_fraction=args.val_fraction,
+        early_stopping=args.early_stopping,
+        shuffle=shuffle,
+        max_iters=args.max_iters,
+    )
+    if args.ewc:
+        model.compute_fisher([states, value, variance, weight])
+    model.save(verbose=True)
+
+    if args.save_loss:
+        saver = LossSaver(args.save_loss, cycle=args.cycle)
+        saver.add_history(history)
+        saver.close()
+    return history
+
+
+if __name__ == "__main__":
+    main()

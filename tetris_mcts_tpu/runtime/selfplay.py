@@ -1,0 +1,447 @@
+"""Online self-play driver — the end-to-end slice of the framework.
+
+Capability twin of the reference's main loop (`/root/reference/play.py:118-177`)
+fused with the online-training agents (`agents/ValueSim.py:101-186`,
+`agents/ValueSimLP.py`, `agents/Vanilla.py`): B games play MCTS moves in
+lockstep inside ONE jitted XLA program per move; episode bookkeeping, the
+growth-gated training trigger, checkpointing and metrics stay on the host
+(thin, like the reference's Python layer).
+
+Reference semantics preserved:
+- training data = searched obs with visit >= min_visits and not terminal
+  (`ValueSim.store_nodes`, ValueSim.py:122-159), harvested when a tree is
+  retired (episode end or node-pool exhaustion — the batched analog of
+  `remove_nodes`, agent.py:96-97);
+- growth-gated training sessions: the n-th session trains on
+  m_size = min(n * growth, memory_size) most recent rows
+  (`ValueSim.train_nodes`, ValueSim.py:161-186; growth default 5000,
+  memory_size 500000 per agent.cpp:838-842 scaled down by default here);
+- benchmark mode plays with training and storage off
+  (`--benchmark`, play.py:49, ValueSim.py:109);
+- per-episode score/line reporting with min/max/mean/std tracking
+  (`ScoreTracker`, play.py:8-40) in the same stderr format the reference's
+  dashboards regex-parse (`web/parseLog.py:59-68`).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tetris_mcts_tpu.env import engine
+from tetris_mcts_tpu.search import mcts
+from tetris_mcts_tpu.search.mcts import Replay, SearchConfig
+from tetris_mcts_tpu.search.tree import TreeConfig
+from tetris_mcts_tpu.train.trainer import VVModel
+
+_get_state = jax.jit(engine.get_state)
+_get_state_batch = jax.jit(jax.vmap(engine.get_state))
+
+
+class SelfPlayConfig(NamedTuple):
+    """Driver configuration (union of the reference's play.py flags and the
+    agent kwargs, `play.py:46-70`, `agent.cpp:838-842`)."""
+
+    batch: int = 64                # games in lockstep (reference: 1)
+    sims: int = 100                # MCTS simulations per move
+    evaluator: str = "lp"          # "lp" | "leaf" | "rollout" (Vanilla)
+    max_nodes: int = 4096
+    max_obs: int = 4096
+    table_size: int = 8192
+    max_depth: int = 96
+    gamma: float = 0.999
+    min_visits_store: int = 25     # min_visits_to_store (agent.cpp:839)
+    memory_size: int = 100_000     # replay capacity (reference 500000)
+    memory_growth: int = 5_000     # per-session growth gate (ValueSim.py:14)
+    train_rows_trigger: int = 5_000  # new rows between training sessions
+    train_batch: int = 128
+    train_iters_per_val: int = 100
+    train_max_iters: int = 50_000
+    benchmark: bool = False        # no training, no storage
+    seed: int = 0
+    # env knobs (reference Tetris ctor, play.py:75)
+    actions_per_drop: int = 1
+    scoring: int = 0
+    randomizer: int = 0
+
+
+class EpisodeTracker:
+    """`ScoreTracker` (play.py:8-40): running min/max/mean/std over episodes."""
+
+    def __init__(self):
+        self.n = 0
+        self._sum = 0.0
+        self._sumsq = 0.0
+        self.min = float("inf")
+        self.max = float("-inf")
+
+    def add(self, v: float):
+        self.n += 1
+        self._sum += v
+        self._sumsq += v * v
+        self.min = min(self.min, v)
+        self.max = max(self.max, v)
+
+    @property
+    def mean(self):
+        return self._sum / self.n if self.n else 0.0
+
+    @property
+    def std(self):
+        if self.n < 2:
+            return 0.0
+        return max(self._sumsq / self.n - self.mean**2, 0.0) ** 0.5
+
+
+class SelfPlayDriver:
+    """Owns the model, the batched (trees, envs, replay) device state, and the
+    jitted move program. `run(n_moves)` / `run_episodes(n)` advance self-play;
+    training sessions fire automatically from the growth gate."""
+
+    def __init__(self, cfg: SelfPlayConfig, model: Optional[VVModel] = None,
+                 log=lambda s: print(s, file=sys.stderr, flush=True),
+                 saver=None, metrics=None, status=None):
+        """`saver`: utils.data.DataSaver — per-move rows (reference `--save`,
+        play.py:127-137). `metrics`: obs.metrics.MetricsWriter. `status`:
+        obs.metrics.StatusPublisher (reference memmap protocol)."""
+        self.cfg = cfg
+        self.log = log
+        self.saver = saver
+        self.metrics = metrics
+        self.status = status
+        self.model = model or VVModel()
+
+        tree_cfg = TreeConfig(
+            max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
+            table_size=cfg.table_size, max_depth=cfg.max_depth,
+            gamma=cfg.gamma,
+            env=engine.EnvConfig(
+                actions_per_drop=cfg.actions_per_drop,
+                scoring=cfg.scoring, randomizer=cfg.randomizer,
+            ),
+        )
+        self.search_cfg = SearchConfig(
+            tree=tree_cfg, sims=cfg.sims, evaluator=cfg.evaluator
+        )
+
+        apply_fn = self.model.apply_fn()
+        if cfg.evaluator == "lp":
+            evaluator = mcts.nn_child_evaluator(apply_fn)
+        elif cfg.evaluator == "leaf":
+            evaluator = mcts.nn_leaf_evaluator(apply_fn)
+        elif cfg.evaluator == "rollout":
+            evaluator = mcts.rollout_evaluator(self.search_cfg)
+        else:
+            raise ValueError(f"unknown evaluator {cfg.evaluator!r}")
+
+        move = mcts.make_move_fn(
+            evaluator, self.search_cfg,
+            min_visits_store=cfg.min_visits_store,
+            store=not cfg.benchmark,
+        )
+        self._move = jax.jit(move)
+
+        self.trees, self.envs = mcts.init_batch(cfg.seed, cfg.batch, self.search_cfg)
+        self.replay = mcts.init_replay(cfg.memory_size)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        # episode bookkeeping: scores/lines of in-flight games
+        self._ep_score = np.zeros(cfg.batch, np.int64)
+        self._ep_lines = np.zeros(cfg.batch, np.int64)
+        self._ep_id = np.arange(cfg.batch, dtype=np.int64)
+        self._next_ep = cfg.batch
+        self.episodes = 0
+        self.moves = 0
+        self.score_tracker = EpisodeTracker()
+        self.line_tracker = EpisodeTracker()
+
+        # training bookkeeping
+        self.n_trains = 0
+        self._rows_at_last_train = 0
+        self._total_rows = 0       # monotone count of rows ever harvested
+        self._last_ring_idx = 0
+        self.train_history: list = []
+        self.last_stats = None
+
+    # ------------------------------------------------------------------ moves
+    def step(self):
+        """One batched move (B games advance one action each)."""
+        self.key, sub = jax.random.split(self.key)
+        self.trees, self.envs, self.replay, stats = self._move(
+            self.model.params, self.model.ubound,
+            self.trees, self.envs, self.replay, sub,
+        )
+        self.moves += 1
+        self.last_stats = stats
+        self._publish(stats)
+        self._finish_episodes(stats)
+        if not self.cfg.benchmark:
+            self._maybe_train()
+        return stats
+
+    def _publish(self, stats):
+        if self.saver is None and self.status is None:
+            return
+        envs = self.envs
+        if self.saver is not None:
+            boards = np.asarray(_get_state_batch(envs), np.int8)
+            self.saver.add_batch(
+                episode=self._ep_id.copy(), board=boards,
+                policy=np.asarray(stats.probs),
+                action=np.asarray(stats.action),
+                combo=np.asarray(envs.combo), lines=np.asarray(stats.lines),
+                line_stats=np.asarray(envs.line_stats),
+                score=np.asarray(stats.score),
+                child_stats=np.asarray(stats.child_stats),
+                value=np.asarray(stats.root_value),
+                variance=np.asarray(stats.root_var),
+            )
+        if self.status is not None:
+            board0 = np.asarray(
+                _get_state(jax.tree.map(lambda leaf: leaf[0], envs))
+            )
+            self.status.publish(
+                board0, np.asarray(envs.combo), np.asarray(stats.score),
+                np.asarray(stats.lines), np.asarray(envs.line_stats),
+            )
+
+    def _finish_episodes(self, stats):
+        done = np.asarray(stats.done)
+        if not done.any():
+            score = np.asarray(stats.score)
+            lines = np.asarray(stats.lines)
+            self._ep_score = score.astype(np.int64)
+            self._ep_lines = lines.astype(np.int64)
+            return
+        score = np.asarray(stats.score)
+        lines = np.asarray(stats.lines)
+        for i in np.nonzero(done)[0]:
+            self.episodes += 1
+            self._ep_id[i] = self._next_ep
+            self._next_ep += 1
+            self.score_tracker.add(float(score[i]))
+            self.line_tracker.add(float(lines[i]))
+            # reference episode line (play.py:155-165 format family) — the
+            # dashboards regex-parse "Episode:" lines (web/parseLog.py:59-68)
+            self.log(
+                f"Episode:{self.episodes:6d}  "
+                f"Lines Cleared:{int(lines[i]):5d}  Score:{int(score[i]):10d}  "
+                f"lines(min/max/mean):{self.line_tracker.min:.0f}/"
+                f"{self.line_tracker.max:.0f}/{self.line_tracker.mean:.2f}  "
+                f"score(mean±std):{self.score_tracker.mean:.1f}"
+                f"±{self.score_tracker.std:.1f}"
+            )
+            if self.metrics is not None:
+                self.metrics.write(
+                    "episode", n=self.episodes, lines=int(lines[i]),
+                    score=int(score[i]), benchmark=self.cfg.benchmark,
+                )
+        self._ep_score = np.where(done, 0, score).astype(np.int64)
+        self._ep_lines = np.where(done, 0, lines).astype(np.int64)
+
+    # --------------------------------------------------------------- training
+    def _maybe_train(self):
+        # rows added this move = ring-head advance (per-move additions are
+        # far below capacity, so the mod is unambiguous)
+        idx = int(self.replay.idx)
+        self._total_rows += (idx - self._last_ring_idx) % self.cfg.memory_size
+        self._last_ring_idx = idx
+        if self._total_rows - self._rows_at_last_train < self.cfg.train_rows_trigger:
+            return
+        self._rows_at_last_train = self._total_rows
+        self.train()
+
+    def train(self):
+        """One training session with reference growth-gating
+        (`ValueSim.train_nodes`, ValueSim.py:161-186)."""
+        self.n_trains += 1
+        m_size = min(self.n_trains * self.cfg.memory_growth, self.cfg.memory_size)
+        count = int(self.replay.count)
+        use = min(m_size, count)
+        if use < self.cfg.train_batch:
+            self.log(f"Training session {self.n_trains}: only {use} rows, skipped")
+            self.n_trains -= 1
+            return
+
+        # most recent `use` rows of the ring
+        idx = int(self.replay.idx)
+        cap = self.cfg.memory_size
+        order = (np.arange(idx - use, idx) % cap).astype(np.int32)
+        states = np.asarray(self.replay.states)[order]
+        value = np.asarray(self.replay.value)[order]
+        var = np.asarray(self.replay.var)[order]
+        weight = np.asarray(self.replay.weight)[order]
+
+        self.log(
+            f"Training session {self.n_trains}: {use} rows "
+            f"(memory {count}/{cap})"
+        )
+        t0 = time.time()
+        hist = self.model.train_data(
+            [states, value, var, weight],
+            batch_size=self.cfg.train_batch,
+            iters_per_val=self.cfg.train_iters_per_val,
+            max_iters=self.cfg.train_max_iters,
+            shuffle=True,
+            log=self.log,
+        )
+        self.train_history.append(hist)
+        self.log(f"Training session {self.n_trains} done in {time.time() - t0:.1f}s")
+        if self.metrics is not None:
+            last = hist[-1] if hist else (0, float("nan"), float("nan"), 0.0)
+            self.metrics.write(
+                "train_session", n=self.n_trains, rows=use,
+                seconds=time.time() - t0, iters=last[0],
+                loss_train=last[1], loss_val=last[2],
+            )
+
+    # ------------------------------------------------------------------ loops
+    def run(self, n_moves: int):
+        for _ in range(n_moves):
+            self.step()
+
+    def run_episodes(self, n_episodes: int, max_moves: int = 10_000_000):
+        target = self.episodes + n_episodes
+        moves = 0
+        while self.episodes < target and moves < max_moves:
+            self.step()
+            moves += 1
+
+
+class VPSelfPlayDriver:
+    """ApproxPolicyIter-equivalent driver: policy-sampled selection,
+    value+policy backup, VP net online training (reference
+    `agents/ApproxPolicyIter.py`; same host loop as SelfPlayDriver)."""
+
+    def __init__(self, cfg: SelfPlayConfig, model=None,
+                 log=lambda s: print(s, file=sys.stderr, flush=True),
+                 saver=None, metrics=None, status=None):
+        from tetris_mcts_tpu.search import vp as VP
+        from tetris_mcts_tpu.train.trainer import VPModel
+
+        self.cfg = cfg
+        self.log = log
+        self.saver = saver
+        self.metrics = metrics
+        self.status = status
+        self.model = model or VPModel()
+        self._VP = VP
+
+        tree_cfg = TreeConfig(
+            max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
+            table_size=cfg.table_size, max_depth=cfg.max_depth,
+            gamma=cfg.gamma,
+            env=engine.EnvConfig(
+                actions_per_drop=cfg.actions_per_drop,
+                scoring=cfg.scoring, randomizer=cfg.randomizer,
+            ),
+        )
+        self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims)
+
+        move = VP.make_vp_move_fn(
+            self.model.apply_fn(), self.search_cfg,
+            min_visits_store=cfg.min_visits_store,
+            store=not cfg.benchmark,
+        )
+        self._move = jax.jit(move)
+        self.vtrees, self.envs = VP.init_vp_batch(
+            cfg.seed, cfg.batch, self.search_cfg
+        )
+        self.replay = VP.init_vp_replay(cfg.memory_size)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        self._ep_score = np.zeros(cfg.batch, np.int64)
+        self._ep_lines = np.zeros(cfg.batch, np.int64)
+        self._ep_id = np.arange(cfg.batch, dtype=np.int64)
+        self._next_ep = cfg.batch
+        self.episodes = 0
+        self.moves = 0
+        self.score_tracker = EpisodeTracker()
+        self.line_tracker = EpisodeTracker()
+        self.n_trains = 0
+        self._rows_at_last_train = 0
+        self._total_rows = 0
+        self._last_ring_idx = 0
+        self.train_history: list = []
+        self.last_stats = None
+
+    def step(self):
+        self.key, sub = jax.random.split(self.key)
+        self.vtrees, self.envs, self.replay, stats = self._move(
+            self.model.params, self.vtrees, self.envs, self.replay, sub
+        )
+        self.moves += 1
+        self.last_stats = stats
+        self._publish(stats)
+        self._finish_episodes(stats)
+        if not self.cfg.benchmark:
+            self._maybe_train()
+        return stats
+
+    def _publish(self, stats):
+        if self.saver is None and self.status is None:
+            return
+        envs = self.envs
+        if self.saver is not None:
+            boards = np.asarray(_get_state_batch(envs), np.int8)
+            B = self.cfg.batch
+            self.saver.add_batch(
+                episode=self._ep_id.copy(), board=boards,
+                policy=np.asarray(stats.probs),
+                action=np.asarray(stats.action),
+                combo=np.asarray(envs.combo), lines=np.asarray(stats.lines),
+                line_stats=np.asarray(envs.line_stats),
+                score=np.asarray(stats.score),
+                child_stats=np.zeros((B, 3, 7), np.float32),  # VP: no var stats
+                value=np.asarray(stats.root_value),
+                variance=np.zeros(B, np.float32),
+            )
+        if self.status is not None:
+            board0 = np.asarray(
+                _get_state(jax.tree.map(lambda leaf: leaf[0], envs))
+            )
+            self.status.publish(
+                board0, np.asarray(envs.combo), np.asarray(stats.score),
+                np.asarray(stats.lines), np.asarray(envs.line_stats),
+            )
+
+    # episode + training bookkeeping shared with SelfPlayDriver
+    _finish_episodes = SelfPlayDriver._finish_episodes
+    _maybe_train = SelfPlayDriver._maybe_train
+    run = SelfPlayDriver.run
+    run_episodes = SelfPlayDriver.run_episodes
+
+    def train(self):
+        self.n_trains += 1
+        m_size = min(self.n_trains * self.cfg.memory_growth, self.cfg.memory_size)
+        count = int(self.replay.count)
+        use = min(m_size, count)
+        if use < self.cfg.train_batch:
+            self.log(f"Training session {self.n_trains}: only {use} rows, skipped")
+            self.n_trains -= 1
+            return
+        idx = int(self.replay.idx)
+        cap = self.cfg.memory_size
+        order = (np.arange(idx - use, idx) % cap).astype(np.int32)
+        data = [
+            np.asarray(self.replay.states)[order],
+            np.asarray(self.replay.value)[order],
+            np.asarray(self.replay.policy)[order],
+            np.asarray(self.replay.weight)[order],
+        ]
+        self.log(f"Training session {self.n_trains}: {use} rows (memory {count}/{cap})")
+        t0 = time.time()
+        hist = self.model.train_data(
+            data, batch_size=self.cfg.train_batch,
+            iters_per_val=self.cfg.train_iters_per_val,
+            max_iters=self.cfg.train_max_iters, shuffle=True, log=self.log,
+        )
+        self.train_history.append(hist)
+        self.log(
+            f"Training session {self.n_trains} done in {time.time() - t0:.1f}s"
+        )

@@ -1,0 +1,373 @@
+"""Policy-iteration MCTS (the reference `ApproxPolicyIter` agent,
+`/root/reference/agents/ApproxPolicyIter.py`) on the array tree.
+
+Algorithm (reference semantics):
+- **select**: sample the action at every node from the stored NN policy
+  (`select_trace_with_policy`, `agents/core.py:501-513`) until an unexpanded
+  node; unexpanded nodes have zero priors -> uniform sampling.
+- **evaluate+expand**: NN (value, policy) on the leaf; absolute value =
+  leaf score + v; the policy seeds the leaf's prior
+  (`ApproxPolicyIter.mcts`, `:91-108`).
+- **backup**: reverse walk: visit++, incremental value mean, and ONE count
+  added to the improvement policy at the greedy child action
+  (`backup_trace_value_policy_obs`, `agents/core_projection.py:166-178`).
+- **act**: argmax child Q (`get_action`, `:60-69`); policy target for
+  training = improvement counts (`store_nodes` stores `policy_new`,
+  `:155-185`), normalized to a distribution at harvest.
+
+Deviation (documented): priors and improvement counts live on *obs* slots
+(transposition-shared) rather than per node — the projection-enabled variant
+of the reference stores `policy_new` per obs already (`:24-27`); sharing the
+prior as well is strictly more transposition-consistent.
+
+Functions operate on ONE tree; the driver vmaps them.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tetris_mcts_tpu.env import engine
+from tetris_mcts_tpu.env.engine import EnvState
+from tetris_mcts_tpu.search import tree as T
+from tetris_mcts_tpu.search.tree import N_ACTIONS, Tree, TreeConfig
+
+
+class VPTree(NamedTuple):
+    """Value/policy search state: the shared array tree plus obs-level priors
+    (NN policy) and improvement counts (`policy` / `policy_new` arrays,
+    ApproxPolicyIter.py:22-27)."""
+
+    base: Tree
+    prior: jax.Array    # float32[M, 7] NN policy per obs (0 = unexpanded)
+    pol_new: jax.Array  # float32[M, 7] greedy-improvement counts
+
+
+def init_vp_tree(env_state: EnvState, cfg: TreeConfig) -> VPTree:
+    base = T.init_tree(env_state, cfg)
+    M = cfg.max_obs
+    return VPTree(
+        base=base,
+        prior=jnp.zeros((M, N_ACTIONS), jnp.float32),
+        pol_new=jnp.zeros((M, N_ACTIONS), jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# selection
+# ---------------------------------------------------------------------------
+
+def select(vt: VPTree, key, cfg: TreeConfig):
+    """Sample a path by the stored priors (`select_trace_with_policy`):
+    descend child[idx][a ~ prior[obs(idx)]] until child == 0. Zero priors
+    sample uniformly (the reference's `sample_from` on zeros falls through to
+    the last index; uniform is the fixed behavior)."""
+    tree = vt.base
+    D = cfg.max_depth
+    trace0 = jnp.zeros(D, jnp.int32)
+
+    def cond(c):
+        _, _, depth, done, _ = c
+        return (~done) & (depth < D)
+
+    def body(c):
+        trace, idx, depth, done, key = c
+        trace = trace.at[depth].set(idx)
+        o = tree.n_to_o[idx]
+        p = vt.prior[o]
+        total = jnp.sum(p)
+        probs = jnp.where(total > 0, p / jnp.maximum(total, 1e-9), 1.0 / N_ACTIONS)
+        key, sub = jax.random.split(key)
+        a = jax.random.choice(sub, N_ACTIONS, p=probs)
+        nxt = tree.child[idx, a]
+        return trace, nxt, depth + 1, nxt == 0, key
+
+    trace, _, depth, _, _ = jax.lax.while_loop(
+        cond, body, (trace0, tree.root, jnp.int32(0), jnp.asarray(False), key)
+    )
+    return trace, depth
+
+
+# ---------------------------------------------------------------------------
+# backup
+# ---------------------------------------------------------------------------
+
+def backup_value_policy(vt: VPTree, trace, length, value, cfg: TreeConfig):
+    """`backup_trace_value_policy_obs` (core_projection.py:166-178): reverse
+    walk; per node: visit++, value incremental mean (of absolute-minus-score
+    returns, undiscounted as in the reference), then +1 improvement count at
+    the greedy child action."""
+    tree = vt.base
+
+    def body(i, carry):
+        visit, val, pol_new = carry
+        t = length - 1 - i
+        live = t >= 0
+        idx = trace[jnp.maximum(t, 0)]
+        o = tree.n_to_o[idx]
+
+        v_rel = jnp.float32(value) - tree.score[idx]
+        new_visit = visit[o] + 1
+        val_new = val[o] + (v_rel - val[o]) / new_visit
+
+        kids = tree.child[idx]
+        kobs = tree.n_to_o[kids]
+        q = jnp.where(
+            kids != 0, val[kobs] + tree.score[kids] - tree.score[idx], -jnp.inf
+        )
+        # reference scans children in order keeping strict-max (first argmax)
+        amax = jnp.argmax(q)
+
+        visit = visit.at[o].add(jnp.where(live, 1, 0))
+        val = val.at[o].set(jnp.where(live, val_new, val[o]))
+        pol_new = pol_new.at[o, amax].add(jnp.where(live, 1.0, 0.0))
+        return visit, val, pol_new
+
+    visit, val, pol_new = jax.lax.fori_loop(
+        0, cfg.max_depth, body,
+        (tree.obs_visit, tree.obs_value, vt.pol_new),
+    )
+    return vt._replace(
+        base=tree._replace(obs_visit=visit, obs_value=val), pol_new=pol_new
+    )
+
+
+# ---------------------------------------------------------------------------
+# root stats
+# ---------------------------------------------------------------------------
+
+def best_action(vt: VPTree):
+    """Greedy argmax over child Q (ApproxPolicyIter.get_action)."""
+    tree = vt.base
+    kids = tree.child[tree.root]
+    kobs = tree.n_to_o[kids]
+    q = jnp.where(
+        kids != 0,
+        tree.obs_value[kobs] + tree.score[kids] - tree.score[tree.root],
+        -jnp.inf,
+    )
+    return jnp.argmax(q).astype(jnp.int32)
+
+
+def root_policy(vt: VPTree):
+    """Normalized improvement counts at the root (training target / get_prob)."""
+    o = vt.base.n_to_o[vt.base.root]
+    counts = vt.pol_new[o]
+    total = jnp.sum(counts)
+    return jnp.where(total > 0, counts / jnp.maximum(total, 1e-9), 1.0 / N_ACTIONS)
+
+
+def _harvest(vt: VPTree, min_visits: int, cfg: TreeConfig):
+    """Training tuples (img, value, policy distribution, visit weight) from
+    the obs table (ApproxPolicyIter.store_nodes, `:150-185`)."""
+    tree = vt.base
+    M = cfg.max_obs
+    slots = jnp.arange(M)
+    counts = vt.pol_new
+    totals = jnp.sum(counts, axis=1, keepdims=True)
+    pol = jnp.where(totals > 0, counts / jnp.maximum(totals, 1e-9), 1.0 / N_ACTIONS)
+    mask = (
+        (slots >= 1)
+        & (slots < tree.n_obs)
+        & (tree.obs_visit >= min_visits)
+        & (~tree.obs_end)
+    )
+    states = jax.tree.map(lambda leaf: leaf[tree.obs_node], tree.state)
+    imgs = jax.vmap(engine.get_state)(states)
+    return imgs, tree.obs_value, pol, tree.obs_visit.astype(jnp.float32), mask
+
+
+harvest = _harvest  # public name
+
+
+# ---------------------------------------------------------------------------
+# batched sim / move (the ApproxPolicyIter driver loop, fused like mcts.py)
+# ---------------------------------------------------------------------------
+
+class VPReplay(NamedTuple):
+    """Training memory with a policy column (ApproxPolicyIter.py:30-38)."""
+
+    states: jax.Array  # int8[R, 20, 10]
+    value: jax.Array   # float32[R]
+    policy: jax.Array  # float32[R, 7]
+    weight: jax.Array  # float32[R]
+    idx: jax.Array
+    count: jax.Array
+
+
+def init_vp_replay(capacity: int) -> VPReplay:
+    return VPReplay(
+        states=jnp.zeros((capacity, 20, 10), jnp.int8),
+        value=jnp.zeros(capacity, jnp.float32),
+        policy=jnp.zeros((capacity, N_ACTIONS), jnp.float32),
+        weight=jnp.zeros(capacity, jnp.float32),
+        idx=jnp.int32(0),
+        count=jnp.int32(0),
+    )
+
+
+def vp_replay_add(rep: VPReplay, imgs, value, policy, weight, mask) -> VPReplay:
+    R = rep.states.shape[0]
+    imgs = imgs.reshape(-1, 20, 10)
+    value = value.reshape(-1)
+    policy = policy.reshape(-1, N_ACTIONS)
+    weight = weight.reshape(-1)
+    mask = mask.reshape(-1)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dst = (rep.idx + pos) % R
+    dst = jnp.where(mask, dst, R)
+    n = jnp.sum(mask.astype(jnp.int32))
+    return VPReplay(
+        states=rep.states.at[dst].set(imgs, mode="drop"),
+        value=rep.value.at[dst].set(value, mode="drop"),
+        policy=rep.policy.at[dst].set(policy, mode="drop"),
+        weight=rep.weight.at[dst].set(weight, mode="drop"),
+        idx=(rep.idx + n) % R,
+        count=jnp.minimum(rep.count + n, R),
+    )
+
+
+class VPMoveStats(NamedTuple):
+    action: jax.Array       # int32[B]
+    probs: jax.Array        # float32[B, 7] root improvement policy
+    root_value: jax.Array   # float32[B]
+    score: jax.Array        # int32[B]
+    lines: jax.Array        # int32[B]
+    done: jax.Array         # bool[B]
+    reset: jax.Array        # bool[B]
+
+
+def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
+                    store: bool = True):
+    """Jitted per-move program for the VP agent.
+
+    apply_fn: (params, imgs NHWC) -> (v (B,1), logits (B,7)).
+    cfg: mcts.SearchConfig (only .tree and .sims are used).
+    Signature: (params, vtrees, envs, replay, key)
+        -> (vtrees, envs, replay, VPMoveStats).
+    """
+    tcfg = cfg.tree
+    vselect = jax.vmap(select, in_axes=(0, 0, None))
+    vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, None))
+    vbackup = jax.vmap(backup_value_policy, in_axes=(0, 0, 0, 0, None))
+    vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
+    vbest = jax.vmap(best_action)
+    vrootpol = jax.vmap(root_policy)
+    vadvance = jax.vmap(T.advance_root, in_axes=(0, 0, 0, None))
+    vharvest = jax.vmap(_harvest, in_axes=(0, None, None))
+    vinit = jax.vmap(init_vp_tree, in_axes=(0, None))
+    vsoft_reset = jax.vmap(engine.soft_reset, in_axes=(0, None))
+
+    def bgather(arr, idx):
+        return jax.vmap(lambda a, i: a[i])(arr, idx)
+
+    def sim_once(params, vtrees, key):
+        B = vtrees.base.root.shape[0]
+        key, k_sel = jax.random.split(key)
+        traces, lengths = vselect(vtrees, jax.random.split(k_sel, B), tcfg)
+        leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
+
+        leaf_end = bgather(vtrees.base.end, leafs)
+        childless = jnp.all(bgather(vtrees.base.child, leafs) == 0, axis=-1)
+        can = (~leaf_end) & childless & vheadroom(vtrees.base, tcfg)
+
+        # evaluate all leaves in one forward pass
+        states = jax.vmap(
+            lambda st, i: jax.tree.map(lambda leaf: leaf[i], st)
+        )(vtrees.base.state, leafs)
+        imgs = jax.vmap(engine.get_state)(states)[..., None].astype(jnp.float32)
+        v, logits = apply_fn(params, imgs)
+        p = jax.nn.softmax(logits, axis=-1)
+
+        # seed priors at the leaf obs (only when expanding)
+        leaf_obs = bgather(vtrees.base.n_to_o, leafs)
+        prior = jax.vmap(
+            lambda pr, o, pi, ok: pr.at[o].set(jnp.where(ok, pi, pr[o]))
+        )(vtrees.prior, leaf_obs, p, can)
+        vtrees = vtrees._replace(prior=prior)
+
+        base = vexpand(vtrees.base, leafs, can, tcfg)
+        vtrees = vtrees._replace(base=base)
+
+        leaf_score = bgather(vtrees.base.score, leafs)
+        value = jnp.where(can, leaf_score + v.reshape(-1), leaf_score)
+        vtrees = vbackup(vtrees, traces, lengths, value, tcfg)
+        return vtrees, key
+
+    def run_sims(params, vtrees, key):
+        def body(_, carry):
+            vtrees, key = carry
+            return sim_once(params, vtrees, key)
+
+        vtrees, _ = jax.lax.fori_loop(0, cfg.sims, body, (vtrees, key))
+        return vtrees
+
+    need_nodes = N_ACTIONS * (cfg.sims + 1) + 2
+    capacity_guard = min(need_nodes, tcfg.max_nodes - N_ACTIONS - 1)
+
+    def move(params, vtrees: VPTree, envs: EnvState, replay: VPReplay, key):
+        key, k_sims = jax.random.split(key)
+        vtrees = run_sims(params, vtrees, k_sims)
+
+        action = vbest(vtrees)
+        probs = vrootpol(vtrees)
+        root_obs = bgather(vtrees.base.n_to_o, vtrees.base.root)
+        rv = bgather(vtrees.base.obs_value, root_obs)
+
+        envs2 = engine.step_batch(envs, action, tcfg.env)
+        base2 = vadvance(vtrees.base, action, envs2, tcfg)
+        vtrees = vtrees._replace(base=base2)
+
+        done = envs2.end
+        full = (base2.n_nodes + capacity_guard > tcfg.max_nodes) | (
+            base2.n_obs + capacity_guard > tcfg.max_obs
+        )
+        trigger = done | full | (base2.root == 0)
+
+        envs3 = jax.tree.map(
+            lambda a, b: jnp.where(
+                done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            vsoft_reset(envs2, tcfg.env), envs2,
+        )
+
+        def harvest_and_reset(args):
+            vtrees, envs3, replay = args
+            imgs, val, pol, w, mask = vharvest(vtrees, min_visits_store, tcfg)
+            mask = mask & trigger[:, None]
+            if store:
+                replay = vp_replay_add(replay, imgs, val, pol, w, mask)
+            fresh = vinit(envs3, tcfg)
+            vtrees2 = jax.tree.map(
+                lambda f, t: jnp.where(
+                    trigger.reshape((-1,) + (1,) * (f.ndim - 1)), f, t
+                ),
+                fresh, vtrees,
+            )
+            return vtrees2, replay
+
+        def no_harvest(args):
+            vtrees, _, replay = args
+            return vtrees, replay
+
+        vtrees, replay = jax.lax.cond(
+            jnp.any(trigger), harvest_and_reset, no_harvest,
+            (vtrees, envs3, replay),
+        )
+
+        stats = VPMoveStats(
+            action=action, probs=probs, root_value=rv,
+            score=envs2.score, lines=envs2.lines, done=done, reset=trigger,
+        )
+        return vtrees, envs3, replay, stats
+
+    return move
+
+
+def init_vp_batch(seed: int, batch: int, cfg):
+    envs = engine.reset_batch(seed, batch, cfg.tree.env)
+    vtrees = jax.vmap(init_vp_tree, in_axes=(0, None))(envs, cfg.tree)
+    return vtrees, envs

@@ -145,6 +145,11 @@ class VVModel:
         self._eval_loss = jax.jit(eval_loss)
         self._infer = jax.jit(infer)
         self._per_sample_loss = per_sample_loss
+        # raw (unjitted) functions, re-jittable under explicit mesh shardings
+        # by tetris_mcts_tpu.parallel (SURVEY.md §2.7 actor-learner design)
+        self.train_step_fn = train_step
+        self.eval_loss_fn = eval_loss
+        self.infer_fn = infer
 
     # ------------------------------------------------------------- public API
     def inference(self, boards):
@@ -334,3 +339,161 @@ class VVModel:
             states=states, value=value, variance=variance, weight=weight,
             pred_value=np.asarray(v), pred_variance=np.asarray(var),
         )
+
+
+class VPModel:
+    """Value+policy model (reference `Model_VP`, model/model_vp.py:104-101 +
+    the shared `Model` loop, model/model.py:176-249): SmoothL1 value loss +
+    label-smoothed KL policy loss, Adam-amsgrad lr=1e-4."""
+
+    def __init__(self, lr: float = 1e-4, weighted: bool = True, seed: int = 0,
+                 compute_dtype: Any = jnp.float32,
+                 checkpoint_path: str = "./checkpoints/model_vp.msgpack"):
+        from tetris_mcts_tpu.models.nets import VPNet
+
+        self.net = VPNet(compute_dtype=compute_dtype)
+        self.weighted = weighted
+        self.checkpoint_path = checkpoint_path
+        key = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, 20, 10, 1), jnp.float32)
+        self.params = self.net.init(key, dummy)
+        self.tx = optim.adam_amsgrad(lr=lr)
+        self.opt_state = self.tx.init(self.params)
+        self._rng = np.random.RandomState(seed + 1)
+
+        net, tx = self.net, self.tx
+
+        def per_sample_loss(params, states, value, policy, weight):
+            v, logits = net.apply(params, states)
+            vloss = L.smooth_l1(v.reshape(-1), value)
+            ploss = L.kl_div_policy(logits, policy)
+            return weight * (vloss + ploss)
+
+        def train_step(params, opt_state, data, key, bs):
+            states, value, policy, weight = data
+            n = states.shape[0]
+            idx = jax.random.randint(key, (bs,), 0, n)
+            batch = tuple(d[idx] for d in data)
+
+            def total(p):
+                per = per_sample_loss(p, *batch)
+                return jnp.mean(per), per
+
+            (loss, per), grads = jax.value_and_grad(total, has_aux=True)(params)
+            gnorm = jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(grads)))
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, {
+                "loss": loss, "loss_std": jnp.std(per), "grad_norm": gnorm
+            }
+
+        def eval_loss(params, data):
+            per = per_sample_loss(params, *data)
+            return jnp.mean(per), jnp.std(per)
+
+        def infer(params, states):
+            v, logits = net.apply(params, states)
+            return v.reshape(-1), jax.nn.softmax(logits, axis=-1)
+
+        self._train_step = jax.jit(train_step, static_argnums=(4,))
+        self._eval_loss = jax.jit(eval_loss)
+        self._infer = jax.jit(infer)
+        self.train_step_fn = train_step
+        self.infer_fn = infer
+
+    def inference(self, boards):
+        """(N,20,10)-ish boards -> (value (N,1), policy (N,7)) numpy."""
+        v, p = self._infer(self.params, _boards(boards))
+        return np.asarray(v)[:, None], np.asarray(p)
+
+    def apply_fn(self):
+        """(params, states_nhwc) -> (v, logits) for the fused VP search."""
+        net = self.net
+
+        def f(params, states):
+            return net.apply(params, states)
+
+        return f
+
+    def train_data(self, data, batch_size: int = 128, iters_per_val: int = 500,
+                   validation_fraction: float = 0.1, early_stopping: bool = True,
+                   early_stopping_patience: int = 10,
+                   early_stopping_threshold: float = 1.0,
+                   shuffle: bool = False, max_iters: int = 100000, log=print):
+        """data = [states, values, policy(7), weights]."""
+        states = _boards(data[0])
+        value = _col(data[1])
+        policy = jnp.asarray(data[2], jnp.float32).reshape(-1, 7)
+        weight = _col(data[3])
+        weight = weight / jnp.mean(weight) if self.weighted else jnp.ones_like(weight)
+
+        n = states.shape[0]
+        n_val = max(int(n * validation_fraction), 1)
+        if shuffle:
+            perm = self._rng.permutation(n)
+            states, value, policy, weight = (
+                d[perm] for d in (states, value, policy, weight)
+            )
+        train = tuple(d[:-n_val] for d in (states, value, policy, weight))
+        val = tuple(d[-n_val:] for d in (states, value, policy, weight))
+        log(f"Training data size: {n - n_val}    Validation data size: {n_val}")
+
+        fails, best_val, best_params = 0, float("inf"), self.params
+        loss_avg = 0.0
+        key = jax.random.PRNGKey(self._rng.randint(2**31))
+        history = []
+        for it in range(max_iters):
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, m = self._train_step(
+                self.params, self.opt_state, train, sub, batch_size
+            )
+            loss_avg += float(m["loss"])
+            if (it + 1) % iters_per_val == 0:
+                vmean, vstd = self._eval_loss(self.params, val)
+                vmean, vstd = float(vmean), float(vstd) / n_val**0.5
+                stop = False
+                if early_stopping:
+                    if vmean - best_val < vstd * early_stopping_threshold:
+                        fails = 0
+                        if vmean < best_val:
+                            best_val, best_params = vmean, self.params
+                    else:
+                        fails += 1
+                        stop = fails >= early_stopping_patience
+                log(
+                    f"Iteration:{it + 1:7d}  training loss:"
+                    f"{loss_avg / iters_per_val:6.4f}  validation loss:"
+                    f"{vmean:6.4f}±{vstd:6.4f}"
+                )
+                history.append((it + 1, loss_avg / iters_per_val, vmean, vstd))
+                loss_avg = 0.0
+                if stop:
+                    break
+        if early_stopping:
+            self.params = best_params
+        return history
+
+    def save(self, path: str | None = None, verbose: bool = False):
+        path = path or self.checkpoint_path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = {
+            "params": flax.serialization.to_bytes(self.params),
+            "opt_state": flax.serialization.to_bytes(self.opt_state),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+        if verbose:
+            print("Saving model...", flush=True)
+
+    def load(self, path: str | None = None):
+        path = path or self.checkpoint_path
+        if not os.path.isfile(path):
+            print("Checkpoint not found, using default model", flush=True)
+            return False
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.params = flax.serialization.from_bytes(self.params, blob["params"])
+        self.opt_state = flax.serialization.from_bytes(
+            self.opt_state, blob["opt_state"]
+        )
+        return True

@@ -302,3 +302,37 @@ class TestBatched:
         final, scores = rollout(states, acts)
         assert scores.shape == (50, B)
         assert np.all(np.asarray(final.lines) >= 0)
+
+
+class TestPackedObs:
+    def test_pack_unpack_roundtrip(self):
+        """pack_obs/unpack_obs must reproduce getState exactly (the packed
+        form is the storage format of the search layer and replay ring)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tetris_mcts_tpu.env import engine
+
+        s = engine.reset(5, 9, engine.EnvConfig())
+        rng = np.random.RandomState(0)
+        for _ in range(50):
+            a = int(rng.randint(0, 7))
+            s = engine.step(s, jnp.int32(a), engine.EnvConfig())
+        img = np.asarray(engine.get_state(s))
+        packed = engine.pack_obs(s)
+        np.testing.assert_array_equal(
+            np.asarray(engine.unpack_obs(packed)), img
+        )
+
+    def test_pack_batched(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tetris_mcts_tpu.env import engine
+
+        envs = engine.reset_batch(3, 8, engine.EnvConfig())
+        packed = jax.vmap(engine.pack_obs)(envs)
+        imgs = jax.vmap(engine.get_state)(envs)
+        np.testing.assert_array_equal(
+            np.asarray(engine.unpack_obs(packed)), np.asarray(imgs)
+        )

@@ -99,8 +99,8 @@ class TestAlloc:
 class TestExpand:
     def test_expand_creates_children(self):
         tree, s = small_tree()
-        tree = T.expand(tree, tree.root, jnp.asarray(True), CFG)
-        kids = np.asarray(tree.child[1])
+        tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), CFG)
+        kids = np.asarray(tree.child[:, 1])
         assert np.all(kids > 0)
         assert len(set(kids.tolist())) == 7  # distinct nodes
         # children scores/ends recorded
@@ -108,16 +108,16 @@ class TestExpand:
 
     def test_expand_respects_ok_mask(self):
         tree, s = small_tree()
-        tree2 = T.expand(tree, tree.root, jnp.asarray(False), CFG)
-        assert np.all(np.asarray(tree2.child[1]) == 0)
+        tree2, _ = T.expand(tree, s, tree.root, jnp.asarray(False), CFG)
+        assert np.all(np.asarray(tree2.child[:, 1]) == 0)
         assert int(tree2.n_nodes) == int(tree.n_nodes)
 
     def test_unique_children_matches_numpy(self):
         tree, s = small_tree()
-        tree = T.expand(tree, tree.root, jnp.asarray(True), CFG)
+        tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), CFG)
         kids, obs, kept = T.unique_children(tree, tree.root)
         kids, obs, kept = map(np.asarray, (kids, obs, kept))
-        child_row = np.asarray(tree.child[1])
+        child_row = np.asarray(tree.child[:, 1])
         score = np.asarray(tree.score)
         n_to_o = np.asarray(tree.n_to_o)
         want_nodes, want_obs = np_unique_child_obs(child_row, score, n_to_o)
@@ -199,7 +199,7 @@ class TestBackup:
         """LP backup: fresh child obs get NN seeds; the trace receives the
         mean of score(c) + gamma * value(o) (core.h:338-367)."""
         tree, s = small_tree()
-        tree = T.expand(tree, tree.root, jnp.asarray(True), CFG)
+        tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), CFG)
         kids, obs, kept = T.unique_children(tree, tree.root)
 
         v_nn = jnp.arange(7, dtype=jnp.float32) + 1.0
@@ -252,22 +252,22 @@ class TestBackup:
 class TestSelect:
     def test_select_unexpanded_root_returns_root(self):
         tree, _ = small_tree()
-        trace, length = T.select(tree, jax.random.PRNGKey(0), CFG)
+        trace, acts, length = T.select(tree, jax.random.PRNGKey(0), CFG)
         assert int(length) == 1
         assert int(trace[0]) == 1
 
     def test_select_prefers_unvisited(self):
-        tree, _ = small_tree()
-        tree = T.expand(tree, tree.root, jnp.asarray(True), CFG)
-        trace, length = T.select(tree, jax.random.PRNGKey(0), CFG)
+        tree, s = small_tree()
+        tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), CFG)
+        trace, acts, length = T.select(tree, jax.random.PRNGKey(0), CFG)
         assert int(length) == 2
         leaf = int(trace[1])
-        assert leaf in np.asarray(tree.child[1]).tolist()
+        assert leaf in np.asarray(tree.child[:, 1]).tolist()
         assert int(tree.obs_visit[int(tree.n_to_o[leaf])]) == 0
 
     def test_select_clt_argmax_when_all_visited(self):
-        tree, _ = small_tree()
-        tree = T.expand(tree, tree.root, jnp.asarray(True), CFG)
+        tree, s = small_tree()
+        tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), CFG)
         kids, obs, kept = T.unique_children(tree, tree.root)
         kids_np, obs_np, kept_np = map(np.asarray, (kids, obs, kept))
 
@@ -297,7 +297,7 @@ class TestSelect:
         )
         want_next = ks[np.argmax(q)]
 
-        trace, length = T.select(tree, jax.random.PRNGKey(0), CFG)
+        trace, acts, length = T.select(tree, jax.random.PRNGKey(0), CFG)
         assert int(trace[1]) == int(want_next)
 
 
@@ -377,7 +377,7 @@ class TestBatchedSimsAndMoves:
 class TestReplay:
     def test_ring_wraps(self):
         rep = M.init_replay(8)
-        imgs = jnp.ones((6, 20, 10), jnp.int8)
+        imgs = jnp.ones((6, 20), jnp.uint32)
         rep = M.replay_add(rep, imgs, jnp.ones(6), jnp.ones(6), jnp.ones(6),
                            jnp.ones(6, bool))
         assert int(rep.count) == 6 and int(rep.idx) == 6
@@ -393,7 +393,7 @@ class TestReplay:
         rep = M.init_replay(8)
         mask = jnp.asarray([True, False, True, False])
         rep = M.replay_add(
-            rep, jnp.zeros((4, 20, 10), jnp.int8),
+            rep, jnp.zeros((4, 20), jnp.uint32),
             jnp.arange(4.0), jnp.zeros(4), jnp.zeros(4), mask,
         )
         assert int(rep.count) == 2

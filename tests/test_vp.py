@@ -56,9 +56,8 @@ def test_vp_backup_matches_reference_oracle():
     from tetris_mcts_tpu.search import tree as T
 
     # expand root, then backup value 10 along trace [root]
-    vt = vt._replace(
-        base=T.expand(vt.base, vt.base.root, jnp.asarray(True), c.tree)
-    )
+    base, _ = T.expand(vt.base, env0, vt.base.root, jnp.asarray(True), c.tree)
+    vt = vt._replace(base=base)
     trace = jnp.zeros(c.tree.max_depth, jnp.int32).at[0].set(vt.base.root)
     vt2 = VP.backup_value_policy(vt, trace, jnp.int32(1), 10.0, c.tree)
 
@@ -68,7 +67,7 @@ def test_vp_backup_matches_reference_oracle():
     assert int(base.obs_visit[o_root]) == 1
     assert float(base.obs_value[o_root]) == pytest.approx(10.0)
     # one improvement count at the greedy child action
-    counts = np.asarray(vt2.pol_new[o_root])
+    counts = np.asarray(vt2.pol_new[:, o_root])
     assert counts.sum() == pytest.approx(1.0)
 
     # second backup with value 20: mean -> 15

@@ -277,6 +277,26 @@ def obs_bits(s: EnvState):
     return s.rows, piece_rows(s.piece, s.rot, s.px, s.py)
 
 
+def pack_obs(s: EnvState):
+    """uint32[20] packed observation: bits 0-9 locked row, bits 10-19 piece
+    row. One word per board row — the TPU-friendly storage form of the
+    getState image (rows only use BOARD_W=10 bits). Identity-equivalent to
+    the reference's `state.tobytes()` dict key (`agents/agent.py:114-117`)."""
+    rows, prow = obs_bits(s)
+    return rows | (prow << jnp.uint32(10))
+
+
+def unpack_obs(packed):
+    """uint32[..., 20] packed words -> int8[..., 20, 10] getState image
+    (0 empty, 1 locked, -1 piece). Inverse of `pack_obs`; used outside the
+    hot move program (training-batch prep, replay viewers)."""
+    packed = jnp.asarray(packed, jnp.uint32)
+    cols = jnp.arange(BOARD_W, dtype=jnp.uint32)
+    locked = ((packed[..., None] >> cols) & 1).astype(jnp.int8)
+    piece = ((packed[..., None] >> (cols + jnp.uint32(10))) & 1).astype(jnp.int8)
+    return jnp.where(piece == 1, jnp.int8(-1), locked)
+
+
 # ---------------------------------------------------------------------------
 # batched wrappers
 # ---------------------------------------------------------------------------

@@ -41,6 +41,7 @@ from tetris_mcts_tpu.train.trainer import VVModel
 
 _get_state = jax.jit(engine.get_state)
 _get_state_batch = jax.jit(jax.vmap(engine.get_state))
+_unpack = jax.jit(engine.unpack_obs)
 
 
 class SelfPlayConfig(NamedTuple):
@@ -268,11 +269,12 @@ class SelfPlayDriver:
             self.n_trains -= 1
             return
 
-        # most recent `use` rows of the ring
+        # most recent `use` rows of the ring; boards stored bit-packed in the
+        # move program, unpacked to images only here (training prep)
         idx = int(self.replay.idx)
         cap = self.cfg.memory_size
         order = (np.arange(idx - use, idx) % cap).astype(np.int32)
-        states = np.asarray(self.replay.states)[order]
+        states = np.asarray(_unpack(self.replay.boards[jnp.asarray(order)]))
         value = np.asarray(self.replay.value)[order]
         var = np.asarray(self.replay.var)[order]
         weight = np.asarray(self.replay.weight)[order]
@@ -429,7 +431,7 @@ class VPSelfPlayDriver:
         cap = self.cfg.memory_size
         order = (np.arange(idx - use, idx) % cap).astype(np.int32)
         data = [
-            np.asarray(self.replay.states)[order],
+            np.asarray(_unpack(self.replay.boards[jnp.asarray(order)])),
             np.asarray(self.replay.value)[order],
             np.asarray(self.replay.policy)[order],
             np.asarray(self.replay.weight)[order],

@@ -5,11 +5,18 @@ game, crossing Python→C++→Torch per simulation with NN batches of ≤7
 (`SURVEY.md` §3.1 marks that boundary as the throughput killer), here a whole
 batch of envs runs sims in lockstep:
 
-    sim:   vmap(select) → vmap(expand: 7 engine.steps) →
+    sim:   vmap(select: action path) → vmap(replay leaf state) →
+           vmap(expand: 7 engine.steps, contiguous alloc) →
            ONE network forward over all B×7 child images →
            vmap(leaf-parallel backup)
     move:  fori(sims) → greedy root action → vmap(engine.step) →
            vmap(advance_root) → [harvest+reset under lax.cond when triggered]
+
+Child observations flow straight from the expansion step into the NN forward
+(never through the node store), and the replay ring holds bit-packed boards
+(`engine.pack_obs`) — nothing in the move program touches an array padded
+worse than ~1x under TPU (8,128) tiling (see tree.py module docstring for
+the v1 post-mortem).
 
 Evaluators:
 - "lp":      NN value/variance on all 7 children, averaged leaf-parallel
@@ -49,20 +56,21 @@ def bgather(arr, idx):
     return jax.vmap(lambda a, i: a[i])(arr, idx)
 
 
+def bgather_col(arr, idx):
+    """Per-env column gather: arr (B, K, N), idx (B,) -> (B, K)."""
+    return jax.vmap(lambda a, i: a[:, i])(arr, idx)
+
+
 # ---------------------------------------------------------------------------
-# evaluators
+# evaluators — consume env states produced by the expansion step
 # ---------------------------------------------------------------------------
 
 def nn_child_evaluator(apply_fn):
     """Evaluate all 7 children of every env's leaf in one forward pass.
     apply_fn: (params, ubound, imgs NHWC) -> (v, var) flat."""
 
-    def ev(params, ubound, trees, leafs, key):
-        kids = bgather(trees.child, leafs)  # (B, 7)
-        states = jax.vmap(
-            lambda st, k: jax.tree.map(lambda leaf: leaf[k], st)
-        )(trees.state, kids)  # leaves (B, 7, ...)
-        imgs = jax.vmap(jax.vmap(engine.get_state))(states)  # (B, 7, 20, 10)
+    def ev(params, ubound, child_states, leaf_states, key):
+        imgs = jax.vmap(jax.vmap(engine.get_state))(child_states)  # (B,7,20,10)
         B = imgs.shape[0]
         flat = imgs.reshape(B * N_ACTIONS, 20, 10, 1).astype(jnp.float32)
         v, var = apply_fn(params, ubound, flat)
@@ -74,11 +82,8 @@ def nn_child_evaluator(apply_fn):
 def nn_leaf_evaluator(apply_fn):
     """Evaluate the leaf obs only (ValueSim single-leaf semantics)."""
 
-    def ev(params, ubound, trees, leafs, key):
-        states = jax.vmap(
-            lambda st, i: jax.tree.map(lambda leaf: leaf[i], st)
-        )(trees.state, leafs)
-        imgs = jax.vmap(engine.get_state)(states)  # (B, 20, 10)
+    def ev(params, ubound, child_states, leaf_states, key):
+        imgs = jax.vmap(engine.get_state)(leaf_states)  # (B, 20, 10)
         flat = imgs[..., None].astype(jnp.float32)
         v, var = apply_fn(params, ubound, flat)
         return v, var  # (B,), (B,)
@@ -107,13 +112,10 @@ def rollout_evaluator(cfg: SearchConfig):
         final, _, _ = jax.lax.while_loop(cond, body, (st, key, jnp.int32(0)))
         return final.score.astype(jnp.float32)
 
-    def ev(params, ubound, trees, leafs, key):
-        states = jax.vmap(
-            lambda st, i: jax.tree.map(lambda leaf: leaf[i], st)
-        )(trees.state, leafs)
-        B = leafs.shape[0]
+    def ev(params, ubound, child_states, leaf_states, key):
+        B = leaf_states.score.shape[0]
         keys = jax.random.split(key, B)
-        v = jax.vmap(one)(states, keys)
+        v = jax.vmap(one)(leaf_states, keys)
         return v, jnp.full(B, cfg.rollout_variance, jnp.float32)
 
     return ev
@@ -126,7 +128,8 @@ def rollout_evaluator(cfg: SearchConfig):
 def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     tcfg = cfg.tree
     vselect = jax.vmap(T.select, in_axes=(0, 0, None))
-    vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, None))
+    vreplay = jax.vmap(T.replay_leaf, in_axes=(0, 0, 0, None))
+    vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, 0, None))
     vbackup_lp = jax.vmap(T.backup_leaf_parallel, in_axes=(0, 0, 0, 0, 0, 0, None))
     vbackup = jax.vmap(T.backup, in_axes=(0, 0, 0, 0, 0, None))
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
@@ -134,20 +137,21 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     def sim_once(params, ubound, trees, key):
         B = trees.root.shape[0]
         key, k_sel, k_ev = jax.random.split(key, 3)
-        traces, lengths = vselect(trees, jax.random.split(k_sel, B), tcfg)
+        traces, actions, lengths = vselect(trees, jax.random.split(k_sel, B), tcfg)
         leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
+        leaf_states = vreplay(trees, actions, lengths, tcfg)
 
         leaf_end = bgather(trees.end, leafs)
-        childless = jnp.all(bgather(trees.child, leafs) == 0, axis=-1)
+        childless = jnp.all(bgather_col(trees.child, leafs) == 0, axis=-1)
         can = (~leaf_end) & childless & vheadroom(trees, tcfg)
 
-        trees = vexpand(trees, leafs, can, tcfg)
+        trees, child_states = vexpand(trees, leaf_states, leafs, can, tcfg)
 
         if cfg.evaluator == "lp":
-            v, var = evaluator(params, ubound, trees, leafs, k_ev)  # (B,7)
+            v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)
             trees = vbackup_lp(trees, traces, lengths, v, var, can, tcfg)
         else:
-            v, var = evaluator(params, ubound, trees, leafs, k_ev)  # (B,)
+            v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)
             leaf_score = bgather(trees.score, leafs)
             if cfg.evaluator == "leaf":
                 # ValueSim: absolute value = leaf score + NN value; terminal
@@ -172,14 +176,16 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
 
 
 # ---------------------------------------------------------------------------
-# replay ring buffer (device-resident)
+# replay ring buffer (device-resident, bit-packed boards)
 # ---------------------------------------------------------------------------
 
 class Replay(NamedTuple):
     """On-device training-memory ring (the reference's `self.memory` arrays,
-    `agents/ValueSim.py:25-32`, as a fixed ring buffer)."""
+    `agents/ValueSim.py:25-32`, as a fixed ring buffer). Boards are stored
+    bit-packed (uint32[R, 20], `engine.pack_obs`); unpack with
+    `engine.unpack_obs` when building training batches."""
 
-    states: jax.Array  # int8[R, 20, 10]
+    boards: jax.Array  # uint32[R, 20] packed
     value: jax.Array   # float32[R]
     var: jax.Array     # float32[R]
     weight: jax.Array  # float32[R]
@@ -189,7 +195,7 @@ class Replay(NamedTuple):
 
 def init_replay(capacity: int) -> Replay:
     return Replay(
-        states=jnp.zeros((capacity, 20, 10), jnp.int8),
+        boards=jnp.zeros((capacity, 20), jnp.uint32),
         value=jnp.zeros(capacity, jnp.float32),
         var=jnp.zeros(capacity, jnp.float32),
         weight=jnp.zeros(capacity, jnp.float32),
@@ -198,10 +204,10 @@ def init_replay(capacity: int) -> Replay:
     )
 
 
-def replay_add(rep: Replay, imgs, value, var, weight, mask) -> Replay:
+def replay_add(rep: Replay, packed, value, var, weight, mask) -> Replay:
     """Append masked rows (any leading shape, flattened) at the ring head."""
-    R = rep.states.shape[0]
-    imgs = imgs.reshape(-1, 20, 10)
+    R = rep.boards.shape[0]
+    packed = packed.reshape(-1, 20)
     value = value.reshape(-1)
     var = var.reshape(-1)
     weight = weight.reshape(-1)
@@ -212,7 +218,7 @@ def replay_add(rep: Replay, imgs, value, var, weight, mask) -> Replay:
     dst = jnp.where(mask, dst, R)  # out-of-range rows drop
     n = jnp.sum(mask.astype(jnp.int32))
     return Replay(
-        states=rep.states.at[dst].set(imgs, mode="drop"),
+        boards=rep.boards.at[dst].set(packed, mode="drop"),
         value=rep.value.at[dst].set(value, mode="drop"),
         var=rep.var.at[dst].set(var, mode="drop"),
         weight=rep.weight.at[dst].set(weight, mode="drop"),
@@ -292,10 +298,10 @@ def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
 
         def harvest_and_reset(args):
             trees2, envs3, replay = args
-            imgs, val, var, w, mask = vharvest(trees2, min_visits_store, tcfg)
+            packed, val, var, w, mask = vharvest(trees2, min_visits_store, tcfg)
             mask = mask & trigger[:, None]
             if store:
-                replay = replay_add(replay, imgs, val, var, w, mask)
+                replay = replay_add(replay, packed, val, var, w, mask)
             fresh = vinit(envs3, tcfg)
             trees3 = jax.tree.map(
                 lambda f, t: jnp.where(

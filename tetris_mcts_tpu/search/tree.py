@@ -5,21 +5,33 @@ TPU-native redesign of the reference search layer: the numba cores
 (`agents/cppmodule/core.h:111-381`) and the tree memory of
 `agents/agent.py:58-130` become one pytree of fixed-shape arrays plus pure
 functions, batched over environments with `vmap` and compiled into the
-self-play program. No pointers, no dicts, no host round-trips:
+self-play program. No pointers, no dicts, no host round-trips.
 
-- nodes live in `(N,)` arrays with index 0 as the null sentinel (the
-  reference's convention, `agents/agent.py:72-73`); each node stores the full
-  env state so expansion is just 7 batched `engine.step` calls;
-- the transposition "projection" layer (`agents/agent.py:77-88`) becomes an
-  open-addressing hash table over the getState image (64-bit FNV-1a of the
-  board+piece bit-rows) mapping to obs slots that carry the shared
-  visit/value/variance statistics;
-- selection implements `select_trace_obs` (C++ `core.h:167-224`):
-  unique-children-by-obs keeping the max-score node, unvisited-first
-  (`check_low`), then the CLT policy `value + norm_quantile(Σn)·sqrt(var/n)`
-  (`agents/policy.py:8-14`);
-- backup implements `backup_trace_obs` (C++ `core.h:226-260`): reverse walk
-  with incremental mean/variance and v ← γ·v + score discounting, plus the
+Memory layout is chosen for TPU tiling ((8,128) lane padding): every pool
+array keeps the pool axis (N nodes / M obs / T table slots) MINOR, so a
+`(7, N)` child table and a `(20, M)` packed-obs store pad ~1x, where the
+naive `(N, 7)` / `(M, 20, 10)` layouts padded 6-18x and made XLA shuffle
+gigabytes per simulation (measured: the v1 layout capped at ~4.5k sims/s
+with full-array copies of `u32[B,N,20]` per sim).
+
+Env states are NOT stored per node. Selection returns the *action path*, and
+expansion recomputes the leaf state by replaying those actions from the root
+state (`engine.step` is deterministic given the in-state RNG, and costs ~a
+hundred VPU ops on 20 uint32 words) — trading negligible FLOPs for the
+gigabytes of HBM the v1 per-node `EnvState` store occupied. Observations are
+stored bit-packed (one uint32 per row, `engine.pack_obs`) and only unpacked
+outside the move program.
+
+Algorithm semantics (unchanged from the reference):
+- node index 0 is the null sentinel (`agents/agent.py:72-73`);
+- the transposition "projection" (`agents/agent.py:77-88`): an
+  open-addressing hash table over the packed obs maps states to obs slots
+  carrying shared visit/value/variance statistics;
+- selection = `select_trace_obs` (C++ core.h:167-224): unique-children-by-obs
+  keeping the max-score node, unvisited-first (`check_low`), then the CLT
+  policy `value + norm_quantile(Σn)·sqrt(var/n)` (`agents/policy.py:8-14`);
+- backup = `backup_trace_obs` (C++ core.h:226-260): reverse walk with
+  incremental mean/variance and v ← γ·v + score discounting, plus the
   leaf-parallel seeding of `backup_trace_obs_LP` (`core.h:303-381`).
 
 All functions here operate on ONE tree (no leading batch dim) — `mcts.py`
@@ -55,23 +67,24 @@ class TreeConfig(NamedTuple):
 
 
 class Tree(NamedTuple):
-    """One search tree. Batched trees carry a leading axis on every field."""
+    """One search tree. Batched trees carry a leading axis on every field.
+    Pool axes (N, M, T) are minor everywhere (see module docstring)."""
 
-    # node arrays (N,)
-    child: jax.Array      # int32[N, 7]
+    # node arrays, pool axis minor
+    child: jax.Array      # int32[7, N]
     score: jax.Array      # float32[N] game score at node
     end: jax.Array        # bool[N]
-    state: EnvState       # env state per node, leaves shaped [N, ...]
     n_to_o: jax.Array     # int32[N] node -> obs slot
     n_nodes: jax.Array    # int32 next free node id (starts at 1)
-    # obs arrays (M,)
+    root_state: EnvState  # env state at the root node (single state)
+    # obs arrays
     obs_visit: jax.Array  # int32[M]
     obs_value: jax.Array  # float32[M]
     obs_var: jax.Array    # float32[M]
     obs_end: jax.Array    # bool[M]
-    obs_node: jax.Array   # int32[M] representative node (for image render)
+    obs_bits: jax.Array   # uint32[20, M] packed boards (engine.pack_obs)
     n_obs: jax.Array      # int32 next free obs id (starts at 1)
-    # transposition hash table (T,)
+    # transposition hash table
     tbl_h1: jax.Array     # uint32[T]
     tbl_h2: jax.Array     # uint32[T]
     tbl_obs: jax.Array    # int32[T] obs id, 0 = empty
@@ -82,23 +95,20 @@ class Tree(NamedTuple):
 # hashing
 # ---------------------------------------------------------------------------
 
-def _hash_state(st: EnvState):
-    """64-bit (two-lane FNV-1a) hash of the getState image payload: locked
-    rows + rendered piece rows (the reference's `state.tobytes()` dict key,
-    `agents/agent.py:114-117`)."""
-    rows, prow = engine.obs_bits(st)
-    words = jnp.concatenate([rows, prow])  # (40,) uint32
+def _hash_packed(packed):
+    """64-bit (two-lane FNV-1a) hash of the 20 packed obs words — the
+    reference's `state.tobytes()` dict key (`agents/agent.py:114-117`)."""
     h1 = jnp.uint32(0x811C9DC5)
     h2 = jnp.uint32(0x9E3779B9)
 
     def body(i, hs):
         a, b = hs
-        w = words[i]
+        w = packed[i]
         a = (a ^ w) * jnp.uint32(0x01000193)
         b = (b ^ w) * jnp.uint32(0x85EBCA6B)
         return a, b
 
-    h1, h2 = jax.lax.fori_loop(0, words.shape[0], body, (h1, h2))
+    h1, h2 = jax.lax.fori_loop(0, packed.shape[0], body, (h1, h2))
     return h1, h2
 
 
@@ -127,17 +137,11 @@ def _masked_set(arr, idx, val, ok):
     return arr.at[idx].set(jnp.where(ok, val, arr[idx]))
 
 
-def alloc_node(tree: Tree, st: EnvState, ok, cfg: TreeConfig):
-    """Allocate a node for state `st` (when `ok`); project it onto an obs slot
-    (dedup via the hash table when cfg.projection). Returns (tree, node_id);
-    node_id is 0 when not allocated (pool full or ~ok)."""
-    has_node = tree.n_nodes < cfg.max_nodes
-    ok = ok & has_node
-    idx = jnp.where(ok, tree.n_nodes, 0)
-
-    # --- obs slot -----------------------------------------------------------
+def _insert_obs(tree: Tree, packed, end, ok, cfg: TreeConfig):
+    """Find-or-create the obs slot for a packed observation. Returns
+    (tree, obs_id); obs_id 0 when not created and not found."""
     if cfg.projection:
-        h1, h2 = _hash_state(st)
+        h1, h2 = _hash_packed(packed)
         slot = _probe(tree, h1, h2, cfg)
         found = tree.tbl_obs[slot] != 0
         has_obs = tree.n_obs < cfg.max_obs
@@ -155,20 +159,29 @@ def alloc_node(tree: Tree, st: EnvState, ok, cfg: TreeConfig):
         o = jnp.where(new_o, tree.n_obs, 0)
         tree = tree._replace(n_obs=tree.n_obs + new_o.astype(jnp.int32))
 
+    o_w = jnp.where(new_o, o, tree.obs_bits.shape[1])  # drop when not new
     tree = tree._replace(
-        obs_end=_masked_set(tree.obs_end, o, st.end, new_o),
-        obs_node=_masked_set(tree.obs_node, o, idx, new_o),
+        obs_end=_masked_set(tree.obs_end, o, end, new_o),
+        obs_bits=tree.obs_bits.at[:, o_w].set(packed, mode="drop"),
     )
+    return tree, o
 
-    # --- node row ------------------------------------------------------------
-    new_state = jax.tree.map(
-        lambda leaf, s: _masked_set(leaf, idx, s, ok), tree.state, st
-    )
+
+def alloc_node(tree: Tree, st: EnvState, ok, cfg: TreeConfig):
+    """Allocate a node for state `st` (when `ok`); project it onto an obs slot
+    (dedup via the hash table when cfg.projection). Returns (tree, node_id);
+    node_id is 0 when not allocated (pool full or ~ok)."""
+    has_node = tree.n_nodes < cfg.max_nodes
+    ok = ok & has_node
+    idx = jnp.where(ok, tree.n_nodes, 0)
+
+    packed = engine.pack_obs(st)
+    tree, o = _insert_obs(tree, packed, st.end, ok, cfg)
+
     tree = tree._replace(
         score=_masked_set(tree.score, idx, st.score.astype(jnp.float32), ok),
         end=_masked_set(tree.end, idx, st.end, ok),
         n_to_o=_masked_set(tree.n_to_o, idx, o, ok),
-        state=new_state,
         n_nodes=tree.n_nodes + ok.astype(jnp.int32),
     )
     return tree, idx
@@ -177,21 +190,18 @@ def alloc_node(tree: Tree, st: EnvState, ok, cfg: TreeConfig):
 def init_tree(env_state: EnvState, cfg: TreeConfig) -> Tree:
     """Fresh empty tree rooted at `env_state`."""
     N, M, T = cfg.max_nodes, cfg.max_obs, cfg.table_size
-    dummy = jax.tree.map(
-        lambda leaf: jnp.zeros((N,) + leaf.shape, leaf.dtype), env_state
-    )
     tree = Tree(
-        child=jnp.zeros((N, N_ACTIONS), jnp.int32),
+        child=jnp.zeros((N_ACTIONS, N), jnp.int32),
         score=jnp.zeros(N, jnp.float32),
         end=jnp.zeros(N, bool),
-        state=dummy,
         n_to_o=jnp.zeros(N, jnp.int32),
         n_nodes=jnp.int32(1),
+        root_state=env_state,
         obs_visit=jnp.zeros(M, jnp.int32),
         obs_value=jnp.zeros(M, jnp.float32),
         obs_var=jnp.zeros(M, jnp.float32),
         obs_end=jnp.zeros(M, bool),
-        obs_node=jnp.zeros(M, jnp.int32),
+        obs_bits=jnp.zeros((20, M), jnp.uint32),
         n_obs=jnp.int32(1),
         tbl_h1=jnp.zeros(T, jnp.uint32),
         tbl_h2=jnp.zeros(T, jnp.uint32),
@@ -204,11 +214,10 @@ def init_tree(env_state: EnvState, cfg: TreeConfig) -> Tree:
 
 def reset_tree(tree: Tree, env_state: EnvState, cfg: TreeConfig) -> Tree:
     """Zero all storage and re-root at `env_state` — the capability equivalent
-    of the reference's pool-exhaustion GC (`agents/agent.py:246-257`): instead
-    of BFS-marking the live subtree and recycling a free list (sequential,
-    pointer-heavy), the batched design harvests training data first
-    (`harvest`) and rebuilds from the current position. Same training tuples,
-    array-friendly (SURVEY.md §7 "Node-pool GC")."""
+    of the reference's pool-exhaustion GC (`agents/agent.py:246-257`): the
+    batched design harvests training data first (`harvest`) and rebuilds from
+    the current position. Same training tuples, array-friendly (SURVEY.md §7
+    "Node-pool GC")."""
     return init_tree(env_state, cfg)
 
 
@@ -216,11 +225,16 @@ def reset_tree(tree: Tree, env_state: EnvState, cfg: TreeConfig) -> Tree:
 # unique children by obs
 # ---------------------------------------------------------------------------
 
+def children_of(tree: Tree, idx):
+    """int32[7] child node ids of `idx` (column gather from the (7, N) table)."""
+    return tree.child[:, idx]
+
+
 def unique_children(tree: Tree, idx):
     """`get_unique_child_obs` (C++ core.h:111-144): among the 7 children of
     `idx`, keep one node per distinct obs — the earliest node with the
     group-max score. Returns (kids int32[7], obs int32[7], kept bool[7])."""
-    kids = tree.child[idx]            # (7,)
+    kids = children_of(tree, idx)     # (7,)
     valid = kids != 0
     obs = jnp.where(valid, tree.n_to_o[kids], -1)
     sc = tree.score[kids]
@@ -238,16 +252,19 @@ def unique_children(tree: Tree, idx):
 
 def select(tree: Tree, key, cfg: TreeConfig):
     """`select_trace_obs` (C++ core.h:167-224). Returns (trace int32[D],
-    length int32). trace[length-1] is the leaf."""
+    actions int32[D], length int32). trace[length-1] is the leaf;
+    actions[t] is the move from trace[t] to trace[t+1] (used by `replay_leaf`
+    to recompute the leaf env state from the root state)."""
     D = cfg.max_depth
-    trace0 = jnp.full(D, 0, jnp.int32)
+    trace0 = jnp.zeros(D, jnp.int32)
+    act0 = jnp.zeros(D, jnp.int32)
 
     def cond(carry):
-        _, _, depth, done, _ = carry
+        _, _, _, depth, done, _ = carry
         return (~done) & (depth < D)
 
     def body(carry):
-        trace, idx, depth, done, key = carry
+        trace, acts, idx, depth, done, key = carry
         trace = trace.at[depth].set(idx)
 
         kids, obs, kept = unique_children(tree, idx)
@@ -272,43 +289,96 @@ def select(tree: Tree, key, cfg: TreeConfig):
         )
         clt_choice = jnp.argmax(jnp.where(kept, q, -jnp.inf))
 
-        choice = jnp.where(any_low, low_choice, clt_choice)
+        choice = jnp.where(any_low, low_choice, clt_choice).astype(jnp.int32)
+        acts = acts.at[depth].set(jnp.where(any_kid, choice, 0))
         nxt = jnp.where(any_kid, kids[choice], idx)
-        return trace, nxt, depth + 1, ~any_kid, key
+        return trace, acts, nxt, depth + 1, ~any_kid, key
 
-    trace, _, depth, _, _ = jax.lax.while_loop(
-        cond, body, (trace0, tree.root, jnp.int32(0), jnp.asarray(False), key)
+    trace, acts, _, depth, _, _ = jax.lax.while_loop(
+        cond, body,
+        (trace0, act0, tree.root, jnp.int32(0), jnp.asarray(False), key),
     )
-    return trace, depth
+    return trace, acts, depth
+
+
+def replay_leaf(tree: Tree, actions, length, cfg: TreeConfig) -> EnvState:
+    """Recompute the leaf env state by replaying the selected action path from
+    the root state. `engine.step` is deterministic (RNG lives in the state),
+    so this reproduces exactly the state stored per node in the reference's
+    `game_arr` (`agents/agent.py:101-104`) at ~100 VPU ops per level instead
+    of a gigabyte-scale per-node store."""
+
+    def cond(c):
+        st, t = c
+        return t < length - 1
+
+    def body(c):
+        st, t = c
+        return engine.step(st, actions[t], cfg.env), t + 1
+
+    st, _ = jax.lax.while_loop(cond, body, (tree.root_state, jnp.int32(0)))
+    return st
 
 
 # ---------------------------------------------------------------------------
 # expansion
 # ---------------------------------------------------------------------------
 
-def expand(tree: Tree, leaf, ok, cfg: TreeConfig):
-    """Create the 7 children of `leaf` (when `ok`): 7 engine steps from the
-    stored leaf state, one alloc each (sequential so same-obs duplicates hit
-    the hash table correctly) — the reference's `TreeAgent.expand`
-    (`agents/agent.py:136-145`) without the Python/pyTetris boundary."""
-    st = jax.tree.map(lambda leafarr: leafarr[leaf], tree.state)
-
-    def body(a, carry):
-        tree, kid_arr = carry
-        child_st = engine.step(st, a, cfg.env)
-        tree, idx = alloc_node(tree, child_st, ok, cfg)
-        kid_arr = kid_arr.at[a].set(idx)
-        tree = tree._replace(
-            child=tree.child.at[leaf, a].set(
-                jnp.where(ok, idx, tree.child[leaf, a])
-            )
-        )
-        return tree, kid_arr
-
-    tree, kids = jax.lax.fori_loop(
-        0, N_ACTIONS, body, (tree, jnp.zeros(N_ACTIONS, jnp.int32))
+def _dus_rows(arr, base, new_vals, ok):
+    """Write `new_vals` ((7,)-shaped) at arr[base:base+7] when ok (single
+    dynamic-update-slice instead of 7 scatters)."""
+    cur = jax.lax.dynamic_slice(arr, (base,), (N_ACTIONS,))
+    return jax.lax.dynamic_update_slice(
+        arr, jnp.where(ok, new_vals.astype(arr.dtype), cur), (base,)
     )
-    return tree
+
+
+def expand(tree: Tree, leaf_state: EnvState, leaf, ok, cfg: TreeConfig):
+    """Create the 7 children of `leaf` (when `ok`) from its replayed env
+    state — the reference's `TreeAgent.expand` (`agents/agent.py:136-145`)
+    without the Python/pyTetris boundary. Child nodes are allocated
+    CONTIGUOUSLY (ids n_nodes..n_nodes+6) so node-array writes are single
+    dynamic-update-slices; only the per-obs hash insert is sequential.
+
+    Returns (tree, child_states) where child_states is the stepped EnvState
+    with leading axis 7 (consumed directly by the NN evaluator — child
+    observations never round-trip through the node store)."""
+    child_states = jax.vmap(
+        lambda a: engine.step(leaf_state, a, cfg.env)
+    )(_A7)
+    packed7 = jax.vmap(engine.pack_obs)(child_states)  # (7, 20)
+
+    has_room = tree.n_nodes + N_ACTIONS <= cfg.max_nodes
+    ok = ok & has_room
+    base = jnp.where(ok, tree.n_nodes, 0)
+    ids = base + _A7
+
+    # obs slots: sequential insert (children may share an obs among
+    # themselves; the hash table must see each insert)
+    def obs_body(a, carry):
+        tree, obs_arr = carry
+        tree, o = _insert_obs(
+            tree, packed7[a], child_states.end[a], ok, cfg
+        )
+        return tree, obs_arr.at[a].set(o)
+
+    tree, obs7 = jax.lax.fori_loop(
+        0, N_ACTIONS, obs_body, (tree, jnp.zeros(N_ACTIONS, jnp.int32))
+    )
+
+    # node rows: one DUS per field
+    tree = tree._replace(
+        score=_dus_rows(tree.score, base, child_states.score, ok),
+        end=_dus_rows(tree.end, base, child_states.end, ok),
+        n_to_o=_dus_rows(tree.n_to_o, base, obs7, ok),
+        n_nodes=tree.n_nodes + jnp.where(ok, N_ACTIONS, 0),
+    )
+    # child column: single column write
+    cur_col = tree.child[:, leaf]
+    tree = tree._replace(
+        child=tree.child.at[:, leaf].set(jnp.where(ok, ids, cur_col))
+    )
+    return tree, child_states
 
 
 def headroom(tree: Tree, cfg: TreeConfig):
@@ -324,14 +394,17 @@ def headroom(tree: Tree, cfg: TreeConfig):
 
 def backup(tree: Tree, trace, length, value, variance, cfg: TreeConfig):
     """`backup_trace_obs` (C++ core.h:226-260): reverse walk with Welford-style
-    incremental mean/variance and v ← γ·v + score(idx)."""
+    incremental mean/variance and v ← γ·v + score(idx). Loop runs exactly
+    `length` iterations (data-dependent while, not max_depth)."""
     gamma = jnp.float32(cfg.gamma)
 
-    def body(i, carry):
-        visit, val, var, v = carry
-        t = length - 1 - i
-        live = t >= 0
-        idx = trace[jnp.maximum(t, 0)]
+    def cond(carry):
+        t, *_ = carry
+        return t >= 0
+
+    def body(carry):
+        t, visit, val, var, v = carry
+        idx = trace[t]
         o = tree.n_to_o[idx]
 
         v_rel = v - tree.score[idx]
@@ -343,15 +416,16 @@ def backup(tree: Tree, trace, length, value, variance, cfg: TreeConfig):
             first, variance, var[o] + (delta * delta2 - var[o]) / (visit[o] + 1)
         )
 
-        visit = visit.at[o].add(jnp.where(live, 1, 0))
-        val = val.at[o].set(jnp.where(live, val_new, val[o]))
-        var = var.at[o].set(jnp.where(live, var_new, var[o]))
-        v = jnp.where(live, gamma * v_rel + tree.score[idx], v)
-        return visit, val, var, v
+        visit = visit.at[o].add(1)
+        val = val.at[o].set(val_new)
+        var = var.at[o].set(var_new)
+        v = gamma * v_rel + tree.score[idx]
+        return t - 1, visit, val, var, v
 
-    visit, val, var, _ = jax.lax.fori_loop(
-        0, cfg.max_depth, body,
-        (tree.obs_visit, tree.obs_value, tree.obs_var, jnp.float32(value)),
+    _, visit, val, var, _ = jax.lax.while_loop(
+        cond, body,
+        (length - 1, tree.obs_visit, tree.obs_value, tree.obs_var,
+         jnp.float32(value)),
     )
     return tree._replace(obs_visit=visit, obs_value=val, obs_var=var)
 
@@ -409,7 +483,7 @@ def compute_stats(tree: Tree, cfg: TreeConfig, idx=None):
     """3x7 [visit, Q, variance] per action at `idx` (reference
     `TreeAgent.compute_stats`, agents/agent.py:153-179)."""
     idx = tree.root if idx is None else idx
-    kids = tree.child[idx]
+    kids = children_of(tree, idx)
     valid = kids != 0
     obs = tree.n_to_o[kids]
     visit = jnp.where(valid, tree.obs_visit[obs], 0).astype(jnp.float32)
@@ -441,15 +515,16 @@ def root_value(tree: Tree):
 
 
 def advance_root(tree: Tree, action, new_env_state: EnvState, cfg: TreeConfig):
-    """Move the root to child[root, action] after the real env step — the
-    reference's `update_root` + node dedup (agent.py:296-301). The child's
-    stored state equals the stepped env state because `engine.step` is
-    deterministic given the in-state RNG. Allocates the node if the move was
-    never expanded."""
-    c = tree.child[tree.root, action]
+    """Move the root to child[action, root] after the real env step — the
+    reference's `update_root` + node dedup (agent.py:296-301). Allocates the
+    node if the move was never expanded. The root env state always becomes
+    the post-move state (it is the replay origin for `replay_leaf`)."""
+    c = tree.child[action, tree.root]
     need = c == 0
     tree, fresh = alloc_node(tree, new_env_state, need, cfg)
-    return tree._replace(root=jnp.where(need, fresh, c))
+    return tree._replace(
+        root=jnp.where(need, fresh, c), root_state=new_env_state
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -459,9 +534,10 @@ def advance_root(tree: Tree, action, new_env_state: EnvState, cfg: TreeConfig):
 def harvest(tree: Tree, min_visits: int, cfg: TreeConfig):
     """Training tuples from the obs table (reference `ValueSim.store_nodes`,
     agents/ValueSim.py:122-159): every obs with visit >= min_visits and not
-    terminal yields (board image, value, variance, visit-weight). Returns
-    (imgs int8[M,20,10], value f32[M], var f32[M], weight f32[M],
-    mask bool[M]). Images are rendered from each obs's representative node."""
+    terminal yields (packed board, value, variance, visit-weight). Returns
+    (packed uint32[M,20], value f32[M], var f32[M], weight f32[M],
+    mask bool[M]). Boards stay bit-packed (engine.unpack_obs outside the
+    move program renders images for training)."""
     M = cfg.max_obs
     slots = jnp.arange(M)
     mask = (
@@ -470,6 +546,5 @@ def harvest(tree: Tree, min_visits: int, cfg: TreeConfig):
         & (tree.obs_visit >= min_visits)
         & (~tree.obs_end)
     )
-    states = jax.tree.map(lambda leaf: leaf[tree.obs_node], tree.state)
-    imgs = jax.vmap(engine.get_state)(states)
-    return imgs, tree.obs_value, tree.obs_var, tree.obs_visit.astype(jnp.float32), mask
+    packed = tree.obs_bits.T  # (M, 20)
+    return packed, tree.obs_value, tree.obs_var, tree.obs_visit.astype(jnp.float32), mask

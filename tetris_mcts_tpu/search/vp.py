@@ -15,10 +15,13 @@ Algorithm (reference semantics):
   training = improvement counts (`store_nodes` stores `policy_new`,
   `:155-185`), normalized to a distribution at harvest.
 
-Deviation (documented): priors and improvement counts live on *obs* slots
-(transposition-shared) rather than per node — the projection-enabled variant
-of the reference stores `policy_new` per obs already (`:24-27`); sharing the
-prior as well is strictly more transposition-consistent.
+Deviations (documented):
+- priors and improvement counts live on *obs* slots (transposition-shared)
+  rather than per node — the projection-enabled variant of the reference
+  stores `policy_new` per obs already (`:24-27`); sharing the prior as well
+  is strictly more transposition-consistent.
+- policy arrays are laid out (7, M) with the pool axis minor and boards are
+  stored bit-packed, for the same TPU tiling reasons as tree.py.
 
 Functions operate on ONE tree; the driver vmaps them.
 """
@@ -42,8 +45,8 @@ class VPTree(NamedTuple):
     ApproxPolicyIter.py:22-27)."""
 
     base: Tree
-    prior: jax.Array    # float32[M, 7] NN policy per obs (0 = unexpanded)
-    pol_new: jax.Array  # float32[M, 7] greedy-improvement counts
+    prior: jax.Array    # float32[7, M] NN policy per obs (0 = unexpanded)
+    pol_new: jax.Array  # float32[7, M] greedy-improvement counts
 
 
 def init_vp_tree(env_state: EnvState, cfg: TreeConfig) -> VPTree:
@@ -51,8 +54,8 @@ def init_vp_tree(env_state: EnvState, cfg: TreeConfig) -> VPTree:
     M = cfg.max_obs
     return VPTree(
         base=base,
-        prior=jnp.zeros((M, N_ACTIONS), jnp.float32),
-        pol_new=jnp.zeros((M, N_ACTIONS), jnp.float32),
+        prior=jnp.zeros((N_ACTIONS, M), jnp.float32),
+        pol_new=jnp.zeros((N_ACTIONS, M), jnp.float32),
     )
 
 
@@ -62,33 +65,37 @@ def init_vp_tree(env_state: EnvState, cfg: TreeConfig) -> VPTree:
 
 def select(vt: VPTree, key, cfg: TreeConfig):
     """Sample a path by the stored priors (`select_trace_with_policy`):
-    descend child[idx][a ~ prior[obs(idx)]] until child == 0. Zero priors
+    descend child[a ~ prior[obs(idx)], idx] until child == 0. Zero priors
     sample uniformly (the reference's `sample_from` on zeros falls through to
-    the last index; uniform is the fixed behavior)."""
+    the last index; uniform is the fixed behavior). Returns
+    (trace int32[D], actions int32[D], length)."""
     tree = vt.base
     D = cfg.max_depth
     trace0 = jnp.zeros(D, jnp.int32)
+    act0 = jnp.zeros(D, jnp.int32)
 
     def cond(c):
-        _, _, depth, done, _ = c
+        _, _, _, depth, done, _ = c
         return (~done) & (depth < D)
 
     def body(c):
-        trace, idx, depth, done, key = c
+        trace, acts, idx, depth, done, key = c
         trace = trace.at[depth].set(idx)
         o = tree.n_to_o[idx]
-        p = vt.prior[o]
+        p = vt.prior[:, o]
         total = jnp.sum(p)
         probs = jnp.where(total > 0, p / jnp.maximum(total, 1e-9), 1.0 / N_ACTIONS)
         key, sub = jax.random.split(key)
-        a = jax.random.choice(sub, N_ACTIONS, p=probs)
-        nxt = tree.child[idx, a]
-        return trace, nxt, depth + 1, nxt == 0, key
+        a = jax.random.choice(sub, N_ACTIONS, p=probs).astype(jnp.int32)
+        acts = acts.at[depth].set(a)
+        nxt = tree.child[a, idx]
+        return trace, acts, nxt, depth + 1, nxt == 0, key
 
-    trace, _, depth, _, _ = jax.lax.while_loop(
-        cond, body, (trace0, tree.root, jnp.int32(0), jnp.asarray(False), key)
+    trace, acts, _, depth, _, _ = jax.lax.while_loop(
+        cond, body,
+        (trace0, act0, tree.root, jnp.int32(0), jnp.asarray(False), key),
     )
-    return trace, depth
+    return trace, acts, depth
 
 
 # ---------------------------------------------------------------------------
@@ -102,18 +109,20 @@ def backup_value_policy(vt: VPTree, trace, length, value, cfg: TreeConfig):
     the greedy child action."""
     tree = vt.base
 
-    def body(i, carry):
-        visit, val, pol_new = carry
-        t = length - 1 - i
-        live = t >= 0
-        idx = trace[jnp.maximum(t, 0)]
+    def cond(carry):
+        t, *_ = carry
+        return t >= 0
+
+    def body(carry):
+        t, visit, val, pol_new = carry
+        idx = trace[t]
         o = tree.n_to_o[idx]
 
         v_rel = jnp.float32(value) - tree.score[idx]
         new_visit = visit[o] + 1
         val_new = val[o] + (v_rel - val[o]) / new_visit
 
-        kids = tree.child[idx]
+        kids = tree.child[:, idx]
         kobs = tree.n_to_o[kids]
         q = jnp.where(
             kids != 0, val[kobs] + tree.score[kids] - tree.score[idx], -jnp.inf
@@ -121,14 +130,14 @@ def backup_value_policy(vt: VPTree, trace, length, value, cfg: TreeConfig):
         # reference scans children in order keeping strict-max (first argmax)
         amax = jnp.argmax(q)
 
-        visit = visit.at[o].add(jnp.where(live, 1, 0))
-        val = val.at[o].set(jnp.where(live, val_new, val[o]))
-        pol_new = pol_new.at[o, amax].add(jnp.where(live, 1.0, 0.0))
-        return visit, val, pol_new
+        visit = visit.at[o].add(1)
+        val = val.at[o].set(val_new)
+        pol_new = pol_new.at[amax, o].add(1.0)
+        return t - 1, visit, val, pol_new
 
-    visit, val, pol_new = jax.lax.fori_loop(
-        0, cfg.max_depth, body,
-        (tree.obs_visit, tree.obs_value, vt.pol_new),
+    _, visit, val, pol_new = jax.lax.while_loop(
+        cond, body,
+        (length - 1, tree.obs_visit, tree.obs_value, vt.pol_new),
     )
     return vt._replace(
         base=tree._replace(obs_visit=visit, obs_value=val), pol_new=pol_new
@@ -142,7 +151,7 @@ def backup_value_policy(vt: VPTree, trace, length, value, cfg: TreeConfig):
 def best_action(vt: VPTree):
     """Greedy argmax over child Q (ApproxPolicyIter.get_action)."""
     tree = vt.base
-    kids = tree.child[tree.root]
+    kids = tree.child[:, tree.root]
     kobs = tree.n_to_o[kids]
     q = jnp.where(
         kids != 0,
@@ -155,19 +164,19 @@ def best_action(vt: VPTree):
 def root_policy(vt: VPTree):
     """Normalized improvement counts at the root (training target / get_prob)."""
     o = vt.base.n_to_o[vt.base.root]
-    counts = vt.pol_new[o]
+    counts = vt.pol_new[:, o]
     total = jnp.sum(counts)
     return jnp.where(total > 0, counts / jnp.maximum(total, 1e-9), 1.0 / N_ACTIONS)
 
 
-def _harvest(vt: VPTree, min_visits: int, cfg: TreeConfig):
-    """Training tuples (img, value, policy distribution, visit weight) from
-    the obs table (ApproxPolicyIter.store_nodes, `:150-185`)."""
+def harvest(vt: VPTree, min_visits: int, cfg: TreeConfig):
+    """Training tuples (packed board, value, policy distribution, visit
+    weight) from the obs table (ApproxPolicyIter.store_nodes, `:150-185`)."""
     tree = vt.base
     M = cfg.max_obs
     slots = jnp.arange(M)
-    counts = vt.pol_new
-    totals = jnp.sum(counts, axis=1, keepdims=True)
+    counts = vt.pol_new  # (7, M)
+    totals = jnp.sum(counts, axis=0, keepdims=True)
     pol = jnp.where(totals > 0, counts / jnp.maximum(totals, 1e-9), 1.0 / N_ACTIONS)
     mask = (
         (slots >= 1)
@@ -175,12 +184,8 @@ def _harvest(vt: VPTree, min_visits: int, cfg: TreeConfig):
         & (tree.obs_visit >= min_visits)
         & (~tree.obs_end)
     )
-    states = jax.tree.map(lambda leaf: leaf[tree.obs_node], tree.state)
-    imgs = jax.vmap(engine.get_state)(states)
-    return imgs, tree.obs_value, pol, tree.obs_visit.astype(jnp.float32), mask
-
-
-harvest = _harvest  # public name
+    return (tree.obs_bits.T, tree.obs_value, pol.T,
+            tree.obs_visit.astype(jnp.float32), mask)
 
 
 # ---------------------------------------------------------------------------
@@ -188,9 +193,10 @@ harvest = _harvest  # public name
 # ---------------------------------------------------------------------------
 
 class VPReplay(NamedTuple):
-    """Training memory with a policy column (ApproxPolicyIter.py:30-38)."""
+    """Training memory with a policy column (ApproxPolicyIter.py:30-38);
+    boards bit-packed like mcts.Replay."""
 
-    states: jax.Array  # int8[R, 20, 10]
+    boards: jax.Array  # uint32[R, 20] packed
     value: jax.Array   # float32[R]
     policy: jax.Array  # float32[R, 7]
     weight: jax.Array  # float32[R]
@@ -200,7 +206,7 @@ class VPReplay(NamedTuple):
 
 def init_vp_replay(capacity: int) -> VPReplay:
     return VPReplay(
-        states=jnp.zeros((capacity, 20, 10), jnp.int8),
+        boards=jnp.zeros((capacity, 20), jnp.uint32),
         value=jnp.zeros(capacity, jnp.float32),
         policy=jnp.zeros((capacity, N_ACTIONS), jnp.float32),
         weight=jnp.zeros(capacity, jnp.float32),
@@ -209,9 +215,9 @@ def init_vp_replay(capacity: int) -> VPReplay:
     )
 
 
-def vp_replay_add(rep: VPReplay, imgs, value, policy, weight, mask) -> VPReplay:
-    R = rep.states.shape[0]
-    imgs = imgs.reshape(-1, 20, 10)
+def vp_replay_add(rep: VPReplay, packed, value, policy, weight, mask) -> VPReplay:
+    R = rep.boards.shape[0]
+    packed = packed.reshape(-1, 20)
     value = value.reshape(-1)
     policy = policy.reshape(-1, N_ACTIONS)
     weight = weight.reshape(-1)
@@ -221,7 +227,7 @@ def vp_replay_add(rep: VPReplay, imgs, value, policy, weight, mask) -> VPReplay:
     dst = jnp.where(mask, dst, R)
     n = jnp.sum(mask.astype(jnp.int32))
     return VPReplay(
-        states=rep.states.at[dst].set(imgs, mode="drop"),
+        boards=rep.boards.at[dst].set(packed, mode="drop"),
         value=rep.value.at[dst].set(value, mode="drop"),
         policy=rep.policy.at[dst].set(policy, mode="drop"),
         weight=rep.weight.at[dst].set(weight, mode="drop"),
@@ -251,45 +257,45 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
     """
     tcfg = cfg.tree
     vselect = jax.vmap(select, in_axes=(0, 0, None))
-    vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, None))
+    vreplay_leaf = jax.vmap(T.replay_leaf, in_axes=(0, 0, 0, None))
+    vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, 0, None))
     vbackup = jax.vmap(backup_value_policy, in_axes=(0, 0, 0, 0, None))
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vbest = jax.vmap(best_action)
     vrootpol = jax.vmap(root_policy)
     vadvance = jax.vmap(T.advance_root, in_axes=(0, 0, 0, None))
-    vharvest = jax.vmap(_harvest, in_axes=(0, None, None))
+    vharvest = jax.vmap(harvest, in_axes=(0, None, None))
     vinit = jax.vmap(init_vp_tree, in_axes=(0, None))
     vsoft_reset = jax.vmap(engine.soft_reset, in_axes=(0, None))
 
-    def bgather(arr, idx):
-        return jax.vmap(lambda a, i: a[i])(arr, idx)
+    from tetris_mcts_tpu.search.mcts import bgather, bgather_col
 
     def sim_once(params, vtrees, key):
         B = vtrees.base.root.shape[0]
         key, k_sel = jax.random.split(key)
-        traces, lengths = vselect(vtrees, jax.random.split(k_sel, B), tcfg)
+        traces, actions, lengths = vselect(
+            vtrees, jax.random.split(k_sel, B), tcfg
+        )
         leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
+        leaf_states = vreplay_leaf(vtrees.base, actions, lengths, tcfg)
 
         leaf_end = bgather(vtrees.base.end, leafs)
-        childless = jnp.all(bgather(vtrees.base.child, leafs) == 0, axis=-1)
+        childless = jnp.all(bgather_col(vtrees.base.child, leafs) == 0, axis=-1)
         can = (~leaf_end) & childless & vheadroom(vtrees.base, tcfg)
 
         # evaluate all leaves in one forward pass
-        states = jax.vmap(
-            lambda st, i: jax.tree.map(lambda leaf: leaf[i], st)
-        )(vtrees.base.state, leafs)
-        imgs = jax.vmap(engine.get_state)(states)[..., None].astype(jnp.float32)
-        v, logits = apply_fn(params, imgs)
+        imgs = jax.vmap(engine.get_state)(leaf_states)
+        v, logits = apply_fn(params, imgs[..., None].astype(jnp.float32))
         p = jax.nn.softmax(logits, axis=-1)
 
         # seed priors at the leaf obs (only when expanding)
         leaf_obs = bgather(vtrees.base.n_to_o, leafs)
         prior = jax.vmap(
-            lambda pr, o, pi, ok: pr.at[o].set(jnp.where(ok, pi, pr[o]))
+            lambda pr, o, pi, ok: pr.at[:, o].set(jnp.where(ok, pi, pr[:, o]))
         )(vtrees.prior, leaf_obs, p, can)
         vtrees = vtrees._replace(prior=prior)
 
-        base = vexpand(vtrees.base, leafs, can, tcfg)
+        base, _ = vexpand(vtrees.base, leaf_states, leafs, can, tcfg)
         vtrees = vtrees._replace(base=base)
 
         leaf_score = bgather(vtrees.base.score, leafs)
@@ -336,10 +342,10 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
 
         def harvest_and_reset(args):
             vtrees, envs3, replay = args
-            imgs, val, pol, w, mask = vharvest(vtrees, min_visits_store, tcfg)
+            packed, val, pol, w, mask = vharvest(vtrees, min_visits_store, tcfg)
             mask = mask & trigger[:, None]
             if store:
-                replay = vp_replay_add(replay, imgs, val, pol, w, mask)
+                replay = vp_replay_add(replay, packed, val, pol, w, mask)
             fresh = vinit(envs3, tcfg)
             vtrees2 = jax.tree.map(
                 lambda f, t: jnp.where(

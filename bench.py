@@ -68,9 +68,13 @@ def bench_mcts(batch: int = 256, sims: int = 100, moves: int = 8,
     from tetris_mcts_tpu.search.tree import TreeConfig
     from tetris_mcts_tpu.train.trainer import VVModel
 
+    # Pool sizes: one 100-sim move allocates <= 709 nodes; 2048 keeps a few
+    # moves of persistent subtree while keeping the carried tree arrays small
+    # (tree-array size is a first-order throughput term: XLA's copy insertion
+    # scales with the carry).
     cfg = mcts.SearchConfig(
         tree=TreeConfig(
-            max_nodes=8192, max_obs=8192, table_size=16384, max_depth=64
+            max_nodes=2048, max_obs=2048, table_size=4096, max_depth=64
         ),
         sims=sims,
         evaluator="lp",

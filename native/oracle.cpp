@@ -11,6 +11,7 @@
 // (tetris_mcts_tpu/utils/oracle.py). Scalar by design — the batched/TPU hot
 // path lives in XLA; this exists for correctness only.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 
@@ -141,13 +142,20 @@ void draw_piece(OracleState* s, int randomizer, int* piece_out) {
     return;
   }
   if (s->bag_pos >= 7) {
-    for (int i = 0; i < 7; ++i) s->bag[i] = i;
-    for (int i = 6; i >= 1; --i) {
-      int j = static_cast<int>(next_u32(s) % static_cast<uint32_t>(i + 1));
-      int t = s->bag[i];
-      s->bag[i] = s->bag[j];
-      s->bag[j] = t;
+    // One draw indexes the lexicographic permutation table of {0..6}
+    // (RULES.md "Randomizers"; identical to env/rng.py fisher_yates7).
+    static int32_t perm7[5040][7];
+    static bool perm7_init = false;
+    if (!perm7_init) {
+      int32_t p[7] = {0, 1, 2, 3, 4, 5, 6};
+      for (int n = 0; n < 5040; ++n) {
+        for (int i = 0; i < 7; ++i) perm7[n][i] = p[i];
+        std::next_permutation(p, p + 7);
+      }
+      perm7_init = true;
     }
+    uint32_t idx = next_u32(s) % 5040u;
+    for (int i = 0; i < 7; ++i) s->bag[i] = perm7[idx][i];
     s->bag_pos = 0;
   }
   *piece_out = s->bag[s->bag_pos];

@@ -398,3 +398,55 @@ class TestReplay:
         )
         assert int(rep.count) == 2
         np.testing.assert_allclose(np.asarray(rep.value[:2]), [0.0, 2.0])
+
+
+class TestParallelObsInsert:
+    """_insert_obs7 (the lockstep claim-based table insert) vs a dict oracle:
+    equal packed observations must map to one obs id, distinct ones to
+    distinct ids, including duplicates within one 7-group and across calls."""
+
+    def test_matches_dict_oracle(self):
+        rng = np.random.RandomState(42)
+        tree, s = small_tree()
+        oracle = {}
+        # seed oracle with the root obs
+        root_packed = tuple(np.asarray(engine.pack_obs(s)).tolist())
+        oracle[root_packed] = 1
+
+        insert7 = jax.jit(
+            lambda tr, p, e: T._insert_obs7(
+                tr, p, e, jnp.asarray(True), CFG
+            )
+        )
+        pool = rng.randint(0, 2**20, size=(12, 20)).astype(np.uint32)
+        for it in range(25):
+            # draw 7 boards from a small pool to force heavy duplication
+            pick = rng.randint(0, len(pool), size=7)
+            packed7 = jnp.asarray(pool[pick])
+            end7 = jnp.zeros(7, bool)
+            tree, obs7 = insert7(tree, packed7, end7)
+            obs7 = np.asarray(obs7)
+            for i in range(7):
+                key = tuple(pool[pick[i]].tolist())
+                if key in oracle:
+                    assert obs7[i] == oracle[key], (it, i)
+                else:
+                    oracle[key] = int(obs7[i])
+            # all ids for distinct keys distinct
+            assert len(set(oracle.values())) == len(oracle)
+        assert int(tree.n_obs) == len(oracle) + 1  # ids are 1..len(oracle)
+
+    def test_capacity_degrades_to_zero(self):
+        tiny = TreeConfig(max_nodes=64, max_obs=4, table_size=64, max_depth=8)
+        s = engine.reset(1, 2, tiny.env)
+        tree = T.init_tree(s, tiny)
+        rng = np.random.RandomState(0)
+        packed7 = jnp.asarray(rng.randint(0, 2**20, (7, 20)).astype(np.uint32))
+        tree, obs7 = T._insert_obs7(
+            tree, packed7, jnp.zeros(7, bool), jnp.asarray(True), tiny
+        )
+        obs7 = np.asarray(obs7)
+        # valid ids are 1..3; root took 1, so 2 fresh ids: rest must be 0
+        assert (obs7 > 0).sum() == 2
+        assert (obs7 == 0).sum() == 5
+        assert int(tree.n_obs) == 4

@@ -114,23 +114,24 @@ def max_drop(rows, piece, rot, px, py):
 # ---------------------------------------------------------------------------
 
 def _draw_piece(s: EnvState, cfg: EnvConfig):
-    """Next piece id per the configured randomizer; returns (piece, state)."""
+    """Next piece id per the configured randomizer; returns (piece, state).
+
+    Branchless (jnp.where, no lax.cond): under vmap a cond executes both
+    branches anyway, and cond's batching rule materializes closed-over
+    constants per batch element — for the (5040, 7) permutation table that
+    was a B×5040×7 broadcast (21 GB at B=8192). The refill draw always runs;
+    the counter only advances when the refill is taken, so the draw sequence
+    is unchanged (bit-exact vs the C++ oracle)."""
     if cfg.randomizer == 1:
         word, ctr = _rng.next_u32(s.k0, s.k1, s.ctr)
         piece = (word % jnp.uint32(7)).astype(jnp.int32)
         return piece, s._replace(ctr=ctr)
 
-    def refill(args):
-        bag, pos, ctr = args
-        new_bag, new_ctr = _rng.fisher_yates7(s.k0, s.k1, ctr)
-        return new_bag, jnp.int32(0), new_ctr
-
-    def keep(args):
-        return args
-
-    bag, pos, ctr = jax.lax.cond(
-        s.bag_pos >= 7, refill, keep, (s.bag, s.bag_pos, s.ctr)
-    )
+    need = s.bag_pos >= 7
+    new_bag, ctr2 = _rng.fisher_yates7(s.k0, s.k1, s.ctr)
+    bag = jnp.where(need, new_bag, s.bag)
+    pos = jnp.where(need, 0, s.bag_pos)
+    ctr = jnp.where(need, ctr2, s.ctr)
     piece = bag[pos]
     return piece, s._replace(bag=bag, bag_pos=pos + 1, ctr=ctr)
 
@@ -214,14 +215,17 @@ def _step_alive(s: EnvState, action, cfg: EnvConfig) -> EnvState:
         py=s.py + drop_n,
         gravity=jnp.where(hard | soft | grav_fires, 0, g_next),
     )
-    return jax.lax.cond(lock_now, lambda st: _lock(st, cfg), lambda st: st, s)
+    # branchless (see _draw_piece docstring): both paths run under vmap anyway
+    locked = _lock(s, cfg)
+    return jax.tree.map(
+        lambda a, b: jnp.where(lock_now, a, b), locked, s
+    )
 
 
 def step(s: EnvState, action, cfg: EnvConfig = EnvConfig()) -> EnvState:
     """Play one action. No-op once `end` is set (reference `game.end` contract)."""
-    return jax.lax.cond(
-        s.end, lambda st: st, lambda st: _step_alive(st, jnp.asarray(action), cfg), s
-    )
+    stepped = _step_alive(s, jnp.asarray(action), cfg)
+    return jax.tree.map(lambda a, b: jnp.where(s.end, b, a), stepped, s)
 
 
 def reset(k0, k1, cfg: EnvConfig = EnvConfig()) -> EnvState:

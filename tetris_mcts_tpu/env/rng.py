@@ -45,18 +45,32 @@ def next_u32(k0, k1, ctr):
     return word, ctr + jnp.uint32(1)
 
 
-def fisher_yates7(k0, k1, ctr):
-    """A fresh 7-bag: Fisher-Yates over [0..6] with one draw per swap.
+def _perm7_table():
+    """All 5040 permutations of [0..6] in lexicographic order (matches C++
+    std::next_permutation enumeration from the sorted array)."""
+    import itertools
 
-    Exactly the loop in RULES.md "Randomizers": for i = 6..1,
-    j = next_u32() % (i+1); swap bag[i], bag[j]. Returns (bag int32[7], ctr).
+    import numpy as np
+
+    return jnp.asarray(
+        np.asarray(list(itertools.permutations(range(7))), np.int32)
+    )
+
+
+_PERM7 = _perm7_table()  # (5040, 7) int32
+
+
+def fisher_yates7(k0, k1, ctr):
+    """A fresh 7-bag: ONE threefry draw indexes the lexicographic permutation
+    table of {0..6} (RULES.md "Randomizers"): bag = PERM7[next_u32() % 5040].
+
+    Uniform over all 5040 bags (same distribution as a Fisher-Yates shuffle;
+    modulo bias is 2^32 mod 5040 ≈ 4e-7). One table gather replaces six
+    sequential threefry calls — the bag refill sits on the both-branches path
+    of every vmapped `engine.step`, so its serial op count is a first-order
+    term of MCTS throughput. The C++ oracle (`native/oracle.cpp`) builds the
+    identical table with std::next_permutation. Returns (bag int32[7], ctr).
     """
-    bag = jnp.arange(7, dtype=jnp.int32)
-    for i in range(6, 0, -1):
-        word, ctr = next_u32(k0, k1, ctr)
-        j = (word % jnp.uint32(i + 1)).astype(jnp.int32)
-        bi = bag[i]
-        bj = bag[j]
-        bag = bag.at[i].set(bj)
-        bag = bag.at[j].set(bi)
-    return bag, ctr
+    word, ctr = next_u32(k0, k1, ctr)
+    idx = (word % jnp.uint32(5040)).astype(jnp.int32)
+    return _PERM7[idx], ctr

@@ -145,6 +145,9 @@ class SelfPlayDriver:
             min_visits_store=cfg.min_visits_store,
             store=not cfg.benchmark,
         )
+        # NOTE: no donate_argnums — trees.root_state and envs alias the same
+        # output buffers (advance_root stores the stepped env state), and XLA
+        # rejects donating one buffer twice.
         self._move = jax.jit(move)
 
         self.trees, self.envs = mcts.init_batch(cfg.seed, cfg.batch, self.search_cfg)
@@ -350,7 +353,7 @@ class VPSelfPlayDriver:
             min_visits_store=cfg.min_visits_store,
             store=not cfg.benchmark,
         )
-        self._move = jax.jit(move)
+        self._move = jax.jit(move)  # no donation: root_state/envs alias
         self.vtrees, self.envs = VP.init_vp_batch(
             cfg.seed, cfg.batch, self.search_cfg
         )

@@ -95,20 +95,43 @@ class Tree(NamedTuple):
 # hashing
 # ---------------------------------------------------------------------------
 
+def _mix32(h):
+    """Final avalanche (xorshift-multiply, lowbias32 constants)."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> jnp.uint32(15))
+    h = h * jnp.uint32(0x846CA68B)
+    return h ^ (h >> jnp.uint32(16))
+
+
+# Two independent lanes of fixed odd multipliers (splitmix-derived) — a
+# multiply-accumulate hash vectorizes over the 20 words in ONE reduction,
+# where a sequential FNV chain cost 120 serial scalar ops per state
+# (measured as the dominant term of the expand phase on TPU).
+_HK1 = jnp.asarray(
+    [0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1,
+     0xD3A2646D, 0xFD7046C5, 0xB55A4F09, 0x94D049BB, 0xBF58476D,
+     0x2545F491, 0x708ED7D7, 0x9E6C63D1, 0xA3B19535, 0x8DA6B343,
+     0xD8163841, 0xCB9E59B1, 0x6295C58D, 0x2F6BBB77, 0x452821E7],
+    jnp.uint32,
+)
+_HK2 = jnp.asarray(
+    [0x38495AB5, 0xA4093823, 0x299F31D1, 0x082EFA99, 0xEC4E6C89,
+     0x452821E7, 0x38D01377, 0xBE5466CF, 0x34E90C6D, 0xC97C50DD,
+     0x3F84D5B5, 0xB5470917, 0x9216D5D9, 0x8979FB1B, 0xD1310BA7,
+     0x98DFB5AD, 0x2FFD72DB, 0xD01ADFB7, 0xB8E1AFED, 0x6A267E97],
+    jnp.uint32,
+)
+
+
 def _hash_packed(packed):
-    """64-bit (two-lane FNV-1a) hash of the 20 packed obs words — the
-    reference's `state.tobytes()` dict key (`agents/agent.py:114-117`)."""
-    h1 = jnp.uint32(0x811C9DC5)
-    h2 = jnp.uint32(0x9E3779B9)
-
-    def body(i, hs):
-        a, b = hs
-        w = packed[i]
-        a = (a ^ w) * jnp.uint32(0x01000193)
-        b = (b ^ w) * jnp.uint32(0x85EBCA6B)
-        return a, b
-
-    h1, h2 = jax.lax.fori_loop(0, packed.shape[0], body, (h1, h2))
+    """64-bit (two multiply-accumulate lanes + avalanche) hash of the packed
+    obs words — the reference's `state.tobytes()` dict key
+    (`agents/agent.py:114-117`). Accepts (..., 20); returns (h1, h2) with the
+    leading shape."""
+    w = packed.astype(jnp.uint32)
+    h1 = _mix32(jnp.sum(w * _HK1, axis=-1, dtype=jnp.uint32))
+    h2 = _mix32(jnp.sum(w * _HK2, axis=-1, dtype=jnp.uint32))
     return h1, h2
 
 
@@ -165,6 +188,120 @@ def _insert_obs(tree: Tree, packed, end, ok, cfg: TreeConfig):
         obs_bits=tree.obs_bits.at[:, o_w].set(packed, mode="drop"),
     )
     return tree, o
+
+
+def _insert_obs7(tree: Tree, packed7, end7, ok, cfg: TreeConfig):
+    """Find-or-create obs slots for 7 observations AT ONCE (the expansion
+    path). All lanes probe/claim in one lockstep while_loop:
+
+    - lanes whose key exists (in the table, or claimed by a lower lane this
+      move) resolve by match;
+    - at an empty slot, the lowest lane of each same-key group attempts to
+      claim it by scattering its key; the scatter's surviving writer (read
+      back and compared) wins, losers advance and retry;
+    - duplicate-key lanes wait for their representative's claim and resolve
+      by match one round later;
+    - when the obs pool is full, lanes at an empty slot resolve to obs 0
+      (the same degraded behavior as the sequential path).
+
+    Typical cost: 1-2 rounds of ~20 vector ops, vs 7 sequential probes +
+    inserts (~1000 serial ops) for the loop-of-`_insert_obs` formulation.
+    Returns (tree, obs7 int32[7])."""
+    if not cfg.projection:
+        has = tree.n_obs + _A7 < cfg.max_obs
+        new_o = ok & has
+        o = jnp.where(new_o, tree.n_obs + _A7, 0)
+        M = tree.obs_bits.shape[1]
+        o_w = jnp.where(new_o, o, M)
+        tree = tree._replace(
+            obs_end=tree.obs_end.at[o_w].set(end7, mode="drop"),
+            obs_bits=tree.obs_bits.at[:, o_w].set(packed7.T, mode="drop"),
+            n_obs=tree.n_obs + jnp.sum(new_o.astype(jnp.int32)),
+        )
+        return tree, o
+
+    h1, h2 = _hash_packed(packed7)  # (7,), (7,)
+    mask = jnp.uint32(cfg.table_size - 1)
+    M = tree.obs_bits.shape[1]
+
+    # same-key group representative = lowest lane index with that key
+    same = (h1[:, None] == h1[None, :]) & (h2[:, None] == h2[None, :])
+    rep = jnp.argmax(same, axis=1) == _A7  # first lane of each group
+
+    slot0 = (h1 & mask).astype(jnp.int32)
+    placed0 = jnp.broadcast_to(~ok, (N_ACTIONS,))
+    obs0 = jnp.zeros(N_ACTIONS, jnp.int32)
+
+    def cond(c):
+        placed = c[4]
+        return ~jnp.all(placed)
+
+    def body(c):
+        th1, th2, tobs, slot, placed, obs_id, n_obs = c
+        occupied = tobs[slot] != 0
+        match = (th1[slot] == h1) & (th2[slot] == h2) & occupied
+        live = ~placed
+
+        # resolve matches
+        obs_id = jnp.where(live & match, tobs[slot], obs_id)
+        placed = placed | (live & match)
+        live = ~placed
+
+        full = n_obs >= cfg.max_obs
+        at_empty = live & ~occupied
+        # pool exhausted: first-empty reached => key absent => obs 0
+        placed = placed | (at_empty & full)
+        live = ~placed
+        at_empty = at_empty & ~full
+
+        # claim attempt: group representatives at an empty slot. Winner =
+        # whoever's write survives the duplicate-index scatter; both lanes'
+        # h1 and h2 scatters see identical index vectors, so XLA picks the
+        # same surviving writer for both and exactly one lane reads back its
+        # full key (the &-check can produce no winner only if the two
+        # scatters disagreed on the survivor, which identical index vectors
+        # rule out).
+        attempt = at_empty & rep
+        s_w = jnp.where(attempt, slot, cfg.table_size)
+        th1 = th1.at[s_w].set(h1, mode="drop")
+        th2 = th2.at[s_w].set(h2, mode="drop")
+        won = attempt & (th1[slot] == h1) & (th2[slot] == h2)
+
+        rank = jnp.cumsum(won.astype(jnp.int32)) - 1
+        ids = n_obs + rank
+        won = won & (ids < cfg.max_obs)
+        ids_w = jnp.where(won, ids, M)
+        s_w2 = jnp.where(won, slot, cfg.table_size)
+        tobs = tobs.at[s_w2].set(ids, mode="drop")
+        obs_id = jnp.where(won, ids, obs_id)
+        placed = placed | won
+        n_obs = n_obs + jnp.sum(won.astype(jnp.int32))
+
+        # advance: only lanes stuck at an occupied non-matching slot.
+        # (duplicate-key lanes at an empty slot wait for their rep's claim.)
+        advance = ~placed & occupied & ~match
+        slot = jnp.where(
+            advance,
+            ((slot + 1).astype(jnp.uint32) & mask).astype(jnp.int32),
+            slot,
+        )
+        return th1, th2, tobs, slot, placed, obs_id, n_obs
+
+    th1, th2, tobs, _, _, obs7, n_obs = jax.lax.while_loop(
+        cond, body,
+        (tree.tbl_h1, tree.tbl_h2, tree.tbl_obs, slot0, placed0, obs0,
+         tree.n_obs),
+    )
+
+    fresh = ok & (obs7 >= tree.n_obs)  # ids minted this call
+    first = fresh & rep
+    o_w = jnp.where(first, obs7, M)
+    tree = tree._replace(
+        tbl_h1=th1, tbl_h2=th2, tbl_obs=tobs, n_obs=n_obs,
+        obs_end=tree.obs_end.at[o_w].set(end7, mode="drop"),
+        obs_bits=tree.obs_bits.at[:, o_w].set(packed7.T, mode="drop"),
+    )
+    return tree, obs7
 
 
 def alloc_node(tree: Tree, st: EnvState, ok, cfg: TreeConfig):
@@ -353,18 +490,7 @@ def expand(tree: Tree, leaf_state: EnvState, leaf, ok, cfg: TreeConfig):
     base = jnp.where(ok, tree.n_nodes, 0)
     ids = base + _A7
 
-    # obs slots: sequential insert (children may share an obs among
-    # themselves; the hash table must see each insert)
-    def obs_body(a, carry):
-        tree, obs_arr = carry
-        tree, o = _insert_obs(
-            tree, packed7[a], child_states.end[a], ok, cfg
-        )
-        return tree, obs_arr.at[a].set(o)
-
-    tree, obs7 = jax.lax.fori_loop(
-        0, N_ACTIONS, obs_body, (tree, jnp.zeros(N_ACTIONS, jnp.int32))
-    )
+    tree, obs7 = _insert_obs7(tree, packed7, child_states.end, ok, cfg)
 
     # node rows: one DUS per field
     tree = tree._replace(

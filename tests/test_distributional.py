@@ -1,0 +1,145 @@
+"""Distributional (C51) search tests: golden comparisons against NumPy
+transcriptions of the reference `agents/core_distributional.py` (the
+reference agent itself is broken — SURVEY.md Appendix A — so these pin the
+reconstructed semantics) plus driver smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tetris_mcts_tpu.search import distributional as DD
+from tetris_mcts_tpu.search.mcts import SearchConfig
+from tetris_mcts_tpu.search.tree import TreeConfig
+
+DCFG = DD.DistConfig(atoms=16, vmax=160.0)
+
+
+def np_shift_distribution(dist, x, vmin, vmax):
+    """Transcription of shift_distribution (core_distributional.py:13-36)."""
+    bins = len(dist)
+    delta = (vmax - vmin) / bins
+    result = np.zeros(bins, np.float32)
+    bin_shift = x / delta
+    fraction = bin_shift - np.floor(bin_shift)
+    for b in range(bins):
+        b_lb = int(b + bin_shift)
+        if b_lb >= bins:
+            b_lb = bins - 1
+        b_ub = bins - 1 if b_lb + 1 >= bins else b_lb + 1
+        result[b_lb] += dist[b] * (1 - fraction)
+        result[b_ub] += dist[b] * fraction
+    return result
+
+
+class TestDistMath:
+    def test_shift_matches_numpy(self):
+        rng = np.random.RandomState(0)
+        for x in (0.0, 3.3, 25.0, 155.0, 500.0):
+            d = rng.dirichlet(np.ones(DCFG.atoms)).astype(np.float32)
+            want = np_shift_distribution(d, x, 0.0, DCFG.vmax)
+            got = np.asarray(DD.shift_distribution(jnp.asarray(d), x, DCFG))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_shift_conserves_mass(self):
+        d = np.full(DCFG.atoms, 1.0 / DCFG.atoms, np.float32)
+        out = np.asarray(DD.shift_distribution(jnp.asarray(d), 42.0, DCFG))
+        assert out.sum() == pytest.approx(1.0, abs=1e-5)
+
+    def test_mean_dist(self):
+        d = np.zeros(DCFG.atoms, np.float32)
+        d[3] = 1.0
+        delta = DCFG.vmax / DCFG.atoms
+        assert float(DD.mean_dist(jnp.asarray(d), DCFG)) == pytest.approx(
+            (3 + 0.5) * delta
+        )
+
+
+def small_cfg(sims=4):
+    return SearchConfig(
+        tree=TreeConfig(max_nodes=512, max_obs=512, table_size=1024,
+                        max_depth=24),
+        sims=sims,
+    )
+
+
+class TestDistBackup:
+    def test_backup_welford_matches_reference(self):
+        """backup_trace_distributional scalar stats (core_distributional.py:
+        110-125): x = mean(dist) + (r - score), welford over x."""
+        from tetris_mcts_tpu.env import engine
+
+        c = small_cfg()
+        envs = engine.reset_batch(2, 1, c.tree.env)
+        env0 = jax.tree.map(lambda leaf: leaf[0], envs)
+        dt = DD.init_dist_tree(env0, c.tree, DCFG)
+
+        d = np.zeros(DCFG.atoms, np.float32)
+        d[2] = 1.0  # mean = 25.0 with atoms=16, vmax=160
+        trace = jnp.zeros(c.tree.max_depth, jnp.int32).at[0].set(dt.base.root)
+
+        dt = DD.backup(dt, trace, jnp.int32(1), 100.0, jnp.asarray(d),
+                       c.tree, DCFG)
+        o = int(dt.base.n_to_o[int(dt.base.root)])
+        mean0 = float(DD.mean_dist(jnp.asarray(d), DCFG))
+        assert int(dt.base.obs_visit[o]) == 1
+        assert float(dt.base.obs_value[o]) == pytest.approx(mean0 + 100.0)
+
+        dt = DD.backup(dt, trace, jnp.int32(1), 50.0, jnp.asarray(d),
+                       c.tree, DCFG)
+        x1, x2 = mean0 + 100.0, mean0 + 50.0
+        assert float(dt.base.obs_value[o]) == pytest.approx((x1 + x2) / 2)
+        # sample variance ns[3] = M2 / (n-1)
+        m2 = (x1 - (x1 + x2) / 2) ** 2 + (x2 - (x1 + x2) / 2) ** 2
+        assert float(dt.obs_m2[o]) == pytest.approx(m2, rel=1e-4)
+        # node distribution = running mean of shifted leaf dists
+        np.testing.assert_allclose(
+            np.asarray(dt.obs_dist[:, o]),
+            (np_shift_distribution(d, 100.0, 0, DCFG.vmax)
+             + np_shift_distribution(d, 50.0, 0, DCFG.vmax)) / 2,
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+class TestDistMove:
+    def test_move_runs(self):
+        c = small_cfg()
+
+        def apply_fn(params, imgs):
+            B = imgs.shape[0]
+            return jnp.full((B, DCFG.atoms), 1.0 / DCFG.atoms)
+
+        move = jax.jit(DD.make_dist_move_fn(apply_fn, c, DCFG,
+                                            min_visits_store=1))
+        dtrees, envs = DD.init_dist_batch(0, 4, c, DCFG)
+        replay = DD.init_dist_replay(512, DCFG.atoms)
+        dtrees, envs, replay, stats = move(
+            None, dtrees, envs, replay, jax.random.PRNGKey(0)
+        )
+        assert stats.action.shape == (4,)
+        p = np.asarray(stats.probs)
+        np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_dist_driver_trains():
+    from tetris_mcts_tpu.runtime.selfplay import (
+        DistSelfPlayDriver, SelfPlayConfig,
+    )
+
+    d = DistSelfPlayDriver(
+        SelfPlayConfig(
+            batch=4, sims=4, max_nodes=512, max_obs=512, table_size=1024,
+            max_depth=24, min_visits_store=1, memory_size=2048,
+            memory_growth=64, train_rows_trigger=64, train_batch=16,
+            train_iters_per_val=5, train_max_iters=10, seed=21,
+        ),
+        atoms=16, vmax=160.0, log=lambda s: None,
+    )
+    d.run(25)
+    assert d.moves == 25
+    assert d._total_rows > 0
+    assert d.n_trains >= 1
+    # stored target distributions are normalized
+    cnt = int(d.replay.count)
+    sums = np.asarray(d.replay.dist)[:cnt].sum(axis=1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-3)

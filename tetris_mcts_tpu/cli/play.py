@@ -25,6 +25,7 @@ AGENT_TYPES = {
     "ValueSimLP": ("lp", True),
     "ValueSimC": ("lp", True),
     "ApproxPolicyIter": ("vp", True),
+    "DistValueSim": ("dist", True),
     "Random": ("rollout", False),
 }
 
@@ -84,9 +85,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     from tetris_mcts_tpu.runtime.selfplay import (
-        SelfPlayConfig, SelfPlayDriver, VPSelfPlayDriver,
+        DistSelfPlayDriver, SelfPlayConfig, SelfPlayDriver, VPSelfPlayDriver,
     )
-    from tetris_mcts_tpu.train.trainer import VPModel, VVModel
+    from tetris_mcts_tpu.train.trainer import DistModel, VPModel, VVModel
 
     evaluator, trains = AGENT_TYPES[args.agent_type]
     sims = 1 if args.agent_type == "Random" else args.mcts_sims
@@ -108,8 +109,11 @@ def main(argv=None):
         randomizer=args.randomizer,
     )
     is_vp = evaluator == "vp"
+    is_dist = evaluator == "dist"
     if is_vp:
         model = VPModel(checkpoint_path=args.checkpoint)
+    elif is_dist:
+        model = DistModel(checkpoint_path=args.checkpoint)
     else:
         model = VVModel(checkpoint_path=args.checkpoint)
     if args.load_model:
@@ -126,7 +130,11 @@ def main(argv=None):
         from tetris_mcts_tpu.obs.metrics import StatusPublisher
         status = StatusPublisher(args.status_dir, batch=args.batch)
 
-    driver_cls = VPSelfPlayDriver if is_vp else SelfPlayDriver
+    driver_cls = (
+        VPSelfPlayDriver if is_vp
+        else DistSelfPlayDriver if is_dist
+        else SelfPlayDriver
+    )
     driver = driver_cls(
         cfg, model=model, saver=saver, metrics=metrics, status=status
     )

@@ -450,3 +450,112 @@ class VPSelfPlayDriver:
         self.log(
             f"Training session {self.n_trains} done in {time.time() - t0:.1f}s"
         )
+
+
+class DistSelfPlayDriver:
+    """DistValueSimOnline-equivalent driver (the reference agent rebuilt
+    working — SURVEY.md Appendix A marks it BROKEN): C51 distributional tree
+    search + online training of the distribution net on harvested target
+    distributions."""
+
+    def __init__(self, cfg: SelfPlayConfig, model=None, atoms: int = 50,
+                 vmax: float = 1000.0,
+                 log=lambda s: print(s, file=sys.stderr, flush=True),
+                 saver=None, metrics=None, status=None):
+        from tetris_mcts_tpu.search import distributional as DD
+        from tetris_mcts_tpu.train.trainer import DistModel
+
+        self.cfg = cfg
+        self.log = log
+        self.saver = saver
+        self.metrics = metrics
+        self.status = status
+        self.model = model or DistModel(atoms=atoms)
+        self._DD = DD
+        self.dcfg = DD.DistConfig(atoms=atoms, vmax=vmax)
+
+        tree_cfg = TreeConfig(
+            max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
+            table_size=cfg.table_size, max_depth=cfg.max_depth,
+            gamma=cfg.gamma,
+            env=engine.EnvConfig(
+                actions_per_drop=cfg.actions_per_drop,
+                scoring=cfg.scoring, randomizer=cfg.randomizer,
+            ),
+        )
+        self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims)
+
+        move = DD.make_dist_move_fn(
+            self.model.apply_fn(), self.search_cfg, self.dcfg,
+            min_visits_store=cfg.min_visits_store,
+            store=not cfg.benchmark,
+        )
+        self._move = jax.jit(move)
+        self.dtrees, self.envs = DD.init_dist_batch(
+            cfg.seed, cfg.batch, self.search_cfg, self.dcfg
+        )
+        self.replay = DD.init_dist_replay(cfg.memory_size, atoms)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        self._ep_score = np.zeros(cfg.batch, np.int64)
+        self._ep_lines = np.zeros(cfg.batch, np.int64)
+        self._ep_id = np.arange(cfg.batch, dtype=np.int64)
+        self._next_ep = cfg.batch
+        self.episodes = 0
+        self.moves = 0
+        self.score_tracker = EpisodeTracker()
+        self.line_tracker = EpisodeTracker()
+        self.n_trains = 0
+        self._rows_at_last_train = 0
+        self._total_rows = 0
+        self._last_ring_idx = 0
+        self.train_history: list = []
+        self.last_stats = None
+
+    def step(self):
+        self.key, sub = jax.random.split(self.key)
+        self.dtrees, self.envs, self.replay, stats = self._move(
+            self.model.params, self.dtrees, self.envs, self.replay, sub
+        )
+        self.moves += 1
+        self.last_stats = stats
+        self._publish(stats)
+        self._finish_episodes(stats)
+        if not self.cfg.benchmark:
+            self._maybe_train()
+        return stats
+
+    _publish = VPSelfPlayDriver._publish
+    _finish_episodes = SelfPlayDriver._finish_episodes
+    _maybe_train = SelfPlayDriver._maybe_train
+    run = SelfPlayDriver.run
+    run_episodes = SelfPlayDriver.run_episodes
+
+    def train(self):
+        self.n_trains += 1
+        m_size = min(self.n_trains * self.cfg.memory_growth, self.cfg.memory_size)
+        count = int(self.replay.count)
+        use = min(m_size, count)
+        if use < self.cfg.train_batch:
+            self.log(f"Training session {self.n_trains}: only {use} rows, skipped")
+            self.n_trains -= 1
+            return
+        idx = int(self.replay.idx)
+        cap = self.cfg.memory_size
+        order = (np.arange(idx - use, idx) % cap).astype(np.int32)
+        data = [
+            np.asarray(_unpack(self.replay.boards[jnp.asarray(order)])),
+            np.asarray(self.replay.dist)[order],
+            np.asarray(self.replay.weight)[order],
+        ]
+        self.log(f"Training session {self.n_trains}: {use} rows (memory {count}/{cap})")
+        t0 = time.time()
+        hist = self.model.train_data(
+            data, batch_size=self.cfg.train_batch,
+            iters_per_val=self.cfg.train_iters_per_val,
+            max_iters=self.cfg.train_max_iters, shuffle=True, log=self.log,
+        )
+        self.train_history.append(hist)
+        self.log(
+            f"Training session {self.n_trains} done in {time.time() - t0:.1f}s"
+        )

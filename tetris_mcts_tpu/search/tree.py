@@ -157,7 +157,12 @@ def _probe(tree: Tree, h1, h2, cfg: TreeConfig):
 # ---------------------------------------------------------------------------
 
 def _masked_set(arr, idx, val, ok):
-    return arr.at[idx].set(jnp.where(ok, val, arr[idx]))
+    """Write arr[idx] = val when ok. Read-free: the index is redirected out
+    of range when ~ok (mode="drop") instead of re-writing the old value —
+    a gather-then-scatter on the same buffer forces XLA to copy the whole
+    array inside loop bodies (measured as GB-scale per-sim traffic)."""
+    idx_w = jnp.where(ok, idx, arr.shape[0])
+    return arr.at[idx_w].set(val, mode="drop")
 
 
 def _insert_obs(tree: Tree, packed, end, ok, cfg: TreeConfig):
@@ -462,12 +467,11 @@ def replay_leaf(tree: Tree, actions, length, cfg: TreeConfig) -> EnvState:
 # ---------------------------------------------------------------------------
 
 def _dus_rows(arr, base, new_vals, ok):
-    """Write `new_vals` ((7,)-shaped) at arr[base:base+7] when ok (single
-    dynamic-update-slice instead of 7 scatters)."""
-    cur = jax.lax.dynamic_slice(arr, (base,), (N_ACTIONS,))
-    return jax.lax.dynamic_update_slice(
-        arr, jnp.where(ok, new_vals.astype(arr.dtype), cur), (base,)
-    )
+    """Write `new_vals` ((7,)-shaped) at arr[base:base+7] when ok. One
+    read-free scatter (indices redirected out of range when ~ok) — see
+    `_masked_set` for why no old values are read back."""
+    ids = jnp.where(ok, base + _A7, arr.shape[0])
+    return arr.at[ids].set(new_vals.astype(arr.dtype), mode="drop")
 
 
 def expand(tree: Tree, leaf_state: EnvState, leaf, ok, cfg: TreeConfig):
@@ -499,10 +503,10 @@ def expand(tree: Tree, leaf_state: EnvState, leaf, ok, cfg: TreeConfig):
         n_to_o=_dus_rows(tree.n_to_o, base, obs7, ok),
         n_nodes=tree.n_nodes + jnp.where(ok, N_ACTIONS, 0),
     )
-    # child column: single column write
-    cur_col = tree.child[:, leaf]
+    # child column: single read-free column write
+    col_w = jnp.where(ok, leaf, tree.child.shape[1])
     tree = tree._replace(
-        child=tree.child.at[:, leaf].set(jnp.where(ok, ids, cur_col))
+        child=tree.child.at[:, col_w].set(ids, mode="drop")
     )
     return tree, child_states
 

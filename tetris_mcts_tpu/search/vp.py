@@ -288,10 +288,14 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         v, logits = apply_fn(params, imgs[..., None].astype(jnp.float32))
         p = jax.nn.softmax(logits, axis=-1)
 
-        # seed priors at the leaf obs (only when expanding)
+        # seed priors at the leaf obs (only when expanding); read-free write
+        # (index redirected out of range when not expanding, see tree._masked_set)
         leaf_obs = bgather(vtrees.base.n_to_o, leafs)
+        M_obs = vtrees.prior.shape[-1]
         prior = jax.vmap(
-            lambda pr, o, pi, ok: pr.at[:, o].set(jnp.where(ok, pi, pr[:, o]))
+            lambda pr, o, pi, ok: pr.at[
+                :, jnp.where(ok, o, M_obs)
+            ].set(pi, mode="drop")
         )(vtrees.prior, leaf_obs, p, can)
         vtrees = vtrees._replace(prior=prior)
 

@@ -497,3 +497,150 @@ class VPModel:
             self.opt_state, blob["opt_state"]
         )
         return True
+
+
+class DistModel:
+    """C51 value-distribution model (reference `model/model_distributional.py`:
+    softmax over `atoms` bins, cross-entropy vs target distributions,
+    `:81-93`)."""
+
+    def __init__(self, atoms: int = 50, lr: float = 1e-3, weighted: bool = True,
+                 seed: int = 0, compute_dtype: Any = jnp.float32,
+                 checkpoint_path: str = "./checkpoints/model_dist.msgpack"):
+        from tetris_mcts_tpu.models.nets import DistNet
+
+        self.net = DistNet(atoms=atoms, compute_dtype=compute_dtype)
+        self.atoms = atoms
+        self.weighted = weighted
+        self.checkpoint_path = checkpoint_path
+        key = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, 20, 10, 1), jnp.float32)
+        self.params = self.net.init(key, dummy)
+        self.tx = optim.yogi(lr=lr)
+        self.opt_state = self.tx.init(self.params)
+        self._rng = np.random.RandomState(seed + 1)
+
+        net, tx = self.net, self.tx
+
+        def per_sample_loss(params, states, target, weight):
+            pred = net.apply(params, states)
+            return weight * L.categorical_ce(pred, target)
+
+        def train_step(params, opt_state, data, key, bs):
+            states, target, weight = data
+            n = states.shape[0]
+            idx = jax.random.randint(key, (bs,), 0, n)
+            batch = tuple(d[idx] for d in data)
+
+            def total(p):
+                per = per_sample_loss(p, *batch)
+                return jnp.mean(per), per
+
+            (loss, per), grads = jax.value_and_grad(total, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, {"loss": loss, "loss_std": jnp.std(per)}
+
+        def eval_loss(params, data):
+            per = per_sample_loss(params, *data)
+            return jnp.mean(per), jnp.std(per)
+
+        def infer(params, states):
+            return net.apply(params, states)
+
+        self._train_step = jax.jit(train_step, static_argnums=(4,))
+        self._eval_loss = jax.jit(eval_loss)
+        self._infer = jax.jit(infer)
+        self.infer_fn = infer
+
+    def inference(self, boards):
+        """boards -> (N, atoms) distribution."""
+        return np.asarray(self._infer(self.params, _boards(boards)))
+
+    def apply_fn(self):
+        net = self.net
+
+        def f(params, states):
+            return net.apply(params, states)
+
+        return f
+
+    def train_data(self, data, batch_size: int = 128, iters_per_val: int = 500,
+                   validation_fraction: float = 0.1, early_stopping: bool = True,
+                   early_stopping_patience: int = 10,
+                   early_stopping_threshold: float = 1.0,
+                   shuffle: bool = False, max_iters: int = 100000, log=print):
+        """data = [states, target_dists (N, atoms), weights]."""
+        states = _boards(data[0])
+        target = jnp.asarray(data[1], jnp.float32)
+        weight = _col(data[2])
+        weight = weight / jnp.mean(weight) if self.weighted else jnp.ones_like(weight)
+
+        n = states.shape[0]
+        n_val = max(int(n * validation_fraction), 1)
+        if shuffle:
+            perm = self._rng.permutation(n)
+            states, target, weight = (d[perm] for d in (states, target, weight))
+        train = tuple(d[:-n_val] for d in (states, target, weight))
+        val = tuple(d[-n_val:] for d in (states, target, weight))
+        log(f"Training data size: {n - n_val}    Validation data size: {n_val}")
+
+        fails, best_val, best_params = 0, float("inf"), self.params
+        loss_avg = 0.0
+        key = jax.random.PRNGKey(self._rng.randint(2**31))
+        history = []
+        for it in range(max_iters):
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, m = self._train_step(
+                self.params, self.opt_state, train, sub, batch_size
+            )
+            loss_avg += float(m["loss"])
+            if (it + 1) % iters_per_val == 0:
+                vmean, vstd = self._eval_loss(self.params, val)
+                vmean, vstd = float(vmean), float(vstd) / n_val**0.5
+                stop = False
+                if early_stopping:
+                    if vmean - best_val < vstd * early_stopping_threshold:
+                        fails = 0
+                        if vmean < best_val:
+                            best_val, best_params = vmean, self.params
+                    else:
+                        fails += 1
+                        stop = fails >= early_stopping_patience
+                log(
+                    f"Iteration:{it + 1:7d}  training loss:"
+                    f"{loss_avg / iters_per_val:6.4f}  validation loss:"
+                    f"{vmean:6.4f}±{vstd:6.4f}"
+                )
+                history.append((it + 1, loss_avg / iters_per_val, vmean, vstd))
+                loss_avg = 0.0
+                if stop:
+                    break
+        if early_stopping:
+            self.params = best_params
+        return history
+
+    def save(self, path: str | None = None, verbose: bool = False):
+        path = path or self.checkpoint_path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = {
+            "params": flax.serialization.to_bytes(self.params),
+            "opt_state": flax.serialization.to_bytes(self.opt_state),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+        if verbose:
+            print("Saving model...", flush=True)
+
+    def load(self, path: str | None = None):
+        path = path or self.checkpoint_path
+        if not os.path.isfile(path):
+            print("Checkpoint not found, using default model", flush=True)
+            return False
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.params = flax.serialization.from_bytes(self.params, blob["params"])
+        self.opt_state = flax.serialization.from_bytes(
+            self.opt_state, blob["opt_state"]
+        )
+        return True

@@ -450,3 +450,55 @@ class TestParallelObsInsert:
         assert (obs7 > 0).sum() == 2
         assert (obs7 == 0).sum() == 5
         assert int(tree.n_obs) == 4
+
+
+class TestVectorizedBackup:
+    """`backup_vectorized` (γ-power matmul + Chan merge) must match `backup`
+    (the sequential reference transcription) — including traces that visit
+    the same obs twice."""
+
+    def _tree_with(self, n_to_o):
+        tree, _ = small_tree()
+        m = np.arange(CFG.max_nodes, dtype=np.int32)
+        m[: len(n_to_o)] = n_to_o
+        return tree._replace(
+            n_to_o=jnp.asarray(m),
+            score=jnp.asarray(
+                np.array([0, 10, 25, 40, 55] + [0] * (CFG.max_nodes - 5),
+                         np.float32)
+            ),
+        )
+
+    def _compare(self, tree, traces):
+        t_vec = tree
+        t_seq = tree
+        rnd = np.random.RandomState(7)
+        for trace in traces:
+            v = float(rnd.rand() * 100)
+            var = float(rnd.rand() * 10)
+            padded = np.zeros(CFG.max_depth, np.int32)
+            padded[: len(trace)] = trace
+            args = (jnp.asarray(padded), jnp.int32(len(trace)),
+                    jnp.float32(v), jnp.float32(var), CFG)
+            t_vec = T.backup_vectorized(t_vec, *args)
+            t_seq = T.backup(t_seq, *args)
+        np.testing.assert_array_equal(
+            np.asarray(t_vec.obs_visit)[:8], np.asarray(t_seq.obs_visit)[:8]
+        )
+        np.testing.assert_allclose(
+            np.asarray(t_vec.obs_value)[:8], np.asarray(t_seq.obs_value)[:8],
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(t_vec.obs_var)[:8], np.asarray(t_seq.obs_var)[:8],
+            rtol=1e-3, atol=1e-3,
+        )
+
+    def test_distinct_obs(self):
+        tree = self._tree_with([0, 1, 2, 3, 4])
+        self._compare(tree, [[1], [1, 2], [1, 2, 3], [1, 2, 3, 4]] * 3)
+
+    def test_duplicate_obs_in_trace(self):
+        # nodes 2 and 4 share obs 2: one trace updates obs 2 twice
+        tree = self._tree_with([0, 1, 2, 3, 2])
+        self._compare(tree, [[1, 2, 3, 4], [1, 2], [1, 2, 3, 4]] * 2)

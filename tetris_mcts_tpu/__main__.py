@@ -5,7 +5,8 @@ import sys
 
 def main():
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
-        print("usage: python -m tetris_mcts_tpu {play,train,cycle} [args...]")
+        print("usage: python -m tetris_mcts_tpu "
+              "{play,train,cycle,dashboard,replay} [args...]")
         return 0
     cmd, argv = sys.argv[1], sys.argv[2:]
     if cmd == "play":
@@ -14,6 +15,10 @@ def main():
         from tetris_mcts_tpu.cli.train import main as m
     elif cmd == "cycle":
         from tetris_mcts_tpu.cli.cycle import main as m
+    elif cmd == "dashboard":
+        from tetris_mcts_tpu.cli.dashboard import main as m
+    elif cmd == "replay":
+        from tetris_mcts_tpu.cli.replay import main as m
     else:
         print(f"unknown command {cmd!r}", file=sys.stderr)
         return 2

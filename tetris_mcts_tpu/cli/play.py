@@ -26,6 +26,8 @@ AGENT_TYPES = {
     "ValueSimC": ("lp", True),
     "ApproxPolicyIter": ("vp", True),
     "DistValueSim": ("dist", True),
+    "DQN": ("dqn", True),
+    "DistDQN": ("dqn", True),
     "Random": ("rollout", False),
 }
 
@@ -90,6 +92,34 @@ def main(argv=None):
     from tetris_mcts_tpu.train.trainer import DistModel, VPModel, VVModel
 
     evaluator, trains = AGENT_TYPES[args.agent_type]
+
+    if evaluator == "dqn":
+        # self-contained Q-learning agent (reference agents/DQN.py): no tree
+        from tetris_mcts_tpu.runtime.dqn import DQNConfig, DQNDriver
+
+        metrics = None
+        if args.metrics:
+            from tetris_mcts_tpu.obs.metrics import MetricsWriter
+            metrics = MetricsWriter(args.metrics)
+        driver = DQNDriver(
+            DQNConfig(
+                batch=args.batch, memory_size=args.memory_size,
+                distributional=args.agent_type == "DistDQN",
+                seed=args.seed, actions_per_drop=args.app,
+                scoring=args.scoring, randomizer=args.randomizer,
+            ),
+            metrics=metrics,
+        )
+        try:
+            moves = 0
+            while (args.endless or driver.episodes < args.ngames) \
+                    and moves < args.max_moves:
+                driver.step()
+                moves += 1
+        except KeyboardInterrupt:
+            print("interrupted", file=sys.stderr)
+        return driver
+
     sims = 1 if args.agent_type == "Random" else args.mcts_sims
     # online training runs iff the agent trains, --online is set, and we are
     # not in benchmark mode (reference gating, play.py:49 + ValueSim.py:109)

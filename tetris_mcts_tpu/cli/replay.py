@@ -1,0 +1,108 @@
+"""`replay` entrypoint — step through saved self-play games (the reference's
+Tk viewer, `/root/reference/tools/replay.py`, as a terminal renderer — this
+environment is headless). Optional `--model` re-runs the current VV net on
+every frame and prints value/variance next to the stored search statistics
+(the reference's live re-inference panel, `tools/replay.py:126-143`).
+
+Keys: Enter/n = next, p = prev, j <n> = jump, q = quit. `--dump` writes the
+whole episode as text frames instead of stepping (the capture-tool
+capability, `tools/capture.py`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+_CHARS = {0: "·", 1: "█", -1: "▒"}
+
+
+def render(board, score, lines, combo, value=None, variance=None,
+           policy=None, action=None):
+    out = []
+    out.append("┌" + "─" * 20 + "┐")
+    for r in range(20):
+        out.append("│" + "".join(_CHARS[int(v)] * 2 for v in board[r]) + "│")
+    out.append("└" + "─" * 20 + "┘")
+    out.append(f"score {score}   lines {lines}   combo {combo}")
+    if action is not None:
+        names = ["noop", "left", "right", "soft", "ccw", "cw", "hard"]
+        out.append(f"action: {names[int(action)]}")
+    if policy is not None:
+        out.append("policy: " + " ".join(f"{p:.2f}" for p in policy))
+    if value is not None:
+        out.append(f"stored value {value:.2f}  variance {variance:.2f}")
+    return "\n".join(out)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tetris-tpu replay")
+    p.add_argument("data", help="DataSaver .h5 file (or glob)")
+    p.add_argument("--episode", type=int, default=None,
+                   help="episode id to view (default: first in file)")
+    p.add_argument("--model", default="",
+                   help="VV checkpoint to re-run on each frame")
+    p.add_argument("--dump", action="store_true",
+                   help="print all frames non-interactively")
+    args = p.parse_args(argv)
+
+    from tetris_mcts_tpu.utils.data import DataLoader
+
+    loader = DataLoader(args.data)
+    ep = args.episode if args.episode is not None else int(loader.episode[0])
+    sel = np.nonzero(loader.episode == ep)[0]
+    if len(sel) == 0:
+        print(f"episode {ep} not found; available: "
+              f"{sorted(set(loader.episode.tolist()))[:20]}...", file=sys.stderr)
+        return 1
+
+    model = None
+    if args.model:
+        from tetris_mcts_tpu.train.trainer import VVModel
+
+        model = VVModel(checkpoint_path=args.model)
+        model.load()
+
+    def frame(i):
+        j = sel[i]
+        txt = render(
+            loader.board[j], int(loader.score[j]), int(loader.lines[j]),
+            int(loader.combo[j]), float(loader.value[j]),
+            float(loader.variance[j]), loader.policy[j], loader.action[j],
+        )
+        if model is not None:
+            v, var = model.inference(loader.board[j][None])
+            txt += f"\nmodel value {float(v[0, 0]):.2f}  variance {float(var[0, 0]):.2f}"
+        return f"frame {i + 1}/{len(sel)} (episode {ep})\n" + txt
+
+    if args.dump:
+        for i in range(len(sel)):
+            print(frame(i))
+            print()
+        return 0
+
+    i = 0
+    while True:
+        print("\033[2J\033[H" + frame(i), flush=True)
+        try:
+            cmd = input("[n]ext/[p]rev/j <i>/[q]uit> ").strip()
+        except EOFError:
+            break
+        if cmd in ("q", "quit"):
+            break
+        elif cmd in ("p", "prev"):
+            i = max(i - 1, 0)
+        elif cmd.startswith("j"):
+            try:
+                i = min(max(int(cmd.split()[1]) - 1, 0), len(sel) - 1)
+            except (IndexError, ValueError):
+                pass
+        else:
+            i = min(i + 1, len(sel) - 1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

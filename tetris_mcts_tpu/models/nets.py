@@ -120,3 +120,53 @@ class DistNet(nn.Module):
 def boards_to_input(boards):
     """(B, 20, 10) int8 getState images -> (B, 20, 10, 1) float NHWC."""
     return boards.astype(jnp.float32)[..., None]
+
+
+class QNet(nn.Module):
+    """DQN Q-network (reference agents/DQN.py:10-25: 2x conv32 + FC128 ->
+    7 action values). Input NHWC (B, 20, 10, 1); the reference's DQN used
+    22x10 boards — this build standardizes on the engine's 20x10."""
+
+    filters: int = 32
+    n_fc: int = 128
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.compute_dtype)
+        for i in range(2):
+            x = nn.Conv(self.filters, (3, 3), padding="VALID",
+                        dtype=self.compute_dtype, name=f"conv{i + 1}")(x)
+            x = nn.relu(x)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(self.n_fc, dtype=self.compute_dtype, name="fc1")(x)
+        x = nn.relu(x)
+        return nn.Dense(N_ACTIONS, dtype=jnp.float32, name="fc_q")(
+            x.astype(jnp.float32)
+        )
+
+
+class DistQNet(nn.Module):
+    """Distributional DQN head (reference agents/DQN.py:28-45): per-action
+    categorical distribution over `atoms` bins. Returns (B, 7, atoms)."""
+
+    atoms: int = 50
+    filters: int = 16
+    n_fc: int = 128
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.compute_dtype)
+        for i in range(2):
+            x = nn.Conv(self.filters, (3, 3), padding="VALID",
+                        dtype=self.compute_dtype, name=f"conv{i + 1}")(x)
+            x = nn.relu(x)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(self.n_fc, dtype=self.compute_dtype, name="fc1")(x)
+        x = nn.relu(x)
+        logits = nn.Dense(N_ACTIONS * self.atoms, dtype=jnp.float32,
+                          name="fc_q")(x.astype(jnp.float32))
+        return nn.softmax(
+            logits.reshape(x.shape[0], N_ACTIONS, self.atoms), axis=-1
+        )

@@ -19,6 +19,8 @@ def main():
         from tetris_mcts_tpu.cli.dashboard import main as m
     elif cmd == "replay":
         from tetris_mcts_tpu.cli.replay import main as m
+    elif cmd == "tools":
+        from tetris_mcts_tpu.cli.tools import main as m
     else:
         print(f"unknown command {cmd!r}", file=sys.stderr)
         return 2

@@ -1,0 +1,112 @@
+"""Multi-host runtime: process groups, global meshes, per-host RNG, and the
+sharded actor-learner step.
+
+The reference has NO distributed layer (SURVEY.md §2.7: `cycle.sh` forks
+processes that share files). Here scale-out is SPMD:
+
+- `init_distributed()` wraps `jax.distributed.initialize` (one process per
+  host; env-driven coordinator discovery — the standard TPU pod setup);
+- `global_mesh()` builds a Mesh over ALL devices (local + remote) with the
+  data axis spanning hosts: gradient all-reduce rides ICI within a slice and
+  DCN across slices, compiled by XLA from the shardings declared in
+  `parallel/mesh.py` — there is no hand-written communication anywhere;
+- `host_fold(key)` folds the process index into an RNG key so every host
+  plays distinct games (per-host unique RNG folds, SURVEY.md §2.7);
+- `DistributedSelfPlay` runs the actor-learner loop: each host steps its
+  local shard of the global env/tree batch; training samples ride the same
+  mesh so the learner's gradient psum is the only cross-host traffic.
+
+Weight distribution needs no checkpoint-reload handoff (the reference's
+`save / load` dance, `agents/ValueSimOnline.py:205-212`): params live
+replicated on the mesh and every actor reads the post-update values in the
+next move program.
+
+Testable without a pod: `XLA_FLAGS=--xla_force_host_platform_device_count=N`
+gives N virtual devices in one process (tests/conftest.py), and
+`jax.distributed.initialize` accepts num_processes=1.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from tetris_mcts_tpu.parallel import mesh as M
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize the multi-host process group. No-ops for single-process
+    runs (the common 1-host case and all tests). Returns the process index.
+
+    Coordinator discovery: explicit args, else JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars, else TPU-pod metadata
+    (jax.distributed.initialize() with no args)."""
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    if coordinator is None and num_processes in (None, 1):
+        return 0  # single process: nothing to initialize
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
+def global_mesh(model_parallel: int = 1):
+    """Mesh over every device of every process (data axis spans hosts)."""
+    return M.make_mesh(devices=jax.devices(), model_parallel=model_parallel)
+
+
+def host_fold(key, axis: str = "host"):
+    """Per-host RNG: fold the process index into the key so hosts' games
+    differ (SURVEY.md §2.7 'per-host unique RNG folds')."""
+    return jax.random.fold_in(key, jax.process_index())
+
+
+def local_batch(global_batch: int) -> int:
+    """Games this process owns under even sharding of the global batch."""
+    n = jax.process_count()
+    assert global_batch % n == 0, (global_batch, n)
+    return global_batch // n
+
+
+class DistributedSelfPlay:
+    """Actor-learner over a global mesh: a thin composition of the
+    single-host driver pieces with mesh-sharded state. Each host constructs
+    this with the same config; per-host RNG folding diversifies games.
+
+    On a real pod, `jax.make_array_from_single_device_arrays` assembles the
+    global (trees, envs) from each host's local shard; on one host this
+    degenerates to `parallel.mesh.shard_batch`."""
+
+    def __init__(self, cfg, model=None, model_parallel: int = 1, **driver_kw):
+        from tetris_mcts_tpu.runtime.selfplay import SelfPlayDriver
+
+        self.process_index = jax.process_index()
+        self.mesh = global_mesh(model_parallel)
+        cfg = cfg._replace(seed=cfg.seed + 7919 * self.process_index)
+        self.driver = SelfPlayDriver(cfg, model=model, **driver_kw)
+        # shard the device state over the mesh's data axis
+        self.driver.trees = M.shard_batch(self.mesh, self.driver.trees)
+        self.driver.envs = M.shard_batch(self.mesh, self.driver.envs)
+        self.driver.replay = M.replicate(self.mesh, self.driver.replay)
+        self.driver.key = host_fold(self.driver.key)
+
+    def step(self):
+        return self.driver.step()
+
+    def run(self, n_moves: int):
+        self.driver.run(n_moves)
+
+    def run_episodes(self, n: int, **kw):
+        self.driver.run_episodes(n, **kw)

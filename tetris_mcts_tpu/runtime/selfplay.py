@@ -64,6 +64,8 @@ class SelfPlayConfig(NamedTuple):
     train_iters_per_val: int = 100
     train_max_iters: int = 50_000
     benchmark: bool = False        # no training, no storage
+    dump_dir: str = ""             # write data/dump.npz per session
+                                   # (reference ValueSim.py:176-177)
     seed: int = 0
     # env knobs (reference Tetris ctor, play.py:75)
     actions_per_drop: int = 1
@@ -286,6 +288,16 @@ class SelfPlayDriver:
             f"Training session {self.n_trains}: {use} rows "
             f"(memory {count}/{cap})"
         )
+        if self.cfg.dump_dir:
+            # training-set dump for the offline tools (reference
+            # ValueSim.train_nodes, ValueSim.py:176-177; consumed by
+            # `tools train_dump`)
+            import os
+            os.makedirs(self.cfg.dump_dir, exist_ok=True)
+            np.savez(
+                os.path.join(self.cfg.dump_dir, "dump"),
+                states=states, values=value, variance=var, weights=weight,
+            )
         t0 = time.time()
         hist = self.model.train_data(
             [states, value, var, weight],

@@ -502,3 +502,114 @@ class TestVectorizedBackup:
         # nodes 2 and 4 share obs 2: one trace updates obs 2 twice
         tree = self._tree_with([0, 1, 2, 3, 2])
         self._compare(tree, [[1, 2, 3, 4], [1, 2], [1, 2, 3, 4]] * 2)
+
+
+class TestBackupVariants:
+    """EMA / mixture backup rules vs NumPy transcriptions of
+    core_projection.py:150-162 and :182-200."""
+
+    def _tree(self):
+        tree, _ = small_tree()
+        return tree._replace(
+            n_to_o=jnp.asarray(np.arange(CFG.max_nodes, dtype=np.int32)),
+            score=jnp.asarray(
+                np.array([0, 10, 25, 40] + [0] * (CFG.max_nodes - 4),
+                         np.float32)
+            ),
+        )
+
+    def test_exp_moving_matches_numpy(self):
+        tree = self._tree()
+        score = np.asarray(tree.score, np.float64)
+        visit = np.zeros(CFG.max_obs, np.int64)
+        value = np.zeros(CFG.max_obs, np.float64)
+        var = np.zeros(CFG.max_obs, np.float64)
+        alpha, gamma = 0.1, CFG.gamma
+        rnd = np.random.RandomState(3)
+        for _ in range(6):
+            trace = np.array([1, 2, 3], np.int32)[: rnd.randint(1, 4)]
+            v0, s0 = float(rnd.rand() * 100), float(rnd.rand() * 10)
+            padded = np.zeros(CFG.max_depth, np.int32)
+            padded[: len(trace)] = trace
+            tree = T.backup_exp_moving(
+                tree, jnp.asarray(padded), jnp.int32(len(trace)),
+                jnp.float32(v0), jnp.float32(s0), CFG, alpha=alpha,
+            )
+            v = v0
+            for idx in trace[::-1]:
+                v -= score[idx]
+                o = idx
+                if visit[o] == 0:
+                    value[o] = v
+                    var[o] = s0
+                else:
+                    d = v - value[o]
+                    value[o] += alpha * d
+                    var[o] = (1 - alpha) * (var[o] + alpha * d * d)
+                visit[o] += 1
+                v = gamma * v + score[idx]
+        np.testing.assert_allclose(
+            np.asarray(tree.obs_value)[:6], value[:6], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(tree.obs_var)[:6], var[:6], rtol=1e-3, atol=1e-3
+        )
+
+    def test_mixture_matches_numpy(self):
+        tree = self._tree()
+        score = np.asarray(tree.score, np.float64)
+        visit = np.zeros(CFG.max_obs, np.int64)
+        value = np.zeros(CFG.max_obs, np.float64)
+        var = np.zeros(CFG.max_obs, np.float64)
+        gamma = CFG.gamma
+        rnd = np.random.RandomState(4)
+        for _ in range(6):
+            trace = np.array([1, 2, 3], np.int32)[: rnd.randint(1, 4)]
+            v0, s0 = float(rnd.rand() * 100), float(rnd.rand() * 10)
+            padded = np.zeros(CFG.max_depth, np.int32)
+            padded[: len(trace)] = trace
+            tree = T.backup_mixture(
+                tree, jnp.asarray(padded), jnp.int32(len(trace)),
+                jnp.float32(v0), jnp.float32(s0), CFG,
+            )
+            v, in_var = v0, s0
+            for idx in trace[::-1]:
+                v -= score[idx]
+                o = idx
+                visit[o] += 1
+                v_diff = v - value[o]
+                v_sq_diff = v * v - value[o] ** 2
+                v_tmp = value[o]
+                value[o] += v_diff / visit[o]
+                var_diff = in_var - var[o]
+                var[o] += (var_diff + v_sq_diff) / visit[o] - (
+                    v_diff / visit[o]
+                ) * (v_tmp + value[o])
+                v = gamma * v + score[idx]
+                in_var = gamma * in_var
+        np.testing.assert_allclose(
+            np.asarray(tree.obs_value)[:6], value[:6], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(tree.obs_var)[:6], var[:6], rtol=1e-3, atol=1e-2
+        )
+
+
+class TestSelectionPolicies:
+    def test_all_policies_select_valid_children(self):
+        for policy in ("clt", "gauss", "max", "mc", "random", "greedy"):
+            cfg = CFG._replace(policy=policy, low=0)
+            tree, s = small_tree()
+            tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), cfg)
+            # give children some visits so the low-rule doesn't mask policy
+            tree = tree._replace(
+                obs_visit=tree.obs_visit.at[1:9].set(3),
+                obs_value=tree.obs_value.at[1:9].set(1.0),
+                obs_var=tree.obs_var.at[1:9].set(2.0),
+            )
+            trace, acts, length = T.select(
+                tree, jax.random.PRNGKey(1), cfg
+            )
+            assert int(length) == 2, policy
+            leaf = int(trace[1])
+            assert leaf in np.asarray(tree.child[:, 1]).tolist(), policy

@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--randomizer", type=int, default=0, choices=(0, 1),
                    help="0 seven-bag, 1 uniform")
     p.add_argument("--gamma", type=float, default=0.999)
+    p.add_argument("--policy", default="clt",
+                   choices=("clt", "gauss", "max", "mc", "random", "greedy"),
+                   help="leaf-selection rule (reference agents/policy.py)")
     p.add_argument("--min_visits", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_model", action="store_true",
@@ -129,7 +132,8 @@ def main(argv=None):
         batch=args.batch, sims=sims, evaluator=evaluator,
         max_nodes=args.max_nodes, max_obs=args.max_obs,
         table_size=max(2 * args.max_obs, 16), max_depth=96,
-        gamma=args.gamma, min_visits_store=args.min_visits,
+        gamma=args.gamma, policy=args.policy,
+        min_visits_store=args.min_visits,
         memory_size=args.memory_size, memory_growth=args.memory_growth,
         train_rows_trigger=args.train_rows, train_batch=args.train_batch,
         train_iters_per_val=args.train_iters_per_val,

@@ -56,6 +56,7 @@ class SelfPlayConfig(NamedTuple):
     table_size: int = 8192
     max_depth: int = 96
     gamma: float = 0.999
+    policy: str = "clt"            # selection rule (agents/policy.py)
     min_visits_store: int = 25     # min_visits_to_store (agent.cpp:839)
     memory_size: int = 100_000     # replay capacity (reference 500000)
     memory_growth: int = 5_000     # per-session growth gate (ValueSim.py:14)
@@ -122,7 +123,7 @@ class SelfPlayDriver:
         tree_cfg = TreeConfig(
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
             table_size=cfg.table_size, max_depth=cfg.max_depth,
-            gamma=cfg.gamma,
+            gamma=cfg.gamma, policy=cfg.policy,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
                 scoring=cfg.scoring, randomizer=cfg.randomizer,

@@ -63,6 +63,8 @@ class TreeConfig(NamedTuple):
     low: int = 1           # unvisited-first threshold (`check_low` n)
     gamma: float = 0.999   # backup discount (`agent.cpp:841` default)
     projection: bool = True
+    policy: str = "clt"    # selection rule (agents/policy.py): clt | gauss |
+                           # max | mc | random | greedy
     env: EnvConfig = EnvConfig()
 
 
@@ -421,14 +423,35 @@ def select(tree: Tree, key, cfg: TreeConfig):
         low_choice = jnp.argmax(jnp.where(low_mask, gumbel, -jnp.inf))
 
         n_total = jnp.sum(visits)
-        q = (
-            tree.obs_value[obs]
-            + tree.score[kids]
-            - tree.score[idx]
-            + norm_quantile(n_total)
-            # clamp: float Welford updates can leave tiny negative variances
-            * jnp.sqrt(jnp.maximum(tree.obs_var[obs], 0.0) / jnp.maximum(visits, 1))
-        )
+        # base Q = shared obs value + score delta (select_trace_obs semantics)
+        q_base = tree.obs_value[obs] + tree.score[kids] - tree.score[idx]
+        # clamp: float Welford updates can leave tiny negative variances
+        var = jnp.maximum(tree.obs_var[obs], 0.0)
+        nv = jnp.maximum(visits, 1).astype(jnp.float32)
+        # exploration term per the configured rule (agents/policy.py:8-55)
+        if cfg.policy == "clt":
+            explore = norm_quantile(n_total) * jnp.sqrt(var / nv)
+        elif cfg.policy == "gauss":
+            explore = norm_quantile(n_total) * jnp.sqrt(var)
+        elif cfg.policy == "max":
+            # UCB1 scaled by the best child Q (the reference scales by the
+            # max return statistic of the legacy node layout)
+            q_max = jnp.max(jnp.where(kept, q_base, -jnp.inf))
+            explore = q_max * jnp.sqrt(
+                jnp.log(jnp.maximum(n_total, 2).astype(jnp.float32)) / nv
+            )
+        elif cfg.policy == "mc":
+            # Thompson-style: one gaussian draw per child
+            key, sub_mc = jax.random.split(key)
+            explore = jax.random.normal(sub_mc, (N_ACTIONS,)) * jnp.sqrt(var)
+        elif cfg.policy == "random":
+            key, sub_r = jax.random.split(key)
+            explore = jax.random.gumbel(sub_r, (N_ACTIONS,)) * 1e9 - q_base
+        elif cfg.policy == "greedy":
+            explore = 0.0
+        else:
+            raise ValueError(f"unknown selection policy {cfg.policy!r}")
+        q = q_base + explore
         clt_choice = jnp.argmax(jnp.where(kept, q, -jnp.inf))
 
         choice = jnp.where(any_low, low_choice, clt_choice).astype(jnp.int32)
@@ -640,6 +663,84 @@ def backup_vectorized(tree: Tree, trace, length, value, variance,
         obs_value=tree.obs_value.at[o_w].set(mean_new, mode="drop"),
         obs_var=tree.obs_var.at[o_w].set(var_new, mode="drop"),
     )
+
+
+def backup_exp_moving(tree: Tree, trace, length, value, variance,
+                      cfg: TreeConfig, alpha: float = 0.1):
+    """`backup_trace_obs_exp_moving` (core_projection.py:150-162): EMA value
+    with EMA-consistent variance — value += α·δ,
+    var = (1-α)(var + α·δ²); first visit seeds (value, variance)."""
+    gamma = jnp.float32(cfg.gamma)
+    a = jnp.float32(alpha)
+
+    def cond(carry):
+        t, *_ = carry
+        return t >= 0
+
+    def body(carry):
+        t, visit, val, var, v = carry
+        idx = trace[t]
+        o = tree.n_to_o[idx]
+        v_rel = v - tree.score[idx]
+        first = visit[o] == 0
+        d = v_rel - val[o]
+        val_new = jnp.where(first, v_rel, val[o] + a * d)
+        var_new = jnp.where(
+            first, variance, (1.0 - a) * (var[o] + a * d * d)
+        )
+        visit = visit.at[o].add(1)
+        val = val.at[o].set(val_new)
+        var = var.at[o].set(var_new)
+        v = gamma * v_rel + tree.score[idx]
+        return t - 1, visit, val, var, v
+
+    _, visit, val, var, _ = jax.lax.while_loop(
+        cond, body,
+        (length - 1, tree.obs_visit, tree.obs_value, tree.obs_var,
+         jnp.float32(value)),
+    )
+    return tree._replace(obs_visit=visit, obs_value=val, obs_var=var)
+
+
+def backup_mixture(tree: Tree, trace, length, value, variance,
+                   cfg: TreeConfig):
+    """`backup_trace_mixture_obs` (core_projection.py:182-200 /
+    C++ core.h:262-301): treats each backup as a gaussian component and
+    tracks the mixture's variance — var += (Δvar + Δ(v²))/n −
+    (Δv/n)(v_old + v_new); the incoming variance decays by γ each level."""
+    gamma = jnp.float32(cfg.gamma)
+
+    def cond(carry):
+        t, *_ = carry
+        return t >= 0
+
+    def body(carry):
+        t, visit, val, var, v, in_var = carry
+        idx = trace[t]
+        o = tree.n_to_o[idx]
+        v_rel = v - tree.score[idx]
+        n_new = (visit[o] + 1).astype(jnp.float32)
+        v_diff = v_rel - val[o]
+        v_sq_diff = v_rel * v_rel - val[o] * val[o]
+        v_tmp = val[o]
+        val_new = val[o] + v_diff / n_new
+        var_diff = in_var - var[o]
+        var_new = var[o] + (var_diff + v_sq_diff) / n_new - (
+            v_diff / n_new
+        ) * (v_tmp + val_new)
+        visit = visit.at[o].add(1)
+        val = val.at[o].set(val_new)
+        var = var.at[o].set(var_new)
+        v = gamma * v_rel + tree.score[idx]
+        in_var = gamma * in_var
+        return t - 1, visit, val, var, v, in_var
+
+    _, visit, val, var, _, _ = jax.lax.while_loop(
+        cond, body,
+        (length - 1, tree.obs_visit, tree.obs_value, tree.obs_var,
+         jnp.float32(value), jnp.float32(variance)),
+    )
+    return tree._replace(obs_visit=visit, obs_value=val, obs_var=var)
 
 
 def backup_leaf_parallel(tree: Tree, trace, length, v_nn, var_nn, expanded,

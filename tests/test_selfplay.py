@@ -84,3 +84,16 @@ def test_episodes_eventually_finish():
     d.run_episodes(1, max_moves=2000)
     assert d.episodes >= 1
     assert d.line_tracker.n == d.episodes
+
+
+def test_save_nodes(tmp_path, driver):
+    import h5py
+
+    path = str(tmp_path / "nodes.h5")
+    driver.save_nodes(path, min_visits=1)
+    with h5py.File(path) as f:
+        n = len(f["value"])
+        assert n > 0
+        assert f["board"].shape == (n, 20, 10)
+        assert (np.asarray(f["visit"]) >= 1).all()
+        assert np.isfinite(np.asarray(f["value"])).all()

@@ -35,6 +35,7 @@ import numpy as np
 
 from tetris_mcts_tpu.env import engine
 from tetris_mcts_tpu.search import mcts
+from tetris_mcts_tpu.search import tree as _tree
 from tetris_mcts_tpu.search.mcts import Replay, SearchConfig
 from tetris_mcts_tpu.search.tree import TreeConfig
 from tetris_mcts_tpu.train.trainer import VVModel
@@ -317,6 +318,31 @@ class SelfPlayDriver:
                 seconds=time.time() - t0, iters=last[0],
                 loss_train=last[1], loss_val=last[2],
             )
+
+    def save_nodes(self, path: str, min_visits: int = 1):
+        """Dump the current searched observations of every tree to HDF5
+        (the reference's `TreeAgent.save_nodes` node-saver channel,
+        agents/agent.py:259-289): board image, value, variance, visit count
+        per live obs slot, tagged by game index."""
+        import h5py
+
+        packed, val, var, w, mask = jax.vmap(
+            lambda t: _tree.harvest(t, min_visits, self.search_cfg.tree)
+        )(self.trees)
+        mask = np.asarray(mask)
+        boards = np.asarray(_unpack(packed))
+        val, var, w = map(np.asarray, (val, var, w))
+        game_idx = np.broadcast_to(
+            np.arange(mask.shape[0])[:, None], mask.shape
+        )
+        sel = mask.reshape(-1)
+        with h5py.File(path, "w") as f:
+            f.create_dataset("board", data=boards.reshape(-1, 20, 10)[sel])
+            f.create_dataset("value", data=val.reshape(-1)[sel])
+            f.create_dataset("variance", data=var.reshape(-1)[sel])
+            f.create_dataset("visit", data=w.reshape(-1)[sel])
+            f.create_dataset("game", data=game_idx.reshape(-1)[sel])
+        self.log(f"saved {int(sel.sum())} nodes to {path}")
 
     # ------------------------------------------------------------------ loops
     def run(self, n_moves: int):

@@ -3,10 +3,11 @@
 The reference's `cycle.sh` (`/root/reference/cycle.sh:53-74`): per iteration,
 (1) train on all accumulated data, (2) fan out N self-play workers writing
 separate files, (3) one benchmark run; `-c` clears, `-r` resumes from the
-last finished cycle found in the data dir. Here the workers are threads over
-ONE device-resident batched driver per worker-equivalent (on TPU one process
-owns the chip; the reference forked processes because its env was
-single-game — SURVEY.md §2.7), and resume scans the same data-dir layout.
+last finished cycle found in the data dir. The workers run SEQUENTIALLY
+here: a TPU chip is single-tenant, and one batched worker already plays
+`--batch` games concurrently — the reference forked parallel processes only
+because its env was single-game (SURVEY.md §2.7). Resume scans the same
+data-dir layout.
 """
 
 from __future__ import annotations

@@ -173,6 +173,15 @@ def main(argv=None):
         cfg, model=model, saver=saver, metrics=metrics, status=status
     )
 
+    # convert SIGTERM (timeouts, schedulers) into the interrupt path so the
+    # finally-block checkpoint save runs on managed shutdown
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
+
     try:
         if args.endless:
             while True:

@@ -36,7 +36,7 @@ import numpy as np
 from tetris_mcts_tpu.env import engine
 from tetris_mcts_tpu.search import mcts
 from tetris_mcts_tpu.search import tree as _tree
-from tetris_mcts_tpu.search.mcts import Replay, SearchConfig
+from tetris_mcts_tpu.search.mcts import SearchConfig
 from tetris_mcts_tpu.search.tree import TreeConfig
 from tetris_mcts_tpu.train.trainer import VVModel
 

@@ -103,7 +103,143 @@ class EpisodeTracker:
         return max(self._sumsq / self.n - self.mean**2, 0.0) ** 0.5
 
 
-class SelfPlayDriver:
+class _OnlineDriverBase:
+    """Shared host loop of every online self-play driver: episode
+    bookkeeping in the reference's log format, the growth-gated training
+    trigger (`ValueSim.train_nodes`, ValueSim.py:161-186), and the run
+    loops. Subclasses own the jitted move program and provide
+    `_training_columns(order)` (the replay columns for one session)."""
+
+    def _init_bookkeeping(self, cfg: SelfPlayConfig, log, saver, metrics,
+                          status):
+        self.cfg = cfg
+        self.log = log
+        self.saver = saver
+        self.metrics = metrics
+        self.status = status
+        self.key = jax.random.PRNGKey(cfg.seed)
+        # episode bookkeeping: scores/lines of in-flight games
+        self._ep_score = np.zeros(cfg.batch, np.int64)
+        self._ep_lines = np.zeros(cfg.batch, np.int64)
+        self._ep_id = np.arange(cfg.batch, dtype=np.int64)
+        self._next_ep = cfg.batch
+        self.episodes = 0
+        self.moves = 0
+        self.score_tracker = EpisodeTracker()
+        self.line_tracker = EpisodeTracker()
+        # training bookkeeping
+        self.n_trains = 0
+        self._rows_at_last_train = 0
+        self._total_rows = 0       # monotone count of rows ever harvested
+        self._last_ring_idx = 0
+        self.train_history: list = []
+        self.last_stats = None
+
+    def _finish_episodes(self, stats):
+        done = np.asarray(stats.done)
+        score = np.asarray(stats.score)
+        lines = np.asarray(stats.lines)
+        if not done.any():
+            self._ep_score = score.astype(np.int64)
+            self._ep_lines = lines.astype(np.int64)
+            return
+        for i in np.nonzero(done)[0]:
+            self.episodes += 1
+            self._ep_id[i] = self._next_ep
+            self._next_ep += 1
+            self.score_tracker.add(float(score[i]))
+            self.line_tracker.add(float(lines[i]))
+            # reference episode line (play.py:155-165 format family) — the
+            # dashboards regex-parse "Episode:" lines (web/parseLog.py:59-68)
+            self.log(
+                f"Episode:{self.episodes:6d}  "
+                f"Lines Cleared:{int(lines[i]):5d}  Score:{int(score[i]):10d}  "
+                f"lines(min/max/mean):{self.line_tracker.min:.0f}/"
+                f"{self.line_tracker.max:.0f}/{self.line_tracker.mean:.2f}  "
+                f"score(mean±std):{self.score_tracker.mean:.1f}"
+                f"±{self.score_tracker.std:.1f}"
+            )
+            if self.metrics is not None:
+                self.metrics.write(
+                    "episode", n=self.episodes, lines=int(lines[i]),
+                    score=int(score[i]), benchmark=self.cfg.benchmark,
+                )
+        self._ep_score = np.where(done, 0, score).astype(np.int64)
+        self._ep_lines = np.where(done, 0, lines).astype(np.int64)
+
+    def _maybe_train(self):
+        # rows added this move = ring-head advance (per-move additions are
+        # far below capacity, so the mod is unambiguous)
+        idx = int(self.replay.idx)
+        self._total_rows += (idx - self._last_ring_idx) % self.cfg.memory_size
+        self._last_ring_idx = idx
+        if self._total_rows - self._rows_at_last_train < self.cfg.train_rows_trigger:
+            return
+        self._rows_at_last_train = self._total_rows
+        self.train()
+
+    def train(self):
+        """One training session with reference growth-gating
+        (`ValueSim.train_nodes`, ValueSim.py:161-186)."""
+        self.n_trains += 1
+        m_size = min(self.n_trains * self.cfg.memory_growth,
+                     self.cfg.memory_size)
+        count = int(self.replay.count)
+        use = min(m_size, count)
+        if use < self.cfg.train_batch:
+            self.log(f"Training session {self.n_trains}: only {use} rows, "
+                     "skipped")
+            self.n_trains -= 1
+            return
+
+        # most recent `use` rows of the ring; boards stored bit-packed in
+        # the move program, unpacked to images only here (training prep)
+        idx = int(self.replay.idx)
+        cap = self.cfg.memory_size
+        order = (np.arange(idx - use, idx) % cap).astype(np.int32)
+        data = self._training_columns(order)
+
+        self.log(
+            f"Training session {self.n_trains}: {use} rows "
+            f"(memory {count}/{cap})"
+        )
+        self._dump_training_data(data)
+        t0 = time.time()
+        hist = self.model.train_data(
+            data,
+            batch_size=self.cfg.train_batch,
+            iters_per_val=self.cfg.train_iters_per_val,
+            max_iters=self.cfg.train_max_iters,
+            shuffle=True,
+            log=self.log,
+        )
+        self.train_history.append(hist)
+        self.log(f"Training session {self.n_trains} done in "
+                 f"{time.time() - t0:.1f}s")
+        if self.metrics is not None:
+            last = hist[-1] if hist else (0, float("nan"), float("nan"), 0.0)
+            self.metrics.write(
+                "train_session", n=self.n_trains, rows=use,
+                seconds=time.time() - t0, iters=last[0],
+                loss_train=last[1], loss_val=last[2],
+            )
+
+    def _dump_training_data(self, data):
+        """Hook: per-session training-set dump (VV driver implements it)."""
+
+    def run(self, n_moves: int):
+        for _ in range(n_moves):
+            self.step()
+
+    def run_episodes(self, n_episodes: int, max_moves: int = 10_000_000):
+        target = self.episodes + n_episodes
+        moves = 0
+        while self.episodes < target and moves < max_moves:
+            self.step()
+            moves += 1
+
+
+class SelfPlayDriver(_OnlineDriverBase):
     """Owns the model, the batched (trees, envs, replay) device state, and the
     jitted move program. `run(n_moves)` / `run_episodes(n)` advance self-play;
     training sessions fire automatically from the growth gate."""
@@ -114,11 +250,7 @@ class SelfPlayDriver:
         """`saver`: utils.data.DataSaver — per-move rows (reference `--save`,
         play.py:127-137). `metrics`: obs.metrics.MetricsWriter. `status`:
         obs.metrics.StatusPublisher (reference memmap protocol)."""
-        self.cfg = cfg
-        self.log = log
-        self.saver = saver
-        self.metrics = metrics
-        self.status = status
+        self._init_bookkeeping(cfg, log, saver, metrics, status)
         self.model = model or VVModel()
 
         tree_cfg = TreeConfig(
@@ -156,25 +288,6 @@ class SelfPlayDriver:
 
         self.trees, self.envs = mcts.init_batch(cfg.seed, cfg.batch, self.search_cfg)
         self.replay = mcts.init_replay(cfg.memory_size)
-        self.key = jax.random.PRNGKey(cfg.seed)
-
-        # episode bookkeeping: scores/lines of in-flight games
-        self._ep_score = np.zeros(cfg.batch, np.int64)
-        self._ep_lines = np.zeros(cfg.batch, np.int64)
-        self._ep_id = np.arange(cfg.batch, dtype=np.int64)
-        self._next_ep = cfg.batch
-        self.episodes = 0
-        self.moves = 0
-        self.score_tracker = EpisodeTracker()
-        self.line_tracker = EpisodeTracker()
-
-        # training bookkeeping
-        self.n_trains = 0
-        self._rows_at_last_train = 0
-        self._total_rows = 0       # monotone count of rows ever harvested
-        self._last_ring_idx = 0
-        self.train_history: list = []
-        self.last_stats = None
 
     # ------------------------------------------------------------------ moves
     def step(self):
@@ -218,106 +331,28 @@ class SelfPlayDriver:
                 np.asarray(stats.lines), np.asarray(envs.line_stats),
             )
 
-    def _finish_episodes(self, stats):
-        done = np.asarray(stats.done)
-        if not done.any():
-            score = np.asarray(stats.score)
-            lines = np.asarray(stats.lines)
-            self._ep_score = score.astype(np.int64)
-            self._ep_lines = lines.astype(np.int64)
-            return
-        score = np.asarray(stats.score)
-        lines = np.asarray(stats.lines)
-        for i in np.nonzero(done)[0]:
-            self.episodes += 1
-            self._ep_id[i] = self._next_ep
-            self._next_ep += 1
-            self.score_tracker.add(float(score[i]))
-            self.line_tracker.add(float(lines[i]))
-            # reference episode line (play.py:155-165 format family) — the
-            # dashboards regex-parse "Episode:" lines (web/parseLog.py:59-68)
-            self.log(
-                f"Episode:{self.episodes:6d}  "
-                f"Lines Cleared:{int(lines[i]):5d}  Score:{int(score[i]):10d}  "
-                f"lines(min/max/mean):{self.line_tracker.min:.0f}/"
-                f"{self.line_tracker.max:.0f}/{self.line_tracker.mean:.2f}  "
-                f"score(mean±std):{self.score_tracker.mean:.1f}"
-                f"±{self.score_tracker.std:.1f}"
-            )
-            if self.metrics is not None:
-                self.metrics.write(
-                    "episode", n=self.episodes, lines=int(lines[i]),
-                    score=int(score[i]), benchmark=self.cfg.benchmark,
-                )
-        self._ep_score = np.where(done, 0, score).astype(np.int64)
-        self._ep_lines = np.where(done, 0, lines).astype(np.int64)
-
-    # --------------------------------------------------------------- training
-    def _maybe_train(self):
-        # rows added this move = ring-head advance (per-move additions are
-        # far below capacity, so the mod is unambiguous)
-        idx = int(self.replay.idx)
-        self._total_rows += (idx - self._last_ring_idx) % self.cfg.memory_size
-        self._last_ring_idx = idx
-        if self._total_rows - self._rows_at_last_train < self.cfg.train_rows_trigger:
-            return
-        self._rows_at_last_train = self._total_rows
-        self.train()
-
-    def train(self):
-        """One training session with reference growth-gating
-        (`ValueSim.train_nodes`, ValueSim.py:161-186)."""
-        self.n_trains += 1
-        m_size = min(self.n_trains * self.cfg.memory_growth, self.cfg.memory_size)
-        count = int(self.replay.count)
-        use = min(m_size, count)
-        if use < self.cfg.train_batch:
-            self.log(f"Training session {self.n_trains}: only {use} rows, skipped")
-            self.n_trains -= 1
-            return
-
-        # most recent `use` rows of the ring; boards stored bit-packed in the
-        # move program, unpacked to images only here (training prep)
-        idx = int(self.replay.idx)
-        cap = self.cfg.memory_size
-        order = (np.arange(idx - use, idx) % cap).astype(np.int32)
+    def _training_columns(self, order):
         states = np.asarray(_unpack(self.replay.boards[jnp.asarray(order)]))
-        value = np.asarray(self.replay.value)[order]
-        var = np.asarray(self.replay.var)[order]
-        weight = np.asarray(self.replay.weight)[order]
+        return [
+            states,
+            np.asarray(self.replay.value)[order],
+            np.asarray(self.replay.var)[order],
+            np.asarray(self.replay.weight)[order],
+        ]
 
-        self.log(
-            f"Training session {self.n_trains}: {use} rows "
-            f"(memory {count}/{cap})"
+    def _dump_training_data(self, data):
+        if not self.cfg.dump_dir:
+            return
+        # training-set dump for the offline tools (reference
+        # ValueSim.train_nodes, ValueSim.py:176-177; consumed by
+        # `tools train_dump`)
+        import os
+        os.makedirs(self.cfg.dump_dir, exist_ok=True)
+        states, value, var, weight = data
+        np.savez(
+            os.path.join(self.cfg.dump_dir, "dump"),
+            states=states, values=value, variance=var, weights=weight,
         )
-        if self.cfg.dump_dir:
-            # training-set dump for the offline tools (reference
-            # ValueSim.train_nodes, ValueSim.py:176-177; consumed by
-            # `tools train_dump`)
-            import os
-            os.makedirs(self.cfg.dump_dir, exist_ok=True)
-            np.savez(
-                os.path.join(self.cfg.dump_dir, "dump"),
-                states=states, values=value, variance=var, weights=weight,
-            )
-        t0 = time.time()
-        hist = self.model.train_data(
-            [states, value, var, weight],
-            batch_size=self.cfg.train_batch,
-            iters_per_val=self.cfg.train_iters_per_val,
-            max_iters=self.cfg.train_max_iters,
-            shuffle=True,
-            log=self.log,
-        )
-        self.train_history.append(hist)
-        self.log(f"Training session {self.n_trains} done in {time.time() - t0:.1f}s")
-        if self.metrics is not None:
-            last = hist[-1] if hist else (0, float("nan"), float("nan"), 0.0)
-            self.metrics.write(
-                "train_session", n=self.n_trains, rows=use,
-                seconds=time.time() - t0, iters=last[0],
-                loss_train=last[1], loss_val=last[2],
-            )
 
     def save_nodes(self, path: str, min_visits: int = 1):
         """Dump the current searched observations of every tree to HDF5
@@ -344,20 +379,8 @@ class SelfPlayDriver:
             f.create_dataset("game", data=game_idx.reshape(-1)[sel])
         self.log(f"saved {int(sel.sum())} nodes to {path}")
 
-    # ------------------------------------------------------------------ loops
-    def run(self, n_moves: int):
-        for _ in range(n_moves):
-            self.step()
 
-    def run_episodes(self, n_episodes: int, max_moves: int = 10_000_000):
-        target = self.episodes + n_episodes
-        moves = 0
-        while self.episodes < target and moves < max_moves:
-            self.step()
-            moves += 1
-
-
-class VPSelfPlayDriver:
+class VPSelfPlayDriver(_OnlineDriverBase):
     """ApproxPolicyIter-equivalent driver: policy-sampled selection,
     value+policy backup, VP net online training (reference
     `agents/ApproxPolicyIter.py`; same host loop as SelfPlayDriver)."""
@@ -368,18 +391,14 @@ class VPSelfPlayDriver:
         from tetris_mcts_tpu.search import vp as VP
         from tetris_mcts_tpu.train.trainer import VPModel
 
-        self.cfg = cfg
-        self.log = log
-        self.saver = saver
-        self.metrics = metrics
-        self.status = status
+        self._init_bookkeeping(cfg, log, saver, metrics, status)
         self.model = model or VPModel()
         self._VP = VP
 
         tree_cfg = TreeConfig(
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
             table_size=cfg.table_size, max_depth=cfg.max_depth,
-            gamma=cfg.gamma,
+            gamma=cfg.gamma, policy=cfg.policy,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
                 scoring=cfg.scoring, randomizer=cfg.randomizer,
@@ -397,22 +416,6 @@ class VPSelfPlayDriver:
             cfg.seed, cfg.batch, self.search_cfg
         )
         self.replay = VP.init_vp_replay(cfg.memory_size)
-        self.key = jax.random.PRNGKey(cfg.seed)
-
-        self._ep_score = np.zeros(cfg.batch, np.int64)
-        self._ep_lines = np.zeros(cfg.batch, np.int64)
-        self._ep_id = np.arange(cfg.batch, dtype=np.int64)
-        self._next_ep = cfg.batch
-        self.episodes = 0
-        self.moves = 0
-        self.score_tracker = EpisodeTracker()
-        self.line_tracker = EpisodeTracker()
-        self.n_trains = 0
-        self._rows_at_last_train = 0
-        self._total_rows = 0
-        self._last_ring_idx = 0
-        self.train_history: list = []
-        self.last_stats = None
 
     def step(self):
         self.key, sub = jax.random.split(self.key)
@@ -454,44 +457,16 @@ class VPSelfPlayDriver:
                 np.asarray(stats.lines), np.asarray(envs.line_stats),
             )
 
-    # episode + training bookkeeping shared with SelfPlayDriver
-    _finish_episodes = SelfPlayDriver._finish_episodes
-    _maybe_train = SelfPlayDriver._maybe_train
-    run = SelfPlayDriver.run
-    run_episodes = SelfPlayDriver.run_episodes
-
-    def train(self):
-        self.n_trains += 1
-        m_size = min(self.n_trains * self.cfg.memory_growth, self.cfg.memory_size)
-        count = int(self.replay.count)
-        use = min(m_size, count)
-        if use < self.cfg.train_batch:
-            self.log(f"Training session {self.n_trains}: only {use} rows, skipped")
-            self.n_trains -= 1
-            return
-        idx = int(self.replay.idx)
-        cap = self.cfg.memory_size
-        order = (np.arange(idx - use, idx) % cap).astype(np.int32)
-        data = [
+    def _training_columns(self, order):
+        return [
             np.asarray(_unpack(self.replay.boards[jnp.asarray(order)])),
             np.asarray(self.replay.value)[order],
             np.asarray(self.replay.policy)[order],
             np.asarray(self.replay.weight)[order],
         ]
-        self.log(f"Training session {self.n_trains}: {use} rows (memory {count}/{cap})")
-        t0 = time.time()
-        hist = self.model.train_data(
-            data, batch_size=self.cfg.train_batch,
-            iters_per_val=self.cfg.train_iters_per_val,
-            max_iters=self.cfg.train_max_iters, shuffle=True, log=self.log,
-        )
-        self.train_history.append(hist)
-        self.log(
-            f"Training session {self.n_trains} done in {time.time() - t0:.1f}s"
-        )
 
 
-class DistSelfPlayDriver:
+class DistSelfPlayDriver(_OnlineDriverBase):
     """DistValueSimOnline-equivalent driver (the reference agent rebuilt
     working — SURVEY.md Appendix A marks it BROKEN): C51 distributional tree
     search + online training of the distribution net on harvested target
@@ -504,11 +479,7 @@ class DistSelfPlayDriver:
         from tetris_mcts_tpu.search import distributional as DD
         from tetris_mcts_tpu.train.trainer import DistModel
 
-        self.cfg = cfg
-        self.log = log
-        self.saver = saver
-        self.metrics = metrics
-        self.status = status
+        self._init_bookkeeping(cfg, log, saver, metrics, status)
         self.model = model or DistModel(atoms=atoms)
         self._DD = DD
         self.dcfg = DD.DistConfig(atoms=atoms, vmax=vmax)
@@ -516,7 +487,7 @@ class DistSelfPlayDriver:
         tree_cfg = TreeConfig(
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
             table_size=cfg.table_size, max_depth=cfg.max_depth,
-            gamma=cfg.gamma,
+            gamma=cfg.gamma, policy=cfg.policy,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
                 scoring=cfg.scoring, randomizer=cfg.randomizer,
@@ -534,22 +505,6 @@ class DistSelfPlayDriver:
             cfg.seed, cfg.batch, self.search_cfg, self.dcfg
         )
         self.replay = DD.init_dist_replay(cfg.memory_size, atoms)
-        self.key = jax.random.PRNGKey(cfg.seed)
-
-        self._ep_score = np.zeros(cfg.batch, np.int64)
-        self._ep_lines = np.zeros(cfg.batch, np.int64)
-        self._ep_id = np.arange(cfg.batch, dtype=np.int64)
-        self._next_ep = cfg.batch
-        self.episodes = 0
-        self.moves = 0
-        self.score_tracker = EpisodeTracker()
-        self.line_tracker = EpisodeTracker()
-        self.n_trains = 0
-        self._rows_at_last_train = 0
-        self._total_rows = 0
-        self._last_ring_idx = 0
-        self.train_history: list = []
-        self.last_stats = None
 
     def step(self):
         self.key, sub = jax.random.split(self.key)
@@ -565,36 +520,10 @@ class DistSelfPlayDriver:
         return stats
 
     _publish = VPSelfPlayDriver._publish
-    _finish_episodes = SelfPlayDriver._finish_episodes
-    _maybe_train = SelfPlayDriver._maybe_train
-    run = SelfPlayDriver.run
-    run_episodes = SelfPlayDriver.run_episodes
 
-    def train(self):
-        self.n_trains += 1
-        m_size = min(self.n_trains * self.cfg.memory_growth, self.cfg.memory_size)
-        count = int(self.replay.count)
-        use = min(m_size, count)
-        if use < self.cfg.train_batch:
-            self.log(f"Training session {self.n_trains}: only {use} rows, skipped")
-            self.n_trains -= 1
-            return
-        idx = int(self.replay.idx)
-        cap = self.cfg.memory_size
-        order = (np.arange(idx - use, idx) % cap).astype(np.int32)
-        data = [
+    def _training_columns(self, order):
+        return [
             np.asarray(_unpack(self.replay.boards[jnp.asarray(order)])),
             np.asarray(self.replay.dist)[order],
             np.asarray(self.replay.weight)[order],
         ]
-        self.log(f"Training session {self.n_trains}: {use} rows (memory {count}/{cap})")
-        t0 = time.time()
-        hist = self.model.train_data(
-            data, batch_size=self.cfg.train_batch,
-            iters_per_val=self.cfg.train_iters_per_val,
-            max_iters=self.cfg.train_max_iters, shuffle=True, log=self.log,
-        )
-        self.train_history.append(hist)
-        self.log(
-            f"Training session {self.n_trains} done in {time.time() - t0:.1f}s"
-        )

@@ -341,6 +341,60 @@ class VVModel:
         )
 
 
+def _early_stop_fit(model, data_cols, batch_size, iters_per_val,
+                    validation_fraction, early_stopping,
+                    early_stopping_patience, early_stopping_threshold,
+                    shuffle, max_iters, log):
+    """Shared minibatch-SGD session with tail-validation early stopping (the
+    reference `Model.train_data` loop, model/model.py:176-249) for models
+    whose jitted step is (params, opt_state, data, key, bs) -> (params,
+    opt_state, metrics) and whose eval is (params, data) -> (mean, std).
+    `data_cols`: tuple of equal-length device arrays, states first."""
+    n = data_cols[0].shape[0]
+    n_val = max(int(n * validation_fraction), 1)
+    if shuffle:
+        perm = model._rng.permutation(n)
+        data_cols = tuple(d[perm] for d in data_cols)
+    train = tuple(d[:-n_val] for d in data_cols)
+    val = tuple(d[-n_val:] for d in data_cols)
+    log(f"Training data size: {n - n_val}    Validation data size: {n_val}")
+
+    fails, best_val, best_params = 0, float("inf"), model.params
+    loss_avg = 0.0
+    key = jax.random.PRNGKey(model._rng.randint(2**31))
+    history = []
+    for it in range(max_iters):
+        key, sub = jax.random.split(key)
+        model.params, model.opt_state, m = model._train_step(
+            model.params, model.opt_state, train, sub, batch_size
+        )
+        loss_avg += float(m["loss"])
+        if (it + 1) % iters_per_val == 0:
+            vmean, vstd = model._eval_loss(model.params, val)
+            vmean, vstd = float(vmean), float(vstd) / n_val**0.5
+            stop = False
+            if early_stopping:
+                if vmean - best_val < vstd * early_stopping_threshold:
+                    fails = 0
+                    if vmean < best_val:
+                        best_val, best_params = vmean, model.params
+                else:
+                    fails += 1
+                    stop = fails >= early_stopping_patience
+            log(
+                f"Iteration:{it + 1:7d}  training loss:"
+                f"{loss_avg / iters_per_val:6.4f}  validation loss:"
+                f"{vmean:6.4f}±{vstd:6.4f}"
+            )
+            history.append((it + 1, loss_avg / iters_per_val, vmean, vstd))
+            loss_avg = 0.0
+            if stop:
+                break
+    if early_stopping:
+        model.params = best_params
+    return history
+
+
 class VPModel:
     """Value+policy model (reference `Model_VP`, model/model_vp.py:104-101 +
     the shared `Model` loop, model/model.py:176-249): SmoothL1 value loss +
@@ -421,57 +475,17 @@ class VPModel:
                    early_stopping_threshold: float = 1.0,
                    shuffle: bool = False, max_iters: int = 100000, log=print):
         """data = [states, values, policy(7), weights]."""
-        states = _boards(data[0])
-        value = _col(data[1])
-        policy = jnp.asarray(data[2], jnp.float32).reshape(-1, 7)
         weight = _col(data[3])
         weight = weight / jnp.mean(weight) if self.weighted else jnp.ones_like(weight)
-
-        n = states.shape[0]
-        n_val = max(int(n * validation_fraction), 1)
-        if shuffle:
-            perm = self._rng.permutation(n)
-            states, value, policy, weight = (
-                d[perm] for d in (states, value, policy, weight)
-            )
-        train = tuple(d[:-n_val] for d in (states, value, policy, weight))
-        val = tuple(d[-n_val:] for d in (states, value, policy, weight))
-        log(f"Training data size: {n - n_val}    Validation data size: {n_val}")
-
-        fails, best_val, best_params = 0, float("inf"), self.params
-        loss_avg = 0.0
-        key = jax.random.PRNGKey(self._rng.randint(2**31))
-        history = []
-        for it in range(max_iters):
-            key, sub = jax.random.split(key)
-            self.params, self.opt_state, m = self._train_step(
-                self.params, self.opt_state, train, sub, batch_size
-            )
-            loss_avg += float(m["loss"])
-            if (it + 1) % iters_per_val == 0:
-                vmean, vstd = self._eval_loss(self.params, val)
-                vmean, vstd = float(vmean), float(vstd) / n_val**0.5
-                stop = False
-                if early_stopping:
-                    if vmean - best_val < vstd * early_stopping_threshold:
-                        fails = 0
-                        if vmean < best_val:
-                            best_val, best_params = vmean, self.params
-                    else:
-                        fails += 1
-                        stop = fails >= early_stopping_patience
-                log(
-                    f"Iteration:{it + 1:7d}  training loss:"
-                    f"{loss_avg / iters_per_val:6.4f}  validation loss:"
-                    f"{vmean:6.4f}±{vstd:6.4f}"
-                )
-                history.append((it + 1, loss_avg / iters_per_val, vmean, vstd))
-                loss_avg = 0.0
-                if stop:
-                    break
-        if early_stopping:
-            self.params = best_params
-        return history
+        cols = (
+            _boards(data[0]), _col(data[1]),
+            jnp.asarray(data[2], jnp.float32).reshape(-1, 7), weight,
+        )
+        return _early_stop_fit(
+            self, cols, batch_size, iters_per_val, validation_fraction,
+            early_stopping, early_stopping_patience, early_stopping_threshold,
+            shuffle, max_iters, log,
+        )
 
     def save(self, path: str | None = None, verbose: bool = False):
         path = path or self.checkpoint_path
@@ -571,54 +585,14 @@ class DistModel:
                    early_stopping_threshold: float = 1.0,
                    shuffle: bool = False, max_iters: int = 100000, log=print):
         """data = [states, target_dists (N, atoms), weights]."""
-        states = _boards(data[0])
-        target = jnp.asarray(data[1], jnp.float32)
         weight = _col(data[2])
         weight = weight / jnp.mean(weight) if self.weighted else jnp.ones_like(weight)
-
-        n = states.shape[0]
-        n_val = max(int(n * validation_fraction), 1)
-        if shuffle:
-            perm = self._rng.permutation(n)
-            states, target, weight = (d[perm] for d in (states, target, weight))
-        train = tuple(d[:-n_val] for d in (states, target, weight))
-        val = tuple(d[-n_val:] for d in (states, target, weight))
-        log(f"Training data size: {n - n_val}    Validation data size: {n_val}")
-
-        fails, best_val, best_params = 0, float("inf"), self.params
-        loss_avg = 0.0
-        key = jax.random.PRNGKey(self._rng.randint(2**31))
-        history = []
-        for it in range(max_iters):
-            key, sub = jax.random.split(key)
-            self.params, self.opt_state, m = self._train_step(
-                self.params, self.opt_state, train, sub, batch_size
-            )
-            loss_avg += float(m["loss"])
-            if (it + 1) % iters_per_val == 0:
-                vmean, vstd = self._eval_loss(self.params, val)
-                vmean, vstd = float(vmean), float(vstd) / n_val**0.5
-                stop = False
-                if early_stopping:
-                    if vmean - best_val < vstd * early_stopping_threshold:
-                        fails = 0
-                        if vmean < best_val:
-                            best_val, best_params = vmean, self.params
-                    else:
-                        fails += 1
-                        stop = fails >= early_stopping_patience
-                log(
-                    f"Iteration:{it + 1:7d}  training loss:"
-                    f"{loss_avg / iters_per_val:6.4f}  validation loss:"
-                    f"{vmean:6.4f}±{vstd:6.4f}"
-                )
-                history.append((it + 1, loss_avg / iters_per_val, vmean, vstd))
-                loss_avg = 0.0
-                if stop:
-                    break
-        if early_stopping:
-            self.params = best_params
-        return history
+        cols = (_boards(data[0]), jnp.asarray(data[1], jnp.float32), weight)
+        return _early_stop_fit(
+            self, cols, batch_size, iters_per_val, validation_fraction,
+            early_stopping, early_stopping_patience, early_stopping_threshold,
+            shuffle, max_iters, log,
+        )
 
     def save(self, path: str | None = None, verbose: bool = False):
         path = path or self.checkpoint_path

@@ -86,3 +86,27 @@ def test_status_memmaps(tmp_path):
     np.testing.assert_array_equal(rd["board"], board)
     np.testing.assert_array_equal(rd["score"], [10, 20, 30, 40])
     assert StatusReader(str(tmp_path / "nope"), batch=4).read() is None
+
+
+def test_dashboard_state_snapshot(tmp_path):
+    from tetris_mcts_tpu.obs.dashboard import DashboardState
+
+    path = str(tmp_path / "m.jsonl")
+    w = MetricsWriter(path)
+    w.write("episode", n=1, lines=3, score=300)
+    w.write("train_session", n=1, rows=64, loss_train=1.5, loss_val=1.2)
+    w.write("episode", n=2, lines=5, score=700)
+    w.close()
+
+    state = DashboardState(path)
+    snap = state.snapshot()
+    assert [e["lines"] for e in snap["episodes"]] == [3, 5]
+    assert snap["trains"][0]["loss_val"] == 1.2
+    assert snap["board"] is None  # no status dir configured
+
+    # incremental: events appended after the first poll show up in the next
+    w = MetricsWriter(path)
+    w.write("episode", n=3, lines=7, score=900)
+    w.close()
+    snap2 = state.snapshot()
+    assert [e["lines"] for e in snap2["episodes"]] == [3, 5, 7]

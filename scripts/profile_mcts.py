@@ -43,8 +43,7 @@ key = jax.random.PRNGKey(1)
 trees = jax.jit(run_sims)(model.params, model.ubound, trees, key)
 jax.block_until_ready(trees.n_nodes)
 
-vselect = jax.vmap(T.select, in_axes=(0, 0, None))
-vreplay = jax.vmap(T.replay_leaf, in_axes=(0, 0, 0, None))
+vselect = jax.vmap(T.select, in_axes=(0, 0, None))  # fused select+replay
 vbackup = jax.vmap(T.backup, in_axes=(0, 0, 0, 0, 0, None))
 
 
@@ -65,24 +64,16 @@ def timed(name, fn, *args):
 
 
 def loop_select(trees, key):
+    """select now carries the env state inline (leaf replay fused in)."""
     def body(i, carry):
         acc, key = carry
         key, sub = jax.random.split(key)
-        traces, acts, lengths = vselect(trees, jax.random.split(sub, B), CFG.tree)
-        return acc + jnp.sum(lengths), key
+        traces, acts, lengths, states = vselect(
+            trees, jax.random.split(sub, B), CFG.tree
+        )
+        return acc + jnp.sum(lengths) + jnp.sum(states.score).astype(jnp.int32), key
 
     return jax.lax.fori_loop(0, SIMS, body, (jnp.int32(0), key))
-
-
-def loop_select_replay(trees, key):
-    def body(i, carry):
-        acc, key = carry
-        key, sub = jax.random.split(key)
-        traces, acts, lengths = vselect(trees, jax.random.split(sub, B), CFG.tree)
-        states = vreplay(trees, acts, lengths, CFG.tree)
-        return acc + jnp.sum(states.score), key
-
-    return jax.lax.fori_loop(0, SIMS, body, (jnp.float32(0), key))
 
 
 def loop_nn(params, ubound, key):
@@ -97,7 +88,7 @@ def loop_nn(params, ubound, key):
 
 
 def loop_backup(trees, key):
-    traces, acts, lengths = vselect(trees, jax.random.split(key, B), CFG.tree)
+    traces, acts, lengths, _ = vselect(trees, jax.random.split(key, B), CFG.tree)
     v0 = jnp.full(B, 10.0)
     var0 = jnp.full(B, 1.0)
 
@@ -113,8 +104,7 @@ def loop_full(params, ubound, trees, key):
 
 print(json.dumps({"batch": B, "sims": SIMS,
                   "device": str(jax.devices()[0])}), flush=True)
-t_sel = timed("select", loop_select, trees, key)
-t_selrep = timed("select+replay", loop_select_replay, trees, key)
+t_selrep = timed("select(+replay fused)", loop_select, trees, key)
 t_nn = timed("nn_forward", loop_nn, model.params, model.ubound, key)
 t_back = timed("backup", loop_backup, trees, key)
 t_full = timed("full_sim", loop_full, model.params, model.ubound, trees, key)

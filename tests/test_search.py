@@ -130,7 +130,7 @@ class TestBackup:
     def _hand_tree(self):
         """Tiny fixed topology: 1 -> 2 -> 3, obs = identity, given scores."""
         tree, _ = small_tree()
-        tree = tree._replace(
+        tree = tree.with_fields(
             n_to_o=jnp.asarray(
                 np.arange(CFG.max_nodes, dtype=np.int32)
             ),
@@ -252,14 +252,14 @@ class TestBackup:
 class TestSelect:
     def test_select_unexpanded_root_returns_root(self):
         tree, _ = small_tree()
-        trace, acts, length = T.select(tree, jax.random.PRNGKey(0), CFG)
+        trace, acts, length, _ = T.select(tree, jax.random.PRNGKey(0), CFG)
         assert int(length) == 1
         assert int(trace[0]) == 1
 
     def test_select_prefers_unvisited(self):
         tree, s = small_tree()
         tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), CFG)
-        trace, acts, length = T.select(tree, jax.random.PRNGKey(0), CFG)
+        trace, acts, length, _ = T.select(tree, jax.random.PRNGKey(0), CFG)
         assert int(length) == 2
         leaf = int(trace[1])
         assert leaf in np.asarray(tree.child[:, 1]).tolist()
@@ -280,7 +280,7 @@ class TestSelect:
             visit[o] = rnd.randint(1, 10)
             value[o] = rnd.rand() * 50
             var[o] = rnd.rand() * 5
-        tree = tree._replace(
+        tree = tree.with_fields(
             obs_visit=jnp.asarray(visit),
             obs_value=jnp.asarray(value),
             obs_var=jnp.asarray(var),
@@ -297,7 +297,7 @@ class TestSelect:
         )
         want_next = ks[np.argmax(q)]
 
-        trace, acts, length = T.select(tree, jax.random.PRNGKey(0), CFG)
+        trace, acts, length, _ = T.select(tree, jax.random.PRNGKey(0), CFG)
         assert int(trace[1]) == int(want_next)
 
 
@@ -461,7 +461,7 @@ class TestVectorizedBackup:
         tree, _ = small_tree()
         m = np.arange(CFG.max_nodes, dtype=np.int32)
         m[: len(n_to_o)] = n_to_o
-        return tree._replace(
+        return tree.with_fields(
             n_to_o=jnp.asarray(m),
             score=jnp.asarray(
                 np.array([0, 10, 25, 40, 55] + [0] * (CFG.max_nodes - 5),
@@ -510,7 +510,7 @@ class TestBackupVariants:
 
     def _tree(self):
         tree, _ = small_tree()
-        return tree._replace(
+        return tree.with_fields(
             n_to_o=jnp.asarray(np.arange(CFG.max_nodes, dtype=np.int32)),
             score=jnp.asarray(
                 np.array([0, 10, 25, 40] + [0] * (CFG.max_nodes - 4),
@@ -602,14 +602,54 @@ class TestSelectionPolicies:
             tree, s = small_tree()
             tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), cfg)
             # give children some visits so the low-rule doesn't mask policy
-            tree = tree._replace(
+            tree = tree.with_fields(
                 obs_visit=tree.obs_visit.at[1:9].set(3),
                 obs_value=tree.obs_value.at[1:9].set(1.0),
                 obs_var=tree.obs_var.at[1:9].set(2.0),
             )
-            trace, acts, length = T.select(
+            trace, acts, length, _ = T.select(
                 tree, jax.random.PRNGKey(1), cfg
             )
             assert int(length) == 2, policy
             leaf = int(trace[1])
             assert leaf in np.asarray(tree.child[:, 1]).tolist(), policy
+
+
+class TestBatchedBackupWalk:
+    """`backup_batched` (hand-batched, one while_loop for all B trees) must be
+    bit-exact vs vmapping the per-tree `backup` — including lanes of very
+    different trace lengths and repeated obs within a lane."""
+
+    def test_matches_vmapped_backup(self):
+        B = 5
+        scfg = M.SearchConfig(tree=CFG, sims=10, evaluator="lp")
+        run = M.make_run_sims(
+            M.nn_child_evaluator(
+                lambda p, u, x: (jnp.full(x.shape[0], 7.0),
+                                 jnp.full(x.shape[0], 3.0))
+            ),
+            scfg,
+        )
+        trees, envs = M.init_batch(13, B, scfg)
+        trees = jax.jit(run)(None, None, trees, jax.random.PRNGKey(0))
+
+        key = jax.random.PRNGKey(42)
+        traces, acts, lengths, _ = jax.vmap(T.select, in_axes=(0, 0, None))(
+            trees, jax.random.split(key, B), CFG
+        )
+        v0 = jnp.linspace(1.0, 90.0, B)
+        var0 = jnp.linspace(0.5, 4.0, B)
+
+        got = T.backup_batched(trees, traces, lengths, v0, var0, CFG)
+        want = jax.vmap(T.backup, in_axes=(0, 0, 0, 0, 0, None))(
+            trees, traces, lengths, v0, var0, CFG
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.visits), np.asarray(want.visits)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.values), np.asarray(want.values)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.vars_), np.asarray(want.vars_)
+        )

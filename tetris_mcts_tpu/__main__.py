@@ -1,6 +1,20 @@
 """`python -m tetris_mcts_tpu {play,train,cycle,bench}` dispatcher."""
 
+import os
 import sys
+
+
+def _honor_platform_env():
+    """Make `JAX_PLATFORMS=cpu python -m tetris_mcts_tpu ...` actually force
+    the platform: a PJRT plugin (axon TPU) ignores the env var once it
+    initializes, so re-assert it through jax.config before first device use.
+    The chip is single-tenant — a "CPU" smoke run that silently grabs the TPU
+    deadlocks against a concurrent bench/learning run."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
 
 
 def main():
@@ -8,6 +22,7 @@ def main():
         print("usage: python -m tetris_mcts_tpu "
               "{play,train,cycle,dashboard,replay} [args...]")
         return 0
+    _honor_platform_env()
     cmd, argv = sys.argv[1], sys.argv[2:]
     if cmd == "play":
         from tetris_mcts_tpu.cli.play import main as m

@@ -106,10 +106,10 @@ def select(dt: DistTree, key, cfg: TreeConfig, dcfg: DistConfig):
         trace, acts, idx, depth, done, key = c
         trace = trace.at[depth].set(idx)
 
-        kids, obs, kept = T.unique_children(tree, idx)
+        kids, sc, obs, kept = T._kids_stats(tree, idx)
         any_kid = jnp.any(kept)
 
-        visits = jnp.where(kept, tree.obs_visit[obs], 0)
+        visits = jnp.where(kept, tree.visits[obs], 0.0)
         low_mask = kept & (visits < dcfg.low)
         any_low = jnp.any(low_mask)
         key, sub = jax.random.split(key)
@@ -119,12 +119,12 @@ def select(dt: DistTree, key, cfg: TreeConfig, dcfg: DistConfig):
         n_total = jnp.sum(visits)
         # reference policy_dist (:67-80): mean + score delta, sample variance
         q = (
-            tree.obs_value[obs]
-            + tree.score[kids]
-            - tree.score[idx]
+            tree.values[obs]
+            + sc
+            - tree.nstat[:, idx][0]
             + norm_quantile(n_total)
             * jnp.sqrt(jnp.maximum(
-                dt.obs_m2[obs] / (visits.astype(jnp.float32) - 1 + eps), 0.0
+                dt.obs_m2[obs] / (visits - 1.0 + eps), 0.0
             ))
         )
         clt_choice = jnp.argmax(jnp.where(kept, q, -jnp.inf))
@@ -157,11 +157,12 @@ def backup(dt: DistTree, trace, length, r, dist, cfg: TreeConfig,
     def body(c):
         t, visit, val, m2, dists = c
         idx = trace[t]
-        o = tree.n_to_o[idx]
-        delta_r = jnp.float32(r) - tree.score[idx]
+        ns = tree.nstat[:, idx]
+        o = ns[1].astype(jnp.int32)
+        delta_r = jnp.float32(r) - ns[0]
         new_dist = shift_distribution(dist, delta_r, dcfg)
 
-        n = visit[o].astype(jnp.float32)
+        n = visit[o]
         dists = dists.at[:, o].set((dists[:, o] * n + new_dist) / (n + 1.0))
 
         x = mean0 + delta_r
@@ -169,17 +170,17 @@ def backup(dt: DistTree, trace, length, r, dist, cfg: TreeConfig,
         val_new = val[o] + delta / (n + 1.0)
         delta2 = x - val_new
         m2 = m2.at[o].add(delta * delta2)
-        visit = visit.at[o].add(1)
+        visit = visit.at[o].set(n + 1.0)
         val = val.at[o].set(val_new)
         return t - 1, visit, val, m2, dists
 
     _, visit, val, m2, dists = jax.lax.while_loop(
         cond, body,
-        (length - 1, tree.obs_visit, tree.obs_value, dt.obs_m2, dt.obs_dist),
+        (length - 1, tree.visits, tree.values, dt.obs_m2, dt.obs_dist),
     )
     # ns[3] (sample variance) is derived on demand as m2 / (n - 1)
     return dt._replace(
-        base=tree._replace(obs_visit=visit, obs_value=val),
+        base=tree._replace(visits=visit, values=val),
         obs_m2=m2, obs_dist=dists,
     )
 
@@ -233,14 +234,14 @@ def harvest(dt: DistTree, min_visits: int, cfg: TreeConfig):
     tree = dt.base
     M = cfg.max_obs
     slots = jnp.arange(M)
+    visit = tree.visits
     mask = (
         (slots >= 1)
         & (slots < tree.n_obs)
-        & (tree.obs_visit >= min_visits)
+        & (visit >= min_visits)
         & (~tree.obs_end)
     )
-    return (tree.obs_bits.T, dt.obs_dist.T,
-            tree.obs_visit.astype(jnp.float32), mask)
+    return (tree.obs_bits.T, dt.obs_dist.T, visit, mask)
 
 
 class DistMoveStats(NamedTuple):
@@ -295,7 +296,7 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
         base, _ = vexpand(dtrees.base, leaf_states, leafs, can, tcfg)
         dtrees = dtrees._replace(base=base)
 
-        r = bgather(dtrees.base.score, leafs)  # absolute value = leaf score
+        r = bgather_col(dtrees.base.nstat, leafs)[:, 0]  # absolute value = leaf score
         dtrees = vbackup(dtrees, traces, lengths, r, dist, tcfg, dcfg)
         return dtrees, key
 
@@ -316,8 +317,8 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
 
         action = vbest(dtrees.base, tcfg)
         probs = vprobs(dtrees.base, tcfg)
-        root_obs = bgather(dtrees.base.n_to_o, dtrees.base.root)
-        rv = bgather(dtrees.base.obs_value, root_obs)
+        root_obs = bgather_col(dtrees.base.nstat, dtrees.base.root)[:, 1].astype(jnp.int32)
+        rv = bgather(dtrees.base.values, root_obs)
 
         envs2 = engine.step_batch(envs, action, tcfg.env)
         base2 = vadvance(dtrees.base, action, envs2, tcfg)

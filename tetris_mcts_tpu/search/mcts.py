@@ -5,7 +5,7 @@ game, crossing Python→C++→Torch per simulation with NN batches of ≤7
 (`SURVEY.md` §3.1 marks that boundary as the throughput killer), here a whole
 batch of envs runs sims in lockstep:
 
-    sim:   vmap(select: action path) → vmap(replay leaf state) →
+    sim:   vmap(select: action path + inline env replay → leaf state) →
            vmap(expand: 7 engine.steps, contiguous alloc) →
            ONE network forward over all B×7 child images →
            vmap(leaf-parallel backup)
@@ -128,18 +128,18 @@ def rollout_evaluator(cfg: SearchConfig):
 def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     tcfg = cfg.tree
     vselect = jax.vmap(T.select, in_axes=(0, 0, None))
-    vreplay = jax.vmap(T.replay_leaf, in_axes=(0, 0, 0, None))
     vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, 0, None))
-    vbackup_lp = jax.vmap(T.backup_leaf_parallel, in_axes=(0, 0, 0, 0, 0, 0, None))
-    vbackup = jax.vmap(T.backup, in_axes=(0, 0, 0, 0, 0, None))
+    vseed_lp = jax.vmap(T.lp_seed, in_axes=(0, 0, 0, 0, 0, 0, None))
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
 
     def sim_once(params, ubound, trees, key):
         B = trees.root.shape[0]
         key, k_sel, k_ev = jax.random.split(key, 3)
-        traces, actions, lengths = vselect(trees, jax.random.split(k_sel, B), tcfg)
+        # the selection walk steps the env inline and returns the leaf state
+        traces, actions, lengths, leaf_states = vselect(
+            trees, jax.random.split(k_sel, B), tcfg
+        )
         leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
-        leaf_states = vreplay(trees, actions, lengths, tcfg)
 
         leaf_end = bgather(trees.end, leafs)
         childless = jnp.all(bgather_col(trees.child, leafs) == 0, axis=-1)
@@ -149,10 +149,14 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
 
         if cfg.evaluator == "lp":
             v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)
-            trees = vbackup_lp(trees, traces, lengths, v, var, can, tcfg)
+            # loop-free seeding per tree, then ONE hand-batched backup walk
+            # over the whole batch (vmap's while batching re-masks every
+            # carried array per level; backup_batched self-masks by index)
+            trees, v0, var0 = vseed_lp(trees, traces, lengths, v, var, can, tcfg)
+            trees = T.backup_batched(trees, traces, lengths, v0, var0, tcfg)
         else:
             v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)
-            leaf_score = bgather(trees.score, leafs)
+            leaf_score = bgather_col(trees.nstat, leafs)[:, 0]
             if cfg.evaluator == "leaf":
                 # ValueSim: absolute value = leaf score + NN value; terminal
                 # leaves back up (score, 0) (`agents/ValueSim.py:83-93`).
@@ -161,7 +165,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
             else:  # rollout: absolute final score of the playout
                 v0 = jnp.where(can, v, leaf_score)
                 var0 = jnp.where(can, var, 0.0)
-            trees = vbackup(trees, traces, lengths, v0, var0, tcfg)
+            trees = T.backup_batched(trees, traces, lengths, v0, var0, tcfg)
         return trees, key
 
     def run(params, ubound, trees, key):

@@ -7,20 +7,43 @@ TPU-native redesign of the reference search layer: the numba cores
 functions, batched over environments with `vmap` and compiled into the
 self-play program. No pointers, no dicts, no host round-trips.
 
-Memory layout is chosen for TPU tiling ((8,128) lane padding): every pool
-array keeps the pool axis (N nodes / M obs / T table slots) MINOR, so a
-`(7, N)` child table and a `(20, M)` packed-obs store pad ~1x, where the
-naive `(N, 7)` / `(M, 20, 10)` layouts padded 6-18x and made XLA shuffle
-gigabytes per simulation (measured: the v1 layout capped at ~4.5k sims/s
-with full-array copies of `u32[B,N,20]` per sim).
+Memory layout is chosen for TPU tiling ((8,128) lane padding) AND for the
+latency of the sequential select/backup walks — every rule below is
+measured on a real v5e chip (scripts/microbench_scatter.py,
+scripts/profile_mcts.py):
 
-Env states are NOT stored per node. Selection returns the *action path*, and
-expansion recomputes the leaf state by replaying those actions from the root
-state (`engine.step` is deterministic given the in-state RNG, and costs ~a
-hundred VPU ops on 20 uint32 words) — trading negligible FLOPs for the
-gigabytes of HBM the v1 per-node `EnvState` store occupied. Observations are
-stored bit-packed (one uint32 per row, `engine.pack_obs`) and only unpacked
-outside the move program.
+- every pool array keeps the pool axis (N nodes / M obs / T table slots)
+  MINOR, so a `(7, N)` child table and a `(20, M)` packed-obs store pad ~1x,
+  where the naive `(N, 7)` / `(M, 20, 10)` layouts padded 6-18x and made XLA
+  shuffle gigabytes per simulation (measured: the v1 layout capped at ~4.5k
+  sims/s with full-array copies of `u32[B,N,20]` per sim);
+- per-node score and obs-id are FUSED into `nstat[2, N]` float32 (obs ids
+  are exact in f32, both < 2^24): the selection walk reads both per level
+  and nstat is loop-INVARIANT there, so one gather replaces two. Gathers
+  from closed-over arrays are cheap;
+- per-obs [visit, value, variance] stay three SEPARATE arrays. They are the
+  loop-CARRIED state of every backup walk, and on TPU the only fast carried
+  update is the scalar scatter: 16-level walk at B=256 costs 1.28 ms with
+  three scalar scatters/gathers per level, 2.4 ms as one 3-index scatter
+  into an interleaved (3M,) array, 12 ms as contiguous (3,)-window
+  dynamic-update-slices, and 28 ms as column scatters into a (3, M) array
+  (XLA copy-inserts the whole carried buffer for windowed scatters). The
+  fused-ostat layout looked like "one op instead of three" and measured
+  17x SLOWER end-to-end;
+- `obs_visit` is float32 (counts are exact integers in f32): it shares every
+  walk's gather/scatter cadence with value/variance, and float arithmetic
+  avoids an int-float convert per level. Reads through the `Tree.obs_visit`
+  property present int32.
+
+Env states are NOT stored per node. The selection walk *carries* the env
+state and steps it inline while descending (`engine.step` is deterministic
+given the in-state RNG and costs ~a hundred VPU ops on 20 uint32 words), so
+the leaf state falls out of selection for free — trading negligible FLOPs
+for the gigabytes of HBM a per-node `EnvState` store occupied, without the
+separate replay walk the v2 design paid (measured: split select 1001 us/sim
++ replay 734 us/sim at B=256 vs 925 us/sim fused). Observations are stored
+bit-packed (one uint32 per row, `engine.pack_obs`) and only unpacked outside
+the move program.
 
 Algorithm semantics (unchanged from the reference):
 - node index 0 is the null sentinel (`agents/agent.py:72-73`);
@@ -70,19 +93,19 @@ class TreeConfig(NamedTuple):
 
 class Tree(NamedTuple):
     """One search tree. Batched trees carry a leading axis on every field.
-    Pool axes (N, M, T) are minor everywhere (see module docstring)."""
+    Pool axes (N, M, T) are minor everywhere; see the module docstring for
+    why nstat is fused and the obs stats are split."""
 
     # node arrays, pool axis minor
     child: jax.Array      # int32[7, N]
-    score: jax.Array      # float32[N] game score at node
+    nstat: jax.Array      # float32[2, N]: [score; obs-id (exact int)]
     end: jax.Array        # bool[N]
-    n_to_o: jax.Array     # int32[N] node -> obs slot
     n_nodes: jax.Array    # int32 next free node id (starts at 1)
     root_state: EnvState  # env state at the root node (single state)
-    # obs arrays
-    obs_visit: jax.Array  # int32[M]
-    obs_value: jax.Array  # float32[M]
-    obs_var: jax.Array    # float32[M]
+    # obs arrays (walk-carried: separate scalars, see module docstring)
+    visits: jax.Array     # float32[M] visit counts (exact ints)
+    values: jax.Array     # float32[M]
+    vars_: jax.Array      # float32[M]
     obs_end: jax.Array    # bool[M]
     obs_bits: jax.Array   # uint32[20, M] packed boards (engine.pack_obs)
     n_obs: jax.Array      # int32 next free obs id (starts at 1)
@@ -91,6 +114,50 @@ class Tree(NamedTuple):
     tbl_h2: jax.Array     # uint32[T]
     tbl_obs: jax.Array    # int32[T] obs id, 0 = empty
     root: jax.Array       # int32
+
+    # ---- legacy-named read views -------------------------------------------
+    @property
+    def score(self):
+        """float32[..., N] game score at each node (nstat row 0)."""
+        return self.nstat[..., 0, :]
+
+    @property
+    def n_to_o(self):
+        """int32[..., N] node -> obs slot (nstat row 1)."""
+        return self.nstat[..., 1, :].astype(jnp.int32)
+
+    @property
+    def obs_visit(self):
+        """int32[..., M] visit counts."""
+        return self.visits.astype(jnp.int32)
+
+    @property
+    def obs_value(self):
+        """float32[..., M] mean values."""
+        return self.values
+
+    @property
+    def obs_var(self):
+        """float32[..., M] variances."""
+        return self.vars_
+
+    def with_fields(self, **kw):
+        """`_replace` that also accepts the legacy derived names (`score`,
+        `n_to_o`, `obs_visit`, `obs_value`, `obs_var`), writing them into the
+        canonical storage. Cold-path/test helper — not for loop bodies."""
+        nstat = self.nstat
+        for name, row in (("score", 0), ("n_to_o", 1)):
+            if name in kw:
+                nstat = nstat.at[..., row, :].set(
+                    jnp.asarray(kw.pop(name)).astype(jnp.float32)
+                )
+        if "obs_visit" in kw:
+            kw["visits"] = jnp.asarray(kw.pop("obs_visit")).astype(jnp.float32)
+        if "obs_value" in kw:
+            kw["values"] = jnp.asarray(kw.pop("obs_value")).astype(jnp.float32)
+        if "obs_var" in kw:
+            kw["vars_"] = jnp.asarray(kw.pop("obs_var")).astype(jnp.float32)
+        return self._replace(nstat=nstat, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -322,10 +389,13 @@ def alloc_node(tree: Tree, st: EnvState, ok, cfg: TreeConfig):
     packed = engine.pack_obs(st)
     tree, o = _insert_obs(tree, packed, st.end, ok, cfg)
 
+    col = jnp.stack(
+        [st.score.astype(jnp.float32), o.astype(jnp.float32)]
+    )  # (2,)
+    idx_w = jnp.where(ok, idx, tree.nstat.shape[1])
     tree = tree._replace(
-        score=_masked_set(tree.score, idx, st.score.astype(jnp.float32), ok),
+        nstat=tree.nstat.at[:, idx_w].set(col, mode="drop"),
         end=_masked_set(tree.end, idx, st.end, ok),
-        n_to_o=_masked_set(tree.n_to_o, idx, o, ok),
         n_nodes=tree.n_nodes + ok.astype(jnp.int32),
     )
     return tree, idx
@@ -336,14 +406,13 @@ def init_tree(env_state: EnvState, cfg: TreeConfig) -> Tree:
     N, M, T = cfg.max_nodes, cfg.max_obs, cfg.table_size
     tree = Tree(
         child=jnp.zeros((N_ACTIONS, N), jnp.int32),
-        score=jnp.zeros(N, jnp.float32),
+        nstat=jnp.zeros((2, N), jnp.float32),
         end=jnp.zeros(N, bool),
-        n_to_o=jnp.zeros(N, jnp.int32),
         n_nodes=jnp.int32(1),
         root_state=env_state,
-        obs_visit=jnp.zeros(M, jnp.int32),
-        obs_value=jnp.zeros(M, jnp.float32),
-        obs_var=jnp.zeros(M, jnp.float32),
+        visits=jnp.zeros(M, jnp.float32),
+        values=jnp.zeros(M, jnp.float32),
+        vars_=jnp.zeros(M, jnp.float32),
         obs_end=jnp.zeros(M, bool),
         obs_bits=jnp.zeros((20, M), jnp.uint32),
         n_obs=jnp.int32(1),
@@ -374,19 +443,33 @@ def children_of(tree: Tree, idx):
     return tree.child[:, idx]
 
 
-def unique_children(tree: Tree, idx):
-    """`get_unique_child_obs` (C++ core.h:111-144): among the 7 children of
-    `idx`, keep one node per distinct obs — the earliest node with the
-    group-max score. Returns (kids int32[7], obs int32[7], kept bool[7])."""
-    kids = children_of(tree, idx)     # (7,)
+def _kids_stats(tree: Tree, idx):
+    """Per-level gathers for selection walks: the unique-by-obs child set of
+    `idx` (`get_unique_child_obs`, C++ core.h:111-144) with their scores —
+    the child column plus ONE fused nstat gather (score + obs id together;
+    measured faster than two scalar 7-index gathers from hoisted rows, the
+    OPPOSITE of the scalar-index backup walk — see `backup`).
+
+    Returns (kids int32[7], sc f32[7], obs int32[7] (-1 = invalid),
+    kept bool[7])."""
+    kids = tree.child[:, idx]      # (7,)
     valid = kids != 0
-    obs = jnp.where(valid, tree.n_to_o[kids], -1)
-    sc = tree.score[kids]
+    ns = tree.nstat[:, kids]       # (2, 7)
+    sc = ns[0]
+    obs = jnp.where(valid, ns[1].astype(jnp.int32), -1)
     same = (obs[:, None] == obs[None, :]) & valid[:, None] & valid[None, :]
     beats = (sc[:, None] > sc[None, :]) | (
         (sc[:, None] == sc[None, :]) & (_A7[:, None] <= _A7[None, :])
     )
     kept = valid & jnp.all(~same | beats, axis=1)
+    return kids, sc, obs, kept
+
+
+def unique_children(tree: Tree, idx):
+    """`get_unique_child_obs` (C++ core.h:111-144): among the 7 children of
+    `idx`, keep one node per distinct obs — the earliest node with the
+    group-max score. Returns (kids int32[7], obs int32[7], kept bool[7])."""
+    kids, _, obs, kept = _kids_stats(tree, idx)
     return kids, obs, kept
 
 
@@ -396,38 +479,40 @@ def unique_children(tree: Tree, idx):
 
 def select(tree: Tree, key, cfg: TreeConfig):
     """`select_trace_obs` (C++ core.h:167-224). Returns (trace int32[D],
-    actions int32[D], length int32). trace[length-1] is the leaf;
-    actions[t] is the move from trace[t] to trace[t+1] (used by `replay_leaf`
-    to recompute the leaf env state from the root state)."""
+    actions int32[D], length int32, leaf_state EnvState). trace[length-1] is
+    the leaf; actions[t] is the move from trace[t] to trace[t+1].
+
+    The walk CARRIES the env state and steps it inline on each descend, so
+    the leaf env state (the reference's per-node `game_arr` entry,
+    `agents/agent.py:101-104`) is produced by the same loop — no separate
+    replay walk, no per-node state storage. Stepping is skipped on the final
+    level when the depth cap is hit, matching replay-from-root semantics
+    exactly (length-1 steps)."""
     D = cfg.max_depth
     trace0 = jnp.zeros(D, jnp.int32)
     act0 = jnp.zeros(D, jnp.int32)
 
     def cond(carry):
-        _, _, _, depth, done, _ = carry
+        _, _, _, _, depth, done, _, _ = carry
         return (~done) & (depth < D)
 
     def body(carry):
-        trace, acts, idx, depth, done, key = carry
+        trace, acts, idx, sc_idx, depth, done, st, key = carry
         trace = trace.at[depth].set(idx)
 
-        kids, obs, kept = unique_children(tree, idx)
+        kids, sc, obs, kept = _kids_stats(tree, idx)
         any_kid = jnp.any(kept)
 
-        visits = jnp.where(kept, tree.obs_visit[obs], 0)
+        visits = jnp.where(kept, tree.visits[obs], 0.0)
         low_mask = kept & (visits < cfg.low)
         any_low = jnp.any(low_mask)
 
-        key, sub = jax.random.split(key)
-        gumbel = jax.random.gumbel(sub, (N_ACTIONS,))
-        low_choice = jnp.argmax(jnp.where(low_mask, gumbel, -jnp.inf))
-
         n_total = jnp.sum(visits)
         # base Q = shared obs value + score delta (select_trace_obs semantics)
-        q_base = tree.obs_value[obs] + tree.score[kids] - tree.score[idx]
+        q_base = tree.values[obs] + sc - sc_idx
         # clamp: float Welford updates can leave tiny negative variances
-        var = jnp.maximum(tree.obs_var[obs], 0.0)
-        nv = jnp.maximum(visits, 1).astype(jnp.float32)
+        var = jnp.maximum(tree.vars_[obs], 0.0)
+        nv = jnp.maximum(visits, 1.0)
         # exploration term per the configured rule (agents/policy.py:8-55)
         if cfg.policy == "clt":
             explore = norm_quantile(n_total) * jnp.sqrt(var / nv)
@@ -438,7 +523,7 @@ def select(tree: Tree, key, cfg: TreeConfig):
             # max return statistic of the legacy node layout)
             q_max = jnp.max(jnp.where(kept, q_base, -jnp.inf))
             explore = q_max * jnp.sqrt(
-                jnp.log(jnp.maximum(n_total, 2).astype(jnp.float32)) / nv
+                jnp.log(jnp.maximum(n_total, 2.0)) / nv
             )
         elif cfg.policy == "mc":
             # Thompson-style: one gaussian draw per child
@@ -452,26 +537,42 @@ def select(tree: Tree, key, cfg: TreeConfig):
         else:
             raise ValueError(f"unknown selection policy {cfg.policy!r}")
         q = q_base + explore
-        clt_choice = jnp.argmax(jnp.where(kept, q, -jnp.inf))
 
-        choice = jnp.where(any_low, low_choice, clt_choice).astype(jnp.int32)
-        acts = acts.at[depth].set(jnp.where(any_kid, choice, 0))
+        # one argmax: unvisited-first (gumbel tie-break) overrides the policy
+        key, sub = jax.random.split(key)
+        gumbel = jax.random.gumbel(sub, (N_ACTIONS,))
+        cand = jnp.where(
+            any_low,
+            jnp.where(low_mask, gumbel, -jnp.inf),
+            jnp.where(kept, q, -jnp.inf),
+        )
+        choice = jnp.argmax(cand).astype(jnp.int32)
+
+        act = jnp.where(any_kid, choice, 0)
+        acts = acts.at[depth].set(act)
         nxt = jnp.where(any_kid, kids[choice], idx)
-        return trace, acts, nxt, depth + 1, ~any_kid, key
+        sc_idx = jnp.where(any_kid, sc[choice], sc_idx)
 
-    trace, acts, _, depth, _, _ = jax.lax.while_loop(
+        # inline leaf replay: step only while descending, and never on the
+        # last level of a depth-capped walk (replay does length-1 steps)
+        st2 = engine.step(st, act, cfg.env)
+        do_step = any_kid & (depth < D - 1)
+        st = jax.tree.map(lambda a, b: jnp.where(do_step, a, b), st2, st)
+        return trace, acts, nxt, sc_idx, depth + 1, ~any_kid, st, key
+
+    trace, acts, _, _, depth, _, leaf_state, _ = jax.lax.while_loop(
         cond, body,
-        (trace0, act0, tree.root, jnp.int32(0), jnp.asarray(False), key),
+        (trace0, act0, tree.root, tree.nstat[0, tree.root], jnp.int32(0),
+         jnp.asarray(False), tree.root_state, key),
     )
-    return trace, acts, depth
+    return trace, acts, depth, leaf_state
 
 
 def replay_leaf(tree: Tree, actions, length, cfg: TreeConfig) -> EnvState:
-    """Recompute the leaf env state by replaying the selected action path from
-    the root state. `engine.step` is deterministic (RNG lives in the state),
-    so this reproduces exactly the state stored per node in the reference's
-    `game_arr` (`agents/agent.py:101-104`) at ~100 VPU ops per level instead
-    of a gigabyte-scale per-node store."""
+    """Recompute a leaf env state by replaying an action path from the root
+    state (`engine.step` is deterministic — RNG lives in the state). The lp
+    selection walk produces the leaf state inline (`select`); this stand-alone
+    replay serves the vp/distributional selects and tests."""
 
     def cond(c):
         st, t = c
@@ -498,11 +599,11 @@ def _dus_rows(arr, base, new_vals, ok):
 
 
 def expand(tree: Tree, leaf_state: EnvState, leaf, ok, cfg: TreeConfig):
-    """Create the 7 children of `leaf` (when `ok`) from its replayed env
-    state — the reference's `TreeAgent.expand` (`agents/agent.py:136-145`)
-    without the Python/pyTetris boundary. Child nodes are allocated
-    CONTIGUOUSLY (ids n_nodes..n_nodes+6) so node-array writes are single
-    dynamic-update-slices; only the per-obs hash insert is sequential.
+    """Create the 7 children of `leaf` (when `ok`) from its env state — the
+    reference's `TreeAgent.expand` (`agents/agent.py:136-145`) without the
+    Python/pyTetris boundary. Child nodes are allocated CONTIGUOUSLY (ids
+    n_nodes..n_nodes+6) so node-array writes are single scatters; only the
+    per-obs hash insert is sequential.
 
     Returns (tree, child_states) where child_states is the stepped EnvState
     with leading axis 7 (consumed directly by the NN evaluator — child
@@ -519,11 +620,14 @@ def expand(tree: Tree, leaf_state: EnvState, leaf, ok, cfg: TreeConfig):
 
     tree, obs7 = _insert_obs7(tree, packed7, child_states.end, ok, cfg)
 
-    # node rows: one DUS per field
+    # node rows: one fused (2, 7) scatter for [score; obs], one for end
+    block = jnp.stack(
+        [child_states.score.astype(jnp.float32), obs7.astype(jnp.float32)]
+    )
+    ids_w = jnp.where(ok, ids, tree.nstat.shape[1])
     tree = tree._replace(
-        score=_dus_rows(tree.score, base, child_states.score, ok),
+        nstat=tree.nstat.at[:, ids_w].set(block, mode="drop"),
         end=_dus_rows(tree.end, base, child_states.end, ok),
-        n_to_o=_dus_rows(tree.n_to_o, base, obs7, ok),
         n_nodes=tree.n_nodes + jnp.where(ok, N_ACTIONS, 0),
     )
     # child column: single read-free column write
@@ -551,8 +655,14 @@ def backup(tree: Tree, trace, length, value, variance,
     incremental mean/variance and v ← γ·v + score(idx). Sequential walk —
     measured FASTER on TPU than `backup_vectorized` below (traces are much
     shorter than max_depth, and the data-dependent while_loop pays only
-    `length` iterations where the vectorized form pays D² matrices)."""
+    `length` iterations where the vectorized form pays D² matrices). The
+    carried stats stay three separate arrays with scalar scatters — the only
+    fast carried-update pattern on TPU (module docstring); the nstat rows are
+    hoisted out of the loop (a per-level (2,)-window gather measured +45%
+    on the whole walk vs two scalar gathers from loop-invariant rows)."""
     gamma = jnp.float32(cfg.gamma)
+    score_row = tree.nstat[0]
+    obs_row = tree.nstat[1].astype(jnp.int32)
 
     def cond(carry):
         t, *_ = carry
@@ -561,29 +671,31 @@ def backup(tree: Tree, trace, length, value, variance,
     def body(carry):
         t, visit, val, var, v = carry
         idx = trace[t]
-        o = tree.n_to_o[idx]
+        s = score_row[idx]
+        o = obs_row[idx]
 
-        v_rel = v - tree.score[idx]
-        first = visit[o] == 0
+        v_rel = v - s
+        n = visit[o]
+        first = n == 0.0
         delta = v_rel - val[o]
-        val_new = jnp.where(first, v_rel, val[o] + delta / (visit[o] + 1))
+        val_new = jnp.where(first, v_rel, val[o] + delta / (n + 1.0))
         delta2 = v_rel - val_new
         var_new = jnp.where(
-            first, variance, var[o] + (delta * delta2 - var[o]) / (visit[o] + 1)
+            first, variance, var[o] + (delta * delta2 - var[o]) / (n + 1.0)
         )
 
-        visit = visit.at[o].add(1)
+        visit = visit.at[o].set(n + 1.0)
         val = val.at[o].set(val_new)
         var = var.at[o].set(var_new)
-        v = gamma * v_rel + tree.score[idx]
+        v = gamma * v_rel + s
         return t - 1, visit, val, var, v
 
     _, visit, val, var, _ = jax.lax.while_loop(
         cond, body,
-        (length - 1, tree.obs_visit, tree.obs_value, tree.obs_var,
+        (length - 1, tree.visits, tree.values, tree.vars_,
          jnp.float32(value)),
     )
-    return tree._replace(obs_visit=visit, obs_value=val, obs_var=var)
+    return tree._replace(visits=visit, values=val, vars_=var)
 
 
 def backup_vectorized(tree: Tree, trace, length, value, variance,
@@ -612,8 +724,9 @@ def backup_vectorized(tree: Tree, trace, length, value, variance,
     t = jnp.arange(D)
     live = t < length
     idx = jnp.where(live, trace, 0)
-    s = tree.score[idx]                               # (D,)
-    o = jnp.where(live, tree.n_to_o[idx], -1)
+    ns = tree.nstat[:, idx]                           # (2, D)
+    s = ns[0]
+    o = jnp.where(live, ns[1].astype(jnp.int32), -1)
 
     # ---- per-level samples x_t = u_t --------------------------------------
     leaf_t = length - 1
@@ -642,10 +755,10 @@ def backup_vectorized(tree: Tree, trace, length, value, variance,
     mean_b = sum_x / kk
     m2_b = jnp.maximum(sum_x2 - sum_x * sum_x / kk, 0.0)
 
-    n_a = tree.obs_visit[o].astype(jnp.float32)
-    fresh = n_a == 0
-    mean_a = jnp.where(fresh, mean_b, tree.obs_value[o])
-    m2_a = jnp.where(fresh, jnp.float32(variance), tree.obs_var[o] * n_a)
+    n_a = tree.visits[o]
+    fresh = n_a == 0.0
+    mean_a = jnp.where(fresh, mean_b, tree.values[o])
+    m2_a = jnp.where(fresh, jnp.float32(variance), tree.vars_[o] * n_a)
 
     n_new = n_a + k
     nn = jnp.maximum(n_new, 1.0)
@@ -654,14 +767,12 @@ def backup_vectorized(tree: Tree, trace, length, value, variance,
     m2_new = m2_a + m2_b + delta_ab * delta_ab * n_a * k / nn
     var_new = m2_new / nn
 
-    M = tree.obs_visit.shape[0]
+    M = tree.visits.shape[0]
     o_w = jnp.where(rep, o, M)
     return tree._replace(
-        obs_visit=tree.obs_visit.at[o_w].set(
-            n_new.astype(jnp.int32), mode="drop"
-        ),
-        obs_value=tree.obs_value.at[o_w].set(mean_new, mode="drop"),
-        obs_var=tree.obs_var.at[o_w].set(var_new, mode="drop"),
+        visits=tree.visits.at[o_w].set(n_new, mode="drop"),
+        values=tree.values.at[o_w].set(mean_new, mode="drop"),
+        vars_=tree.vars_.at[o_w].set(var_new, mode="drop"),
     )
 
 
@@ -672,6 +783,8 @@ def backup_exp_moving(tree: Tree, trace, length, value, variance,
     var = (1-α)(var + α·δ²); first visit seeds (value, variance)."""
     gamma = jnp.float32(cfg.gamma)
     a = jnp.float32(alpha)
+    score_row = tree.nstat[0]
+    obs_row = tree.nstat[1].astype(jnp.int32)
 
     def cond(carry):
         t, *_ = carry
@@ -680,26 +793,28 @@ def backup_exp_moving(tree: Tree, trace, length, value, variance,
     def body(carry):
         t, visit, val, var, v = carry
         idx = trace[t]
-        o = tree.n_to_o[idx]
-        v_rel = v - tree.score[idx]
-        first = visit[o] == 0
+        s = score_row[idx]
+        o = obs_row[idx]
+        v_rel = v - s
+        n = visit[o]
+        first = n == 0.0
         d = v_rel - val[o]
         val_new = jnp.where(first, v_rel, val[o] + a * d)
         var_new = jnp.where(
             first, variance, (1.0 - a) * (var[o] + a * d * d)
         )
-        visit = visit.at[o].add(1)
+        visit = visit.at[o].set(n + 1.0)
         val = val.at[o].set(val_new)
         var = var.at[o].set(var_new)
-        v = gamma * v_rel + tree.score[idx]
+        v = gamma * v_rel + s
         return t - 1, visit, val, var, v
 
     _, visit, val, var, _ = jax.lax.while_loop(
         cond, body,
-        (length - 1, tree.obs_visit, tree.obs_value, tree.obs_var,
+        (length - 1, tree.visits, tree.values, tree.vars_,
          jnp.float32(value)),
     )
-    return tree._replace(obs_visit=visit, obs_value=val, obs_var=var)
+    return tree._replace(visits=visit, values=val, vars_=var)
 
 
 def backup_mixture(tree: Tree, trace, length, value, variance,
@@ -709,6 +824,8 @@ def backup_mixture(tree: Tree, trace, length, value, variance,
     tracks the mixture's variance — var += (Δvar + Δ(v²))/n −
     (Δv/n)(v_old + v_new); the incoming variance decays by γ each level."""
     gamma = jnp.float32(cfg.gamma)
+    score_row = tree.nstat[0]
+    obs_row = tree.nstat[1].astype(jnp.int32)
 
     def cond(carry):
         t, *_ = carry
@@ -717,9 +834,10 @@ def backup_mixture(tree: Tree, trace, length, value, variance,
     def body(carry):
         t, visit, val, var, v, in_var = carry
         idx = trace[t]
-        o = tree.n_to_o[idx]
-        v_rel = v - tree.score[idx]
-        n_new = (visit[o] + 1).astype(jnp.float32)
+        s = score_row[idx]
+        o = obs_row[idx]
+        v_rel = v - s
+        n_new = visit[o] + 1.0
         v_diff = v_rel - val[o]
         v_sq_diff = v_rel * v_rel - val[o] * val[o]
         v_tmp = val[o]
@@ -728,19 +846,19 @@ def backup_mixture(tree: Tree, trace, length, value, variance,
         var_new = var[o] + (var_diff + v_sq_diff) / n_new - (
             v_diff / n_new
         ) * (v_tmp + val_new)
-        visit = visit.at[o].add(1)
+        visit = visit.at[o].set(n_new)
         val = val.at[o].set(val_new)
         var = var.at[o].set(var_new)
-        v = gamma * v_rel + tree.score[idx]
+        v = gamma * v_rel + s
         in_var = gamma * in_var
         return t - 1, visit, val, var, v, in_var
 
     _, visit, val, var, _, _ = jax.lax.while_loop(
         cond, body,
-        (length - 1, tree.obs_visit, tree.obs_value, tree.obs_var,
+        (length - 1, tree.visits, tree.values, tree.vars_,
          jnp.float32(value), jnp.float32(variance)),
     )
-    return tree._replace(obs_visit=visit, obs_value=val, obs_var=var)
+    return tree._replace(visits=visit, values=val, vars_=var)
 
 
 def backup_leaf_parallel(tree: Tree, trace, length, v_nn, var_nn, expanded,
@@ -754,38 +872,105 @@ def backup_leaf_parallel(tree: Tree, trace, length, v_nn, var_nn, expanded,
     v_nn / var_nn: float32[7] NN outputs aligned with the action slots.
     expanded: whether the leaf was expanded this sim (else terminal backup:
     v = score(leaf), var = 0)."""
+    tree, v0, var0 = lp_seed(tree, trace, length, v_nn, var_nn, expanded, cfg)
+    return backup(tree, trace, length, v0, var0, cfg)
+
+
+def backup_batched(trees: Tree, traces, lengths, v0, var0, cfg: TreeConfig):
+    """Hand-batched `backup` over B trees in ONE while_loop (no vmap).
+
+    vmap's while_loop batching rule re-selects EVERY carried array per
+    iteration (`where(cond_b, new, old)` over the full (B, M) stat arrays)
+    and runs a per-lane cond reduction; writing the batch dimension by hand
+    replaces all of that with index redirection — dead lanes scatter out of
+    range (mode="drop") and only the (B,) scalars are masked. Iteration k
+    processes level length_b-1-k of every lane b (each lane's own reverse
+    order), so per-lane arithmetic is IDENTICAL to `backup` — bit-exact,
+    golden-tested against the vmapped form.
+
+    trees: batched Tree (leading axis B on every field).
+    traces (B, D), lengths (B,), v0 (B,), var0 (B,)."""
+    B, M = trees.visits.shape
+    gamma = jnp.float32(cfg.gamma)
+    bidx = jnp.arange(B)
+    score_row = trees.nstat[:, 0, :]                     # (B, N)
+    obs_row = trees.nstat[:, 1, :].astype(jnp.int32)     # (B, N)
+    kmax = jnp.max(lengths)
+
+    def cond(c):
+        k, *_ = c
+        return k < kmax
+
+    def body(c):
+        k, visit, val, var, v = c
+        t = lengths - 1 - k                    # per-lane level (reverse)
+        live = t >= 0
+        tt = jnp.maximum(t, 0)
+        idx = traces[bidx, tt]                 # (B,)
+        s = score_row[bidx, idx]
+        o = jnp.where(live, obs_row[bidx, idx], M)  # dead lanes drop
+
+        v_rel = v - s
+        n = visit[bidx, jnp.minimum(o, M - 1)]
+        valo = val[bidx, jnp.minimum(o, M - 1)]
+        varo = var[bidx, jnp.minimum(o, M - 1)]
+        first = n == 0.0
+        delta = v_rel - valo
+        val_new = jnp.where(first, v_rel, valo + delta / (n + 1.0))
+        delta2 = v_rel - val_new
+        var_new = jnp.where(
+            first, var0, varo + (delta * delta2 - varo) / (n + 1.0)
+        )
+
+        visit = visit.at[bidx, o].set(n + 1.0, mode="drop")
+        val = val.at[bidx, o].set(val_new, mode="drop")
+        var = var.at[bidx, o].set(var_new, mode="drop")
+        v = jnp.where(live, gamma * v_rel + s, v)
+        return k + 1, visit, val, var, v
+
+    _, visit, val, var, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), trees.visits, trees.values, trees.vars_,
+         v0.astype(jnp.float32)),
+    )
+    return trees._replace(visits=visit, values=val, vars_=var)
+
+
+def lp_seed(tree: Tree, trace, length, v_nn, var_nn, expanded,
+            cfg: TreeConfig):
+    """The seeding half of `backup_trace_obs_LP` (C++ core.h:303-381): seed
+    fresh unique child obs with NN estimates and compute the averaged value
+    to back up. Loop-free — `mcts.py` vmaps this, then runs ONE
+    `backup_batched` over the whole batch. Returns (tree, v0, var0)."""
     leaf = trace[jnp.maximum(length - 1, 0)]
-    kids, obs, kept = unique_children(tree, leaf)
+    kids, sc_kids, obs, kept = _kids_stats(tree, leaf)
     kept = kept & expanded
 
-    # Seed fresh obs (visit==0) with NN values; terminal children get (0, 0).
-    # Non-seeding slots are redirected out of range (mode="drop"): `obs` can
-    # contain duplicates (two actions reaching the same obs) and -1 for
-    # invalid slots, and a duplicate non-seeding lane must not clobber the
-    # seeding lane's write.
-    first = kept & (tree.obs_visit[obs] == 0)
+    first = kept & (tree.visits[obs] == 0.0)
     seed_v = jnp.where(tree.end[kids], 0.0, v_nn)
     seed_var = jnp.where(tree.end[kids], 0.0, var_nn)
-    M = tree.obs_visit.shape[0]
+    M = tree.visits.shape[0]
     obs_w = jnp.where(first, obs, M)
 
-    obs_visit = tree.obs_visit.at[obs_w].add(1, mode="drop")
-    obs_value = tree.obs_value.at[obs_w].set(seed_v, mode="drop")
-    obs_var = tree.obs_var.at[obs_w].set(seed_var, mode="drop")
-    tree = tree._replace(obs_visit=obs_visit, obs_value=obs_value, obs_var=obs_var)
+    tree = tree._replace(
+        visits=tree.visits.at[obs_w].add(1.0, mode="drop"),
+        values=tree.values.at[obs_w].set(seed_v, mode="drop"),
+        vars_=tree.vars_.at[obs_w].set(seed_var, mode="drop"),
+    )
 
     k = jnp.maximum(jnp.sum(kept.astype(jnp.int32)), 1)
     gamma = jnp.float32(cfg.gamma)
     v_sum = jnp.sum(
-        jnp.where(kept, tree.score[kids] + gamma * tree.obs_value[obs], 0.0)
+        jnp.where(kept, sc_kids + gamma * tree.values[obs], 0.0)
     )
-    var_sum = jnp.sum(jnp.where(kept, tree.obs_var[obs], 0.0))
+    var_sum = jnp.sum(jnp.where(kept, tree.vars_[obs], 0.0))
     v_mean = v_sum / k
     var_mean = var_sum * gamma * gamma / k
 
-    v0 = jnp.where(expanded, v_mean, tree.score[leaf])
+    leaf_score = tree.nstat[0, leaf]
+    v0 = jnp.where(expanded, v_mean, leaf_score)
     var0 = jnp.where(expanded, var_mean, 0.0)
-    return backup(tree, trace, length, v0, var0, cfg)
+    return tree, v0, var0
 
 
 # ---------------------------------------------------------------------------
@@ -798,14 +983,13 @@ def compute_stats(tree: Tree, cfg: TreeConfig, idx=None):
     idx = tree.root if idx is None else idx
     kids = children_of(tree, idx)
     valid = kids != 0
-    obs = tree.n_to_o[kids]
-    visit = jnp.where(valid, tree.obs_visit[obs], 0).astype(jnp.float32)
+    ns = tree.nstat[:, kids]
+    obs = ns[1].astype(jnp.int32)
+    visit = jnp.where(valid, tree.visits[obs], 0.0)
     q = jnp.where(
-        valid,
-        tree.obs_value[obs] + tree.score[kids] - tree.score[idx],
-        -jnp.inf,
+        valid, tree.values[obs] + ns[0] - tree.nstat[0, idx], -jnp.inf
     )
-    var = jnp.where(valid, tree.obs_var[obs], 0.0)
+    var = jnp.where(valid, tree.vars_[obs], 0.0)
     return jnp.stack([visit, q, var])
 
 
@@ -823,15 +1007,15 @@ def visit_probs(tree: Tree, cfg: TreeConfig):
 
 
 def root_value(tree: Tree):
-    o = tree.n_to_o[tree.root]
-    return tree.obs_value[o], tree.obs_var[o]
+    o = tree.nstat[1, tree.root].astype(jnp.int32)
+    return tree.values[o], tree.vars_[o]
 
 
 def advance_root(tree: Tree, action, new_env_state: EnvState, cfg: TreeConfig):
     """Move the root to child[action, root] after the real env step — the
     reference's `update_root` + node dedup (agent.py:296-301). Allocates the
     node if the move was never expanded. The root env state always becomes
-    the post-move state (it is the replay origin for `replay_leaf`)."""
+    the post-move state (it is the replay origin for the selection walk)."""
     c = tree.child[action, tree.root]
     need = c == 0
     tree, fresh = alloc_node(tree, new_env_state, need, cfg)
@@ -856,8 +1040,8 @@ def harvest(tree: Tree, min_visits: int, cfg: TreeConfig):
     mask = (
         (slots >= 1)
         & (slots < tree.n_obs)
-        & (tree.obs_visit >= min_visits)
+        & (tree.visits >= min_visits)
         & (~tree.obs_end)
     )
     packed = tree.obs_bits.T  # (M, 20)
-    return packed, tree.obs_value, tree.obs_var, tree.obs_visit.astype(jnp.float32), mask
+    return packed, tree.values, tree.vars_, tree.visits, mask

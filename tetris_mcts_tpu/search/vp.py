@@ -81,7 +81,7 @@ def select(vt: VPTree, key, cfg: TreeConfig):
     def body(c):
         trace, acts, idx, depth, done, key = c
         trace = trace.at[depth].set(idx)
-        o = tree.n_to_o[idx]
+        o = tree.nstat[:, idx][1].astype(jnp.int32)
         p = vt.prior[:, o]
         total = jnp.sum(p)
         probs = jnp.where(total > 0, p / jnp.maximum(total, 1e-9), 1.0 / N_ACTIONS)
@@ -116,31 +116,31 @@ def backup_value_policy(vt: VPTree, trace, length, value, cfg: TreeConfig):
     def body(carry):
         t, visit, val, pol_new = carry
         idx = trace[t]
-        o = tree.n_to_o[idx]
+        ns = tree.nstat[:, idx]            # (2,) [score, obs] — one gather
+        s_idx = ns[0]
+        o = ns[1].astype(jnp.int32)
 
-        v_rel = jnp.float32(value) - tree.score[idx]
-        new_visit = visit[o] + 1
+        v_rel = jnp.float32(value) - s_idx
+        new_visit = visit[o] + 1.0
         val_new = val[o] + (v_rel - val[o]) / new_visit
 
         kids = tree.child[:, idx]
-        kobs = tree.n_to_o[kids]
-        q = jnp.where(
-            kids != 0, val[kobs] + tree.score[kids] - tree.score[idx], -jnp.inf
-        )
+        nsk = tree.nstat[:, kids]          # (2, 7)
+        kobs = nsk[1].astype(jnp.int32)
+        q = jnp.where(kids != 0, val[kobs] + nsk[0] - s_idx, -jnp.inf)
         # reference scans children in order keeping strict-max (first argmax)
         amax = jnp.argmax(q)
 
-        visit = visit.at[o].add(1)
+        visit = visit.at[o].set(new_visit)
         val = val.at[o].set(val_new)
         pol_new = pol_new.at[amax, o].add(1.0)
         return t - 1, visit, val, pol_new
 
     _, visit, val, pol_new = jax.lax.while_loop(
-        cond, body,
-        (length - 1, tree.obs_visit, tree.obs_value, vt.pol_new),
+        cond, body, (length - 1, tree.visits, tree.values, vt.pol_new)
     )
     return vt._replace(
-        base=tree._replace(obs_visit=visit, obs_value=val), pol_new=pol_new
+        base=tree._replace(visits=visit, values=val), pol_new=pol_new
     )
 
 
@@ -152,10 +152,11 @@ def best_action(vt: VPTree):
     """Greedy argmax over child Q (ApproxPolicyIter.get_action)."""
     tree = vt.base
     kids = tree.child[:, tree.root]
-    kobs = tree.n_to_o[kids]
+    nsk = tree.nstat[:, kids]
+    kobs = nsk[1].astype(jnp.int32)
     q = jnp.where(
         kids != 0,
-        tree.obs_value[kobs] + tree.score[kids] - tree.score[tree.root],
+        tree.values[kobs] + nsk[0] - tree.nstat[0, tree.root],
         -jnp.inf,
     )
     return jnp.argmax(q).astype(jnp.int32)
@@ -163,7 +164,7 @@ def best_action(vt: VPTree):
 
 def root_policy(vt: VPTree):
     """Normalized improvement counts at the root (training target / get_prob)."""
-    o = vt.base.n_to_o[vt.base.root]
+    o = vt.base.nstat[:, vt.base.root][1].astype(jnp.int32)
     counts = vt.pol_new[:, o]
     total = jnp.sum(counts)
     return jnp.where(total > 0, counts / jnp.maximum(total, 1e-9), 1.0 / N_ACTIONS)
@@ -178,14 +179,14 @@ def harvest(vt: VPTree, min_visits: int, cfg: TreeConfig):
     counts = vt.pol_new  # (7, M)
     totals = jnp.sum(counts, axis=0, keepdims=True)
     pol = jnp.where(totals > 0, counts / jnp.maximum(totals, 1e-9), 1.0 / N_ACTIONS)
+    visit, value = tree.visits, tree.values
     mask = (
         (slots >= 1)
         & (slots < tree.n_obs)
-        & (tree.obs_visit >= min_visits)
+        & (visit >= min_visits)
         & (~tree.obs_end)
     )
-    return (tree.obs_bits.T, tree.obs_value, pol.T,
-            tree.obs_visit.astype(jnp.float32), mask)
+    return (tree.obs_bits.T, value, pol.T, visit, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +291,8 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
 
         # seed priors at the leaf obs (only when expanding); read-free write
         # (index redirected out of range when not expanding, see tree._masked_set)
-        leaf_obs = bgather(vtrees.base.n_to_o, leafs)
+        leaf_ns = bgather_col(vtrees.base.nstat, leafs)  # (B, 2)
+        leaf_obs = leaf_ns[:, 1].astype(jnp.int32)
         M_obs = vtrees.prior.shape[-1]
         prior = jax.vmap(
             lambda pr, o, pi, ok: pr.at[
@@ -302,7 +304,7 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         base, _ = vexpand(vtrees.base, leaf_states, leafs, can, tcfg)
         vtrees = vtrees._replace(base=base)
 
-        leaf_score = bgather(vtrees.base.score, leafs)
+        leaf_score = leaf_ns[:, 0]
         value = jnp.where(can, leaf_score + v.reshape(-1), leaf_score)
         vtrees = vbackup(vtrees, traces, lengths, value, tcfg)
         return vtrees, key
@@ -324,8 +326,8 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
 
         action = vbest(vtrees)
         probs = vrootpol(vtrees)
-        root_obs = bgather(vtrees.base.n_to_o, vtrees.base.root)
-        rv = bgather(vtrees.base.obs_value, root_obs)
+        root_obs = bgather_col(vtrees.base.nstat, vtrees.base.root)[:, 1].astype(jnp.int32)
+        rv = bgather(vtrees.base.values, root_obs)
 
         envs2 = engine.step_batch(envs, action, tcfg.env)
         base2 = vadvance(vtrees.base, action, envs2, tcfg)

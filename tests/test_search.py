@@ -653,3 +653,144 @@ class TestBatchedBackupWalk:
         np.testing.assert_array_equal(
             np.asarray(got.vars_), np.asarray(want.vars_)
         )
+
+
+class TestPallasBackupWalk:
+    """The Pallas backup kernel (interpreted on CPU) must be bit-exact vs
+    `backup_batched` — the integration switches between them by platform."""
+
+    def test_matches_backup_batched(self):
+        from tetris_mcts_tpu.ops import tree_walk
+
+        B = 4
+        scfg = M.SearchConfig(tree=CFG, sims=8, evaluator="lp")
+        run = M.make_run_sims(
+            M.nn_child_evaluator(
+                lambda p, u, x: (jnp.full(x.shape[0], 5.0),
+                                 jnp.full(x.shape[0], 2.0))
+            ),
+            scfg,
+        )
+        trees, envs = M.init_batch(29, B, scfg)
+        trees = jax.jit(run)(None, None, trees, jax.random.PRNGKey(1))
+
+        traces, acts, lengths, _ = jax.vmap(T.select, in_axes=(0, 0, None))(
+            trees, jax.random.split(jax.random.PRNGKey(7), B), CFG
+        )
+        v0 = jnp.linspace(3.0, 70.0, B)
+        var0 = jnp.linspace(0.25, 2.0, B)
+
+        got = tree_walk.backup_batched_pallas(trees, traces, lengths, v0, var0, CFG)
+        want = T.backup_batched(trees, traces, lengths, v0, var0, CFG)
+        np.testing.assert_array_equal(np.asarray(got.visits), np.asarray(want.visits))
+        np.testing.assert_array_equal(np.asarray(got.values), np.asarray(want.values))
+        np.testing.assert_array_equal(np.asarray(got.vars_), np.asarray(want.vars_))
+
+
+class TestPallasSelectWalk:
+    """The Pallas selection kernel (interpreted on CPU) vs a NumPy oracle of
+    `select_trace_obs` driven by the same pre-drawn tie-break gumbels, and
+    the svec node store vs action-path replay."""
+
+    def _grown_trees(self, B=3, sims=10, seed=5):
+        scfg = M.SearchConfig(
+            tree=CFG._replace(select_kernel=True), sims=sims, evaluator="lp"
+        )
+        run = M.make_run_sims(
+            M.nn_child_evaluator(
+                lambda p, u, x: (jnp.linspace(0.0, 9.0, x.shape[0]),
+                                 jnp.full(x.shape[0], 2.0))
+            ),
+            scfg,
+        )
+        trees, envs = M.init_batch(seed, B, scfg)
+        return jax.jit(run)(None, None, trees, jax.random.PRNGKey(seed))
+
+    def _np_select(self, child, score, obs_row, visits, values, vars_np,
+                   root, gumbels, low, D):
+        """Oracle transcription of select_trace_obs with pre-drawn gumbels."""
+        trace, idx, sc_idx = [], int(root), float(score[int(root)])
+        for depth in range(D):
+            trace.append(idx)
+            kids = child[:, idx]
+            uniq, uobs = np_unique_child_obs(kids, score, obs_row)
+            if not uniq:
+                break
+            kept = [(k, o) for k, o in zip(uniq, uobs)]
+            vis = {k: visits[o] for k, o in kept}
+            low_kids = [k for k, o in kept if visits[o] < low]
+            if low_kids:
+                # gumbel argmax over the low slots (by action lane)
+                lanes = [int(np.where(kids == k)[0][0]) for k in low_kids]
+                # careful: a kid value appears once per lane; find lanes of
+                # kept-and-low entries by matching node ids
+                best = max(
+                    zip(low_kids, lanes),
+                    key=lambda kl: gumbels[depth, kl[1]],
+                )
+                nxt = best[0]
+            else:
+                n = sum(vis.values())
+                q_best, nxt = -np.inf, None
+                for k, o in kept:
+                    q = (
+                        values[o] + score[k] - sc_idx
+                        + float(norm_quantile(n))
+                        * np.sqrt(max(vars_np[o], 0.0) / max(visits[o], 1.0))
+                    )
+                    if q > q_best:
+                        q_best, nxt = q, k
+            sc_idx = float(score[nxt])
+            idx = nxt
+        return trace
+
+    def test_kernel_matches_numpy_oracle(self):
+        from tetris_mcts_tpu.ops import tree_walk
+
+        trees = self._grown_trees()
+        B = int(trees.root.shape[0])
+        D = CFG.max_depth
+        key = jax.random.PRNGKey(11)
+        k_low, _ = jax.random.split(key)
+        gumbels = jax.random.gumbel(k_low, (B, D, 7))
+        rnd = jnp.zeros((B, D, 7), jnp.float32)
+
+        score = trees.nstat[:, 0, :]
+        obs = trees.nstat[:, 1, :].astype(jnp.int32)
+        rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
+        traces, lengths, leafs = tree_walk.select_walk(
+            trees.child, score, obs, trees.visits, trees.values,
+            trees.vars_, trees.root, rootsc, gumbels, rnd,
+            policy="clt", low=CFG.low, interpret=True, block=B,
+        )
+
+        for b in range(B):
+            want = self._np_select(
+                np.asarray(trees.child[b]), np.asarray(score[b]),
+                np.asarray(obs[b]), np.asarray(trees.visits[b]),
+                np.asarray(trees.values[b]), np.asarray(trees.vars_[b]),
+                int(trees.root[b]), np.asarray(gumbels[b]), CFG.low, D,
+            )
+            L = int(lengths[b])
+            assert L == len(want), (b, L, want)
+            np.testing.assert_array_equal(
+                np.asarray(traces[b])[:L], np.asarray(want, np.int32)
+            )
+            assert int(leafs[b]) == want[-1]
+
+    def test_svec_store_matches_replay(self):
+        """unpack(svec[leaf]) must equal the action-path replay state for
+        every leaf the XLA select walks to."""
+        trees = self._grown_trees(B=4, sims=8, seed=9)
+        B = 4
+        traces, acts, lengths, leaf_states = jax.vmap(
+            T.select, in_axes=(0, 0, None)
+        )(trees, jax.random.split(jax.random.PRNGKey(3), B), CFG)
+        leafs = M.bgather(traces, jnp.maximum(lengths - 1, 0))
+        svec_leaf = jax.vmap(lambda v, i: v[:, i])(trees.svec, leafs)
+        got = engine.unpack_state(svec_leaf)
+        for f in got._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)),
+                np.asarray(getattr(leaf_states, f)), err_msg=f,
+            )

@@ -301,6 +301,52 @@ def unpack_obs(packed):
     return jnp.where(piece == 1, jnp.int8(-1), locked)
 
 
+STATE_WORDS = 44  # pack_state vector length
+
+
+def pack_state(s: EnvState):
+    """uint32[..., 44] lossless packing of a FULL EnvState (cf. the
+    reference C++ agent's 200-byte `_getState()` node snapshots,
+    `agents/cppmodule/agent.cpp:27,243`). Layout: rows[0:20], piece, rot,
+    px, py, bag[24:31], bag_pos, k0, k1, ctr, gravity, score, combo, lines,
+    line_stats[39:43], end[43]. Int fields are bitcast (sign-preserving); the
+    search layer stores one vector per tree node so the selection kernel can
+    hand back a leaf id and the leaf state is a single gather + unpack."""
+    u = lambda x: jax.lax.bitcast_convert_type(
+        jnp.asarray(x, jnp.int32), jnp.uint32
+    )
+    parts = [
+        s.rows,
+        u(s.piece)[..., None], u(s.rot)[..., None],
+        u(s.px)[..., None], u(s.py)[..., None],
+        u(s.bag), u(s.bag_pos)[..., None],
+        s.k0[..., None], s.k1[..., None], s.ctr[..., None],
+        u(s.gravity)[..., None], u(s.score)[..., None],
+        u(s.combo)[..., None], u(s.lines)[..., None],
+        u(s.line_stats),
+        u(s.end.astype(jnp.int32))[..., None],
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_state(vec) -> EnvState:
+    """Inverse of `pack_state`. vec uint32[..., 44] -> EnvState with the
+    leading shape."""
+    vec = jnp.asarray(vec, jnp.uint32)
+    i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    return EnvState(
+        rows=vec[..., 0:20],
+        piece=i(vec[..., 20]), rot=i(vec[..., 21]),
+        px=i(vec[..., 22]), py=i(vec[..., 23]),
+        bag=i(vec[..., 24:31]), bag_pos=i(vec[..., 31]),
+        k0=vec[..., 32], k1=vec[..., 33], ctr=vec[..., 34],
+        gravity=i(vec[..., 35]), score=i(vec[..., 36]),
+        combo=i(vec[..., 37]), lines=i(vec[..., 38]),
+        line_stats=i(vec[..., 39:43]),
+        end=vec[..., 43] != 0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # batched wrappers
 # ---------------------------------------------------------------------------

@@ -1,0 +1,371 @@
+"""Pallas TPU kernels for the sequential MCTS tree walks.
+
+The select/backup walks are pointer-chasing: ~10 dependent gather/scatter
+ops per tree level. Expressed as XLA ops inside a `while_loop`, every op
+pays kernel-sequencing latency — measured ~80 us per level at B=256
+(scripts/microbench_scatter.py), which capped the whole search at ~65k
+sims/s regardless of batch size. Inside ONE Pallas kernel the tree arrays
+are VMEM-resident and a per-lane dynamic index becomes an iota-mask plus a
+masked reduction (gather) or masked select (scatter) — pure VPU work with
+no per-op dispatch: the same 16-level walk measures 15 us
+(scripts/microbench_pallas_walk.py), an ~85x speedup.
+
+Layout: batch on the SUBLANE axis — all arrays arrive exactly as the
+batched XLA tree stores them ((B, M) stats, (B, D) traces), so there are
+no transposes at the kernel boundary. Grid over B-blocks keeps VMEM use
+bounded; stat arrays are input/output-aliased (updated in place).
+
+Semantics: bit-exact twin of `tree.backup_batched` (itself a bit-exact
+hand-batching of the reference `backup_trace_obs` transcription,
+`agents/cppmodule/core.h:226-260`) — golden-tested against it. A gather
+expressed as sum(where(onehot, x, 0)) is exact: exactly one summand is
+non-zero.
+
+CPU fallback: `interpret=True` runs the kernel in the Pallas interpreter,
+used automatically off-TPU so the full test suite and the multichip dryrun
+exercise the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Max rows (trees) per grid step: bounds VMEM use at
+# BG * (3 stats * M + score/obs * N + trace D) * 4 bytes.
+# BG=256 with M=N=2048 ~= 10 MB of the ~16 MB/core VMEM.
+_BG = 256
+
+
+def _backup_kernel(gamma, D, N, M,
+                   trace_ref, len_ref, v0_ref, var0_ref,
+                   score_ref, obs_ref,
+                   visit_ref, value_ref, var_ref,
+                   visit_out, value_out, var_out):
+    """One grid step: BG trees, each walking its own trace in reverse.
+
+    Shapes (BG = rows of this block):
+      trace (BG, D) i32, len/v0/var0 (BG, 1), score (BG, N) f32,
+      obs (BG, N) i32, stats (BG, M) f32 (aliased in/out).
+    """
+    del visit_ref, value_ref, var_ref  # aliased: *_out hold the input values
+    BG = trace_ref.shape[0]
+    diota = lax.broadcasted_iota(jnp.int32, (BG, D), 1)
+    niota = lax.broadcasted_iota(jnp.int32, (BG, N), 1)
+    miota = lax.broadcasted_iota(jnp.int32, (BG, M), 1)
+    lengths = len_ref[:]
+    kmax = jnp.max(lengths)
+
+    def body(k, v):
+        t = lengths - 1 - k                      # (BG, 1) per-lane level
+        live = t >= 0
+        tt = jnp.maximum(t, 0)
+        idx = jnp.sum(
+            jnp.where(diota == tt, trace_ref[:], 0), 1, keepdims=True
+        )
+        nmask = niota == idx
+        s = jnp.sum(jnp.where(nmask, score_ref[:], 0.0), 1, keepdims=True)
+        o = jnp.sum(jnp.where(nmask, obs_ref[:], 0), 1, keepdims=True)
+        mmask = (miota == o) & live
+
+        vi = jnp.sum(jnp.where(mmask, visit_out[:], 0.0), 1, keepdims=True)
+        va = jnp.sum(jnp.where(mmask, value_out[:], 0.0), 1, keepdims=True)
+        vr = jnp.sum(jnp.where(mmask, var_out[:], 0.0), 1, keepdims=True)
+
+        v_rel = v - s
+        first = vi == 0.0
+        delta = v_rel - va
+        val_new = jnp.where(first, v_rel, va + delta / (vi + 1.0))
+        delta2 = v_rel - val_new
+        var_new = jnp.where(
+            first, var0_ref[:], vr + (delta * delta2 - vr) / (vi + 1.0)
+        )
+
+        visit_out[:] = jnp.where(mmask, vi + 1.0, visit_out[:])
+        value_out[:] = jnp.where(mmask, val_new, value_out[:])
+        var_out[:] = jnp.where(mmask, var_new, var_out[:])
+        return jnp.where(live, gamma * v_rel + s, v)
+
+    lax.fori_loop(0, kmax, body, v0_ref[:], unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gamma", "interpret")
+)
+def backup_walk(traces, lengths, v0, var0, score, obs, visits, values, vars_,
+                *, gamma: float, interpret: bool = False):
+    """Run the reverse Welford+γ backup walk for B trees in one kernel.
+
+    traces (B, D) i32; lengths/v0/var0 (B,); score (B, N) f32;
+    obs (B, N) i32; visits/values/vars_ (B, M) f32.
+    Returns updated (visits, values, vars_)."""
+    B, D = traces.shape
+    N = score.shape[1]
+    M = visits.shape[1]
+    bg = min(B, _BG)
+    assert B % bg == 0, (B, bg)
+
+    row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+    kernel = functools.partial(_backup_kernel, float(gamma), D, N, M)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // bg,),
+        in_specs=[row(D), row(1), row(1), row(1), row(N), row(N),
+                  row(M), row(M), row(M)],
+        out_specs=[row(M), row(M), row(M)],
+        out_shape=[jax.ShapeDtypeStruct((B, M), jnp.float32)] * 3,
+        input_output_aliases={6: 0, 7: 1, 8: 2},
+        interpret=interpret,
+    )(traces, lengths.reshape(B, 1), v0.reshape(B, 1).astype(jnp.float32),
+      var0.reshape(B, 1).astype(jnp.float32), score, obs,
+      visits, values, vars_)
+    return out
+
+
+def on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def backup_batched_pallas(trees, traces, lengths, v0, var0, cfg):
+    """Drop-in for `tree.backup_batched` running the walk as one Pallas
+    kernel (interpreted off-TPU so every platform takes the same path)."""
+    visits, values, vars_ = backup_walk(
+        traces, lengths, v0, var0,
+        trees.nstat[:, 0, :], trees.nstat[:, 1, :].astype(jnp.int32),
+        trees.visits, trees.values, trees.vars_,
+        gamma=cfg.gamma, interpret=not on_tpu(),
+    )
+    return trees._replace(visits=visits, values=values, vars_=vars_)
+
+
+# ---------------------------------------------------------------------------
+# selection kernel
+# ---------------------------------------------------------------------------
+
+def _norm_quantile(t):
+    """norm_quantile (search/quantiles.py) inlined — pure jnp, kernel-safe."""
+    import math
+
+    log2 = math.log(2.0)
+    log22 = math.log(22.0)
+    log41 = math.log(41.0)
+    t = jnp.maximum(t, 2.0)
+    alpha = 1.0 - 1.0 / t
+    return 10.0 * jnp.log(1.0 - jnp.log(-jnp.log(alpha) / log2) / log22) / log41
+
+
+def _select_kernel(policy, low, D, N, M,
+                   child_ref, score_ref, obs_ref,
+                   visit_ref, value_ref, var_ref,
+                   root_ref, rootsc_ref, gum_ref, rnd_ref,
+                   trace_out, len_out, leaf_out,
+                   idx_ref, sc_ref, done_ref):
+    """One grid step: BG trees descending in lockstep.
+
+    Shapes: child (BG, 7, N) i32; score (BG, N) f32; obs (BG, N) i32;
+    stats (BG, M) f32; root (BG, 1) i32; rootsc (BG, 1) f32;
+    gum/rnd (BG, D, 7) f32. Outputs: trace (BG, D) i32, len (BG, 1) i32,
+    leaf (BG, 1) i32.
+
+    Per level, each per-lane gather is an iota-mask + masked reduction; the
+    whole walk is one kernel (see module docstring). Semantics are those of
+    `tree.select` minus the env replay (the caller fetches the leaf state
+    from the svec node store) and with the per-walk tie-break randomness
+    pre-drawn (i.i.d. per level either way)."""
+    BG = score_ref.shape[0]
+    diota = lax.broadcasted_iota(jnp.int32, (BG, D), 1)
+    n1iota = lax.broadcasted_iota(jnp.int32, (BG, 1, N), 2)
+    n7iota = lax.broadcasted_iota(jnp.int32, (BG, 7, N), 2)
+    m7iota = lax.broadcasted_iota(jnp.int32, (BG, 7, M), 2)
+    d7iota = lax.broadcasted_iota(jnp.int32, (BG, D, 7), 1)
+    a7 = lax.broadcasted_iota(jnp.int32, (BG, 7), 1)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    trace_out[:] = jnp.zeros((BG, D), jnp.int32)
+    len_out[:] = jnp.full((BG, 1), D, jnp.int32)
+    leaf_out[:] = root_ref[:]
+    # Walk state lives in VMEM scratch, not the loop carry: Mosaic cannot
+    # legalize a while/fori yield of mixed (BG, 1) i32/f32/i1 vectors
+    # ("failed to legalize scf.yield" on the vpad layouts), and ref state
+    # sidesteps carry layouts entirely. done is int32 for the same reason.
+    idx_ref[:] = root_ref[:]
+    sc_ref[:] = rootsc_ref[:]
+    done_ref[:] = jnp.zeros((BG, 1), jnp.int32)
+
+    def level(depth, carry):
+        done = done_ref[:] != 0
+        all_done = jnp.all(done)
+
+        @pl.when(~all_done)
+        def _():
+            idx = idx_ref[:]
+            sc = sc_ref[:]
+            live = ~done
+            # record trace[depth] = idx (live lanes)
+            trace_out[:] = jnp.where(
+                (diota == depth) & live, idx, trace_out[:]
+            )
+            leaf_out[:] = jnp.where(live, idx, leaf_out[:])
+
+            # children of idx: one masked reduce over N
+            kids = jnp.sum(
+                jnp.where(n1iota == idx[:, :, None], child_ref[:], 0), 2
+            )                                                 # (BG, 7)
+            valid = kids != 0
+            kmask = n7iota == kids[:, :, None]                # (BG, 7, N)
+            sc_k = jnp.sum(
+                jnp.where(kmask, score_ref[:][:, None, :], 0.0), 2
+            )
+            obs = jnp.where(
+                valid,
+                jnp.sum(jnp.where(kmask, obs_ref[:][:, None, :], 0), 2),
+                -1,
+            )
+
+            # unique-children-by-obs, keep group-max score (earliest ties)
+            same = (
+                (obs[:, :, None] == obs[:, None, :])
+                & valid[:, :, None] & valid[:, None, :]
+            )
+            beats = (sc_k[:, :, None] > sc_k[:, None, :]) | (
+                (sc_k[:, :, None] == sc_k[:, None, :])
+                & (a7[:, :, None] <= a7[:, None, :])
+            )
+            kept = valid & jnp.all(~same | beats, 2)
+            any_kid = jnp.any(kept, 1, keepdims=True) & live  # (BG, 1)
+
+            omask = m7iota == obs[:, :, None]                 # (BG, 7, M)
+            vi = jnp.sum(jnp.where(omask, visit_ref[:][:, None, :], 0.0), 2)
+            va = jnp.sum(jnp.where(omask, value_ref[:][:, None, :], 0.0), 2)
+            vr = jnp.sum(jnp.where(omask, var_ref[:][:, None, :], 0.0), 2)
+
+            visits = jnp.where(kept, vi, 0.0)
+            n_total = jnp.sum(visits, 1, keepdims=True)
+            q_base = va + sc_k - sc
+            var = jnp.maximum(vr, 0.0)
+            nv = jnp.maximum(visits, 1.0)
+            rnd = jnp.sum(jnp.where(d7iota == depth, rnd_ref[:], 0.0), 1)
+            if policy == "clt":
+                explore = _norm_quantile(n_total) * jnp.sqrt(var / nv)
+            elif policy == "gauss":
+                explore = _norm_quantile(n_total) * jnp.sqrt(var)
+            elif policy == "max":
+                q_max = jnp.max(jnp.where(kept, q_base, neg_inf), 1,
+                                keepdims=True)
+                explore = q_max * jnp.sqrt(
+                    jnp.log(jnp.maximum(n_total, 2.0)) / nv
+                )
+            elif policy == "mc":
+                explore = rnd * jnp.sqrt(var)
+            elif policy == "random":
+                explore = rnd * 1e9 - q_base
+            elif policy == "greedy":
+                explore = 0.0
+            else:
+                raise ValueError(f"unknown selection policy {policy!r}")
+            q = q_base + explore
+
+            low_mask = kept & (visits < low)
+            any_low = jnp.any(low_mask, 1, keepdims=True)
+            g = jnp.sum(jnp.where(d7iota == depth, gum_ref[:], 0.0), 1)
+            cand = jnp.where(
+                any_low,
+                jnp.where(low_mask, g, neg_inf),
+                jnp.where(kept, q, neg_inf),
+            )
+            choice = jnp.argmax(cand, 1)[:, None]             # (BG, 1)
+            amask = a7 == choice
+            nxt = jnp.sum(jnp.where(amask, kids, 0), 1, keepdims=True)
+            sc_n = jnp.sum(jnp.where(amask, sc_k, 0.0), 1, keepdims=True)
+
+            newly_done = live & ~any_kid
+            len_out[:] = jnp.where(newly_done, depth + 1, len_out[:])
+            idx_ref[:] = jnp.where(any_kid, nxt, idx)
+            sc_ref[:] = jnp.where(any_kid, sc_n, sc)
+            done_ref[:] = (done | newly_done).astype(jnp.int32)
+
+        return carry
+
+    lax.fori_loop(0, D, level, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("policy", "low", "interpret", "block")
+)
+def select_walk(child, score, obs, visits, values, vars_, root, rootsc,
+                gumbels, rnd, *, policy: str, low: int,
+                interpret: bool = False, block: int = 32):
+    """Run the selection walk for B trees in one kernel.
+
+    child (B, 7, N) i32; score (B, N) f32; obs (B, N) i32;
+    visits/values/vars_ (B, M) f32; root/rootsc (B,); gumbels/rnd
+    (B, D, 7) f32 pre-drawn per-level randomness.
+    Returns (traces (B, D) i32, lengths (B,) i32, leafs (B,) i32)."""
+    B, _, N = child.shape
+    M = visits.shape[1]
+    D = gumbels.shape[1]
+    bg = min(B, block)
+    assert B % bg == 0, (B, bg)
+
+    row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+    row3 = lambda a, w: pl.BlockSpec((bg, a, w), lambda g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = functools.partial(_select_kernel, policy, low, D, N, M)
+    traces, lengths, leafs = pl.pallas_call(
+        kernel,
+        grid=(B // bg,),
+        in_specs=[row3(7, N), row(N), row(N), row(M), row(M), row(M),
+                  row(1), row(1), row3(D, 7), row3(D, 7)],
+        out_specs=[row(D), row(1), row(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bg, 1), jnp.int32),    # idx
+            pltpu.VMEM((bg, 1), jnp.float32),  # sc
+            pltpu.VMEM((bg, 1), jnp.int32),    # done
+        ],
+        interpret=interpret,
+    )(child, score, obs, visits, values, vars_,
+      root.reshape(B, 1), rootsc.reshape(B, 1).astype(jnp.float32),
+      gumbels, rnd)
+    return traces, lengths.reshape(B), leafs.reshape(B)
+
+
+def select_batched_pallas(trees, key, cfg):
+    """Kernel-backed batched selection: returns (traces, lengths, leafs,
+    leaf_states). The leaf env state comes from the svec node store (one
+    gather + `engine.unpack_state`) instead of an env replay walk."""
+    from tetris_mcts_tpu.env import engine
+
+    B = trees.root.shape[0]
+    D = cfg.max_depth
+    k_low, k_pol = jax.random.split(key)
+    gumbels = jax.random.gumbel(k_low, (B, D, 7))
+    if cfg.policy == "mc":
+        rnd = jax.random.normal(k_pol, (B, D, 7))
+    elif cfg.policy == "random":
+        rnd = jax.random.gumbel(k_pol, (B, D, 7))
+    else:
+        rnd = jnp.zeros((B, D, 7), jnp.float32)
+
+    score = trees.nstat[:, 0, :]
+    obs = trees.nstat[:, 1, :].astype(jnp.int32)
+    rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
+    traces, lengths, leafs = select_walk(
+        trees.child, score, obs, trees.visits, trees.values, trees.vars_,
+        trees.root, rootsc, gumbels, rnd,
+        policy=cfg.policy, low=cfg.low, interpret=not on_tpu(),
+    )
+    svec_leaf = jax.vmap(lambda v, i: v[:, i])(trees.svec, leafs)  # (B, S)
+    leaf_states = engine.unpack_state(svec_leaf)
+    return traces, lengths, leafs, leaf_states

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from tetris_mcts_tpu.env import engine
 from tetris_mcts_tpu.env.engine import EnvState
+from tetris_mcts_tpu.ops import tree_walk
 from tetris_mcts_tpu.search import tree as T
 from tetris_mcts_tpu.search.tree import Tree, TreeConfig
 
@@ -131,15 +132,31 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, 0, None))
     vseed_lp = jax.vmap(T.lp_seed, in_axes=(0, 0, 0, 0, 0, 0, None))
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
+    # On TPU the backup walk runs as ONE Pallas kernel (~85x the XLA
+    # while_loop form, ops/tree_walk.py); off-TPU the hand-batched XLA walk
+    # computes bit-identical results (golden-tested), so the platform switch
+    # is numerically transparent.
+    backup_fn = (
+        tree_walk.backup_batched_pallas
+        if tree_walk.on_tpu()
+        else T.backup_batched
+    )
 
     def sim_once(params, ubound, trees, key):
         B = trees.root.shape[0]
         key, k_sel, k_ev = jax.random.split(key, 3)
-        # the selection walk steps the env inline and returns the leaf state
-        traces, actions, lengths, leaf_states = vselect(
-            trees, jax.random.split(k_sel, B), tcfg
-        )
-        leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
+        if tcfg.select_kernel and tree_walk.on_tpu():
+            # ONE Pallas kernel walks all B trees; the leaf state is a
+            # gather from the svec node store (no replay)
+            traces, lengths, leafs, leaf_states = (
+                tree_walk.select_batched_pallas(trees, k_sel, tcfg)
+            )
+        else:
+            # XLA walk: steps the env inline and returns the leaf state
+            traces, actions, lengths, leaf_states = vselect(
+                trees, jax.random.split(k_sel, B), tcfg
+            )
+            leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
 
         leaf_end = bgather(trees.end, leafs)
         childless = jnp.all(bgather_col(trees.child, leafs) == 0, axis=-1)
@@ -153,7 +170,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
             # over the whole batch (vmap's while batching re-masks every
             # carried array per level; backup_batched self-masks by index)
             trees, v0, var0 = vseed_lp(trees, traces, lengths, v, var, can, tcfg)
-            trees = T.backup_batched(trees, traces, lengths, v0, var0, tcfg)
+            trees = backup_fn(trees, traces, lengths, v0, var0, tcfg)
         else:
             v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)
             leaf_score = bgather_col(trees.nstat, leafs)[:, 0]
@@ -165,7 +182,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
             else:  # rollout: absolute final score of the playout
                 v0 = jnp.where(can, v, leaf_score)
                 var0 = jnp.where(can, var, 0.0)
-            trees = T.backup_batched(trees, traces, lengths, v0, var0, tcfg)
+            trees = backup_fn(trees, traces, lengths, v0, var0, tcfg)
         return trees, key
 
     def run(params, ubound, trees, key):

@@ -88,6 +88,14 @@ class TreeConfig(NamedTuple):
     projection: bool = True
     policy: str = "clt"    # selection rule (agents/policy.py): clt | gauss |
                            # max | mc | random | greedy
+    select_kernel: bool = False  # use the Pallas selection kernel (and
+                           # maintain the svec node-state store it needs).
+                           # Off by default: at B=256/pool 2048 the kernel
+                           # measured 800 us/sim (VMEM caps the block at 32
+                           # lanes -> 8 sequential grid steps) vs 1123 us
+                           # for the XLA walk, and the svec upkeep ate the
+                           # difference. Groundwork for a larger-block
+                           # variant; see ops/tree_walk.py.
     env: EnvConfig = EnvConfig()
 
 
@@ -100,6 +108,10 @@ class Tree(NamedTuple):
     child: jax.Array      # int32[7, N]
     nstat: jax.Array      # float32[2, N]: [score; obs-id (exact int)]
     end: jax.Array        # bool[N]
+    svec: jax.Array       # uint32[44, N] packed env state per node
+                          # (engine.pack_state) — lets the Pallas selection
+                          # kernel return a leaf id whose state is one
+                          # gather + unpack instead of a replay walk
     n_nodes: jax.Array    # int32 next free node id (starts at 1)
     root_state: EnvState  # env state at the root node (single state)
     # obs arrays (walk-carried: separate scalars, see module docstring)
@@ -398,6 +410,10 @@ def alloc_node(tree: Tree, st: EnvState, ok, cfg: TreeConfig):
         end=_masked_set(tree.end, idx, st.end, ok),
         n_nodes=tree.n_nodes + ok.astype(jnp.int32),
     )
+    if cfg.select_kernel:
+        tree = tree._replace(
+            svec=tree.svec.at[:, idx_w].set(engine.pack_state(st), mode="drop")
+        )
     return tree, idx
 
 
@@ -408,6 +424,9 @@ def init_tree(env_state: EnvState, cfg: TreeConfig) -> Tree:
         child=jnp.zeros((N_ACTIONS, N), jnp.int32),
         nstat=jnp.zeros((2, N), jnp.float32),
         end=jnp.zeros(N, bool),
+        svec=jnp.zeros(
+            (engine.STATE_WORDS, N if cfg.select_kernel else 1), jnp.uint32
+        ),
         n_nodes=jnp.int32(1),
         root_state=env_state,
         visits=jnp.zeros(M, jnp.float32),
@@ -630,6 +649,12 @@ def expand(tree: Tree, leaf_state: EnvState, leaf, ok, cfg: TreeConfig):
         end=_dus_rows(tree.end, base, child_states.end, ok),
         n_nodes=tree.n_nodes + jnp.where(ok, N_ACTIONS, 0),
     )
+    if cfg.select_kernel:
+        tree = tree._replace(
+            svec=tree.svec.at[:, ids_w].set(
+                engine.pack_state(child_states).T, mode="drop"
+            )
+        )
     # child column: single read-free column write
     col_w = jnp.where(ok, leaf, tree.child.shape[1])
     tree = tree._replace(

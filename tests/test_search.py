@@ -100,7 +100,7 @@ class TestExpand:
     def test_expand_creates_children(self):
         tree, s = small_tree()
         tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), CFG)
-        kids = np.asarray(tree.child[:, 1])
+        kids = np.asarray(T.children_of(tree, 1))
         assert np.all(kids > 0)
         assert len(set(kids.tolist())) == 7  # distinct nodes
         # children scores/ends recorded
@@ -109,7 +109,7 @@ class TestExpand:
     def test_expand_respects_ok_mask(self):
         tree, s = small_tree()
         tree2, _ = T.expand(tree, s, tree.root, jnp.asarray(False), CFG)
-        assert np.all(np.asarray(tree2.child[:, 1]) == 0)
+        assert np.all(np.asarray(T.children_of(tree2, 1)) == 0)
         assert int(tree2.n_nodes) == int(tree.n_nodes)
 
     def test_unique_children_matches_numpy(self):
@@ -117,7 +117,7 @@ class TestExpand:
         tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), CFG)
         kids, obs, kept = T.unique_children(tree, tree.root)
         kids, obs, kept = map(np.asarray, (kids, obs, kept))
-        child_row = np.asarray(tree.child[:, 1])
+        child_row = np.asarray(T.children_of(tree, 1))
         score = np.asarray(tree.score)
         n_to_o = np.asarray(tree.n_to_o)
         want_nodes, want_obs = np_unique_child_obs(child_row, score, n_to_o)
@@ -262,7 +262,7 @@ class TestSelect:
         trace, acts, length, _ = T.select(tree, jax.random.PRNGKey(0), CFG)
         assert int(length) == 2
         leaf = int(trace[1])
-        assert leaf in np.asarray(tree.child[:, 1]).tolist()
+        assert leaf in np.asarray(T.children_of(tree, 1)).tolist()
         assert int(tree.obs_visit[int(tree.n_to_o[leaf])]) == 0
 
     def test_select_clt_argmax_when_all_visited(self):
@@ -612,7 +612,7 @@ class TestSelectionPolicies:
             )
             assert int(length) == 2, policy
             leaf = int(trace[1])
-            assert leaf in np.asarray(tree.child[:, 1]).tolist(), policy
+            assert leaf in np.asarray(T.children_of(tree, 1)).tolist(), policy
 
 
 class TestBatchedBackupWalk:
@@ -706,13 +706,14 @@ class TestPallasSelectWalk:
         trees, envs = M.init_batch(seed, B, scfg)
         return jax.jit(run)(None, None, trees, jax.random.PRNGKey(seed))
 
-    def _np_select(self, child, score, obs_row, visits, values, vars_np,
+    def _np_select(self, cbase, score, obs_row, visits, values, vars_np,
                    root, gumbels, low, D):
         """Oracle transcription of select_trace_obs with pre-drawn gumbels."""
         trace, idx, sc_idx = [], int(root), float(score[int(root)])
         for depth in range(D):
             trace.append(idx)
-            kids = child[:, idx]
+            c = int(cbase[idx])
+            kids = np.where(c != 0, c + np.arange(7), 0)
             uniq, uobs = np_unique_child_obs(kids, score, obs_row)
             if not uniq:
                 break
@@ -759,14 +760,14 @@ class TestPallasSelectWalk:
         obs = trees.nstat[:, 1, :].astype(jnp.int32)
         rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
         traces, lengths, leafs = tree_walk.select_walk(
-            trees.child, score, obs, trees.visits, trees.values,
+            trees.cbase, score, obs, trees.visits, trees.values,
             trees.vars_, trees.root, rootsc, gumbels, rnd,
             policy="clt", low=CFG.low, interpret=True, block=B,
         )
 
         for b in range(B):
             want = self._np_select(
-                np.asarray(trees.child[b]), np.asarray(score[b]),
+                np.asarray(trees.cbase[b]), np.asarray(score[b]),
                 np.asarray(obs[b]), np.asarray(trees.visits[b]),
                 np.asarray(trees.values[b]), np.asarray(trees.vars_[b]),
                 int(trees.root[b]), np.asarray(gumbels[b]), CFG.low, D,

@@ -161,14 +161,14 @@ def _norm_quantile(t):
 
 
 def _select_kernel(policy, low, D, N, M,
-                   child_ref, score_ref, obs_ref,
+                   cbase_ref, score_ref, obs_ref,
                    visit_ref, value_ref, var_ref,
                    root_ref, rootsc_ref, gum_ref, rnd_ref,
                    trace_out, len_out, leaf_out,
                    idx_ref, sc_ref, done_ref):
     """One grid step: BG trees descending in lockstep.
 
-    Shapes: child (BG, 7, N) i32; score (BG, N) f32; obs (BG, N) i32;
+    Shapes: cbase (BG, N) i32; score (BG, N) f32; obs (BG, N) i32;
     stats (BG, M) f32; root (BG, 1) i32; rootsc (BG, 1) f32;
     gum/rnd (BG, D, 7) f32. Outputs: trace (BG, D) i32, len (BG, 1) i32,
     leaf (BG, 1) i32.
@@ -180,7 +180,7 @@ def _select_kernel(policy, low, D, N, M,
     pre-drawn (i.i.d. per level either way)."""
     BG = score_ref.shape[0]
     diota = lax.broadcasted_iota(jnp.int32, (BG, D), 1)
-    n1iota = lax.broadcasted_iota(jnp.int32, (BG, 1, N), 2)
+    niota = lax.broadcasted_iota(jnp.int32, (BG, N), 1)
     n7iota = lax.broadcasted_iota(jnp.int32, (BG, 7, N), 2)
     m7iota = lax.broadcasted_iota(jnp.int32, (BG, 7, M), 2)
     d7iota = lax.broadcasted_iota(jnp.int32, (BG, D, 7), 1)
@@ -213,11 +213,12 @@ def _select_kernel(policy, low, D, N, M,
             )
             leaf_out[:] = jnp.where(live, idx, leaf_out[:])
 
-            # children of idx: one masked reduce over N
-            kids = jnp.sum(
-                jnp.where(n1iota == idx[:, :, None], child_ref[:], 0), 2
-            )                                                 # (BG, 7)
-            valid = kids != 0
+            # first-child base of idx: one masked reduce over N
+            c = jnp.sum(
+                jnp.where(niota == idx, cbase_ref[:], 0), 1, keepdims=True
+            )                                                 # (BG, 1)
+            valid = jnp.broadcast_to(c != 0, (BG, 7))
+            kids = jnp.where(valid, c + a7, 0)                # (BG, 7)
             kmask = n7iota == kids[:, :, None]                # (BG, 7, N)
             sc_k = jnp.sum(
                 jnp.where(kmask, score_ref[:][:, None, :], 0.0), 2
@@ -298,16 +299,16 @@ def _select_kernel(policy, low, D, N, M,
 @functools.partial(
     jax.jit, static_argnames=("policy", "low", "interpret", "block")
 )
-def select_walk(child, score, obs, visits, values, vars_, root, rootsc,
+def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
                 gumbels, rnd, *, policy: str, low: int,
-                interpret: bool = False, block: int = 32):
+                interpret: bool = False, block: int = 64):
     """Run the selection walk for B trees in one kernel.
 
-    child (B, 7, N) i32; score (B, N) f32; obs (B, N) i32;
+    cbase (B, N) i32; score (B, N) f32; obs (B, N) i32;
     visits/values/vars_ (B, M) f32; root/rootsc (B,); gumbels/rnd
     (B, D, 7) f32 pre-drawn per-level randomness.
     Returns (traces (B, D) i32, lengths (B,) i32, leafs (B,) i32)."""
-    B, _, N = child.shape
+    B, N = cbase.shape
     M = visits.shape[1]
     D = gumbels.shape[1]
     bg = min(B, block)
@@ -321,7 +322,7 @@ def select_walk(child, score, obs, visits, values, vars_, root, rootsc,
     traces, lengths, leafs = pl.pallas_call(
         kernel,
         grid=(B // bg,),
-        in_specs=[row3(7, N), row(N), row(N), row(M), row(M), row(M),
+        in_specs=[row(N), row(N), row(N), row(M), row(M), row(M),
                   row(1), row(1), row3(D, 7), row3(D, 7)],
         out_specs=[row(D), row(1), row(1)],
         out_shape=[
@@ -335,7 +336,7 @@ def select_walk(child, score, obs, visits, values, vars_, root, rootsc,
             pltpu.VMEM((bg, 1), jnp.int32),    # done
         ],
         interpret=interpret,
-    )(child, score, obs, visits, values, vars_,
+    )(cbase, score, obs, visits, values, vars_,
       root.reshape(B, 1), rootsc.reshape(B, 1).astype(jnp.float32),
       gumbels, rnd)
     return traces, lengths.reshape(B), leafs.reshape(B)
@@ -362,7 +363,7 @@ def select_batched_pallas(trees, key, cfg):
     obs = trees.nstat[:, 1, :].astype(jnp.int32)
     rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
     traces, lengths, leafs = select_walk(
-        trees.child, score, obs, trees.visits, trees.values, trees.vars_,
+        trees.cbase, score, obs, trees.visits, trees.values, trees.vars_,
         trees.root, rootsc, gumbels, rnd,
         policy=cfg.policy, low=cfg.low, interpret=not on_tpu(),
     )

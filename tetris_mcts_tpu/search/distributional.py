@@ -284,7 +284,7 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
         leaf_states = vreplay_leaf(dtrees.base, actions, lengths, tcfg)
 
         leaf_end = bgather(dtrees.base.end, leafs)
-        childless = jnp.all(bgather_col(dtrees.base.child, leafs) == 0, axis=-1)
+        childless = bgather(dtrees.base.cbase, leafs) == 0
         can = (~leaf_end) & childless & vheadroom(dtrees.base, tcfg)
 
         imgs = jax.vmap(engine.get_state)(leaf_states)

@@ -159,7 +159,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
             leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
 
         leaf_end = bgather(trees.end, leafs)
-        childless = jnp.all(bgather_col(trees.child, leafs) == 0, axis=-1)
+        childless = bgather(trees.cbase, leafs) == 0
         can = (~leaf_end) & childless & vheadroom(trees, tcfg)
 
         trees, child_states = vexpand(trees, leaf_states, leafs, can, tcfg)

@@ -105,7 +105,13 @@ class Tree(NamedTuple):
     why nstat is fused and the obs stats are split."""
 
     # node arrays, pool axis minor
-    child: jax.Array      # int32[7, N]
+    cbase: jax.Array      # int32[N] id of the FIRST child; 0 = unexpanded.
+                          # Children are always allocated contiguously
+                          # (expand-all-7), so child[a] == cbase + a — the
+                          # reference's (N, 7) child table (agents/agent.py:
+                          # 60) collapses to one scalar per node, turning
+                          # the per-level child-column gather of every walk
+                          # into a scalar gather.
     nstat: jax.Array      # float32[2, N]: [score; obs-id (exact int)]
     end: jax.Array        # bool[N]
     svec: jax.Array       # uint32[44, N] packed env state per node
@@ -421,7 +427,7 @@ def init_tree(env_state: EnvState, cfg: TreeConfig) -> Tree:
     """Fresh empty tree rooted at `env_state`."""
     N, M, T = cfg.max_nodes, cfg.max_obs, cfg.table_size
     tree = Tree(
-        child=jnp.zeros((N_ACTIONS, N), jnp.int32),
+        cbase=jnp.zeros(N, jnp.int32),
         nstat=jnp.zeros((2, N), jnp.float32),
         end=jnp.zeros(N, bool),
         svec=jnp.zeros(
@@ -458,8 +464,9 @@ def reset_tree(tree: Tree, env_state: EnvState, cfg: TreeConfig) -> Tree:
 # ---------------------------------------------------------------------------
 
 def children_of(tree: Tree, idx):
-    """int32[7] child node ids of `idx` (column gather from the (7, N) table)."""
-    return tree.child[:, idx]
+    """int32[7] child node ids of `idx` (cbase + action; 0s if unexpanded)."""
+    c = tree.cbase[idx]
+    return jnp.where(c != 0, c + _A7, 0)
 
 
 def _kids_stats(tree: Tree, idx):
@@ -471,8 +478,9 @@ def _kids_stats(tree: Tree, idx):
 
     Returns (kids int32[7], sc f32[7], obs int32[7] (-1 = invalid),
     kept bool[7])."""
-    kids = tree.child[:, idx]      # (7,)
-    valid = kids != 0
+    c = tree.cbase[idx]
+    valid = jnp.broadcast_to(c != 0, (N_ACTIONS,))
+    kids = jnp.where(valid, c + _A7, 0)
     ns = tree.nstat[:, kids]       # (2, 7)
     sc = ns[0]
     obs = jnp.where(valid, ns[1].astype(jnp.int32), -1)
@@ -655,11 +663,8 @@ def expand(tree: Tree, leaf_state: EnvState, leaf, ok, cfg: TreeConfig):
                 engine.pack_state(child_states).T, mode="drop"
             )
         )
-    # child column: single read-free column write
-    col_w = jnp.where(ok, leaf, tree.child.shape[1])
-    tree = tree._replace(
-        child=tree.child.at[:, col_w].set(ids, mode="drop")
-    )
+    # first-child base: single read-free scalar write
+    tree = tree._replace(cbase=_masked_set(tree.cbase, leaf, base, ok))
     return tree, child_states
 
 
@@ -1041,7 +1046,8 @@ def advance_root(tree: Tree, action, new_env_state: EnvState, cfg: TreeConfig):
     reference's `update_root` + node dedup (agent.py:296-301). Allocates the
     node if the move was never expanded. The root env state always becomes
     the post-move state (it is the replay origin for the selection walk)."""
-    c = tree.child[action, tree.root]
+    cb = tree.cbase[tree.root]
+    c = jnp.where(cb != 0, cb + action, 0)
     need = c == 0
     tree, fresh = alloc_node(tree, new_env_state, need, cfg)
     return tree._replace(

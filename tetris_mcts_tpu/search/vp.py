@@ -88,7 +88,8 @@ def select(vt: VPTree, key, cfg: TreeConfig):
         key, sub = jax.random.split(key)
         a = jax.random.choice(sub, N_ACTIONS, p=probs).astype(jnp.int32)
         acts = acts.at[depth].set(a)
-        nxt = tree.child[a, idx]
+        cb = tree.cbase[idx]
+        nxt = jnp.where(cb != 0, cb + a, 0)
         return trace, acts, nxt, depth + 1, nxt == 0, key
 
     trace, acts, _, depth, _, _ = jax.lax.while_loop(
@@ -124,7 +125,8 @@ def backup_value_policy(vt: VPTree, trace, length, value, cfg: TreeConfig):
         new_visit = visit[o] + 1.0
         val_new = val[o] + (v_rel - val[o]) / new_visit
 
-        kids = tree.child[:, idx]
+        cb = tree.cbase[idx]
+        kids = jnp.where(cb != 0, cb + jnp.arange(N_ACTIONS), 0)
         nsk = tree.nstat[:, kids]          # (2, 7)
         kobs = nsk[1].astype(jnp.int32)
         q = jnp.where(kids != 0, val[kobs] + nsk[0] - s_idx, -jnp.inf)
@@ -151,7 +153,7 @@ def backup_value_policy(vt: VPTree, trace, length, value, cfg: TreeConfig):
 def best_action(vt: VPTree):
     """Greedy argmax over child Q (ApproxPolicyIter.get_action)."""
     tree = vt.base
-    kids = tree.child[:, tree.root]
+    kids = T.children_of(tree, tree.root)
     nsk = tree.nstat[:, kids]
     kobs = nsk[1].astype(jnp.int32)
     q = jnp.where(
@@ -281,7 +283,7 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         leaf_states = vreplay_leaf(vtrees.base, actions, lengths, tcfg)
 
         leaf_end = bgather(vtrees.base.end, leafs)
-        childless = jnp.all(bgather_col(vtrees.base.child, leafs) == 0, axis=-1)
+        childless = bgather(vtrees.base.cbase, leafs) == 0
         can = (~leaf_end) & childless & vheadroom(vtrees.base, tcfg)
 
         # evaluate all leaves in one forward pass

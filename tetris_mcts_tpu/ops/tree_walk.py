@@ -217,8 +217,11 @@ def _select_kernel(policy, low, D, N, M,
             c = jnp.sum(
                 jnp.where(niota == idx, cbase_ref[:], 0), 1, keepdims=True
             )                                                 # (BG, 1)
-            valid = jnp.broadcast_to(c != 0, (BG, 7))
-            kids = jnp.where(valid, c + a7, 0)                # (BG, 7)
+            # (broadcast the i32, not the i1: Mosaic only supports
+            # non-no-op minor-dim insertion for 32-bit types)
+            c7 = jnp.broadcast_to(c, (BG, 7))
+            valid = c7 != 0
+            kids = jnp.where(valid, c7 + a7, 0)               # (BG, 7)
             kmask = n7iota == kids[:, :, None]                # (BG, 7, N)
             sc_k = jnp.sum(
                 jnp.where(kmask, score_ref[:][:, None, :], 0.0), 2
@@ -229,11 +232,12 @@ def _select_kernel(policy, low, D, N, M,
                 -1,
             )
 
-            # unique-children-by-obs, keep group-max score (earliest ties)
-            same = (
-                (obs[:, :, None] == obs[:, None, :])
-                & valid[:, :, None] & valid[:, None, :]
-            )
+            # unique-children-by-obs, keep group-max score (earliest
+            # ties). With cbase the 7 kids are valid all-or-nothing per
+            # lane, so the pairwise valid factors are redundant (kept is
+            # masked by `valid` below) — and dropping them avoids an i1
+            # rank-expansion Mosaic cannot legalize.
+            same = obs[:, :, None] == obs[:, None, :]
             beats = (sc_k[:, :, None] > sc_k[:, None, :]) | (
                 (sc_k[:, :, None] == sc_k[:, None, :])
                 & (a7[:, :, None] <= a7[:, None, :])

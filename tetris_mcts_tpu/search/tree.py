@@ -516,16 +516,15 @@ def select(tree: Tree, key, cfg: TreeConfig):
     level when the depth cap is hit, matching replay-from-root semantics
     exactly (length-1 steps)."""
     D = cfg.max_depth
-    trace0 = jnp.zeros(D, jnp.int32)
-    act0 = jnp.zeros(D, jnp.int32)
+    assert cfg.max_nodes < (1 << 20), "trace packing needs node ids < 2^20"
+    ta0 = jnp.zeros(D, jnp.int32)  # packed per level: idx | action << 20
 
     def cond(carry):
-        _, _, _, _, depth, done, _, _ = carry
+        _, _, _, depth, done, _, _ = carry
         return (~done) & (depth < D)
 
     def body(carry):
-        trace, acts, idx, sc_idx, depth, done, st, key = carry
-        trace = trace.at[depth].set(idx)
+        ta, idx, sc_idx, depth, done, st, key = carry
 
         kids, sc, obs, kept = _kids_stats(tree, idx)
         any_kid = jnp.any(kept)
@@ -576,7 +575,9 @@ def select(tree: Tree, key, cfg: TreeConfig):
         choice = jnp.argmax(cand).astype(jnp.int32)
 
         act = jnp.where(any_kid, choice, 0)
-        acts = acts.at[depth].set(act)
+        # ONE scatter records (node, action) for this level — walk levels
+        # are op-latency-bound, so trace and action share a packed word
+        ta = ta.at[depth].set(idx | (act << 20))
         nxt = jnp.where(any_kid, kids[choice], idx)
         sc_idx = jnp.where(any_kid, sc[choice], sc_idx)
 
@@ -585,14 +586,14 @@ def select(tree: Tree, key, cfg: TreeConfig):
         st2 = engine.step(st, act, cfg.env)
         do_step = any_kid & (depth < D - 1)
         st = jax.tree.map(lambda a, b: jnp.where(do_step, a, b), st2, st)
-        return trace, acts, nxt, sc_idx, depth + 1, ~any_kid, st, key
+        return ta, nxt, sc_idx, depth + 1, ~any_kid, st, key
 
-    trace, acts, _, _, depth, _, leaf_state, _ = jax.lax.while_loop(
+    ta, _, _, depth, _, leaf_state, _ = jax.lax.while_loop(
         cond, body,
-        (trace0, act0, tree.root, tree.nstat[0, tree.root], jnp.int32(0),
+        (ta0, tree.root, tree.nstat[0, tree.root], jnp.int32(0),
          jnp.asarray(False), tree.root_state, key),
     )
-    return trace, acts, depth, leaf_state
+    return ta & ((1 << 20) - 1), ta >> 20, depth, leaf_state
 
 
 def replay_leaf(tree: Tree, actions, length, cfg: TreeConfig) -> EnvState:

@@ -795,3 +795,49 @@ class TestPallasSelectWalk:
                 np.asarray(getattr(got, f)),
                 np.asarray(getattr(leaf_states, f)), err_msg=f,
             )
+
+
+class TestPallasLPBackup:
+    """The fused seed+backup kernel (interpreted on CPU) vs the XLA
+    pipeline (vmap(lp_seed) + backup_batched)."""
+
+    def test_matches_xla_pipeline(self):
+        from tetris_mcts_tpu.ops import tree_walk
+
+        B = 4
+        scfg = M.SearchConfig(tree=CFG, sims=9, evaluator="lp")
+        run = M.make_run_sims(
+            M.nn_child_evaluator(
+                lambda p, u, x: (jnp.linspace(1.0, 8.0, x.shape[0]),
+                                 jnp.full(x.shape[0], 2.5))
+            ),
+            scfg,
+        )
+        trees, envs = M.init_batch(17, B, scfg)
+        trees = jax.jit(run)(None, None, trees, jax.random.PRNGKey(2))
+
+        traces, acts, lengths, _ = jax.vmap(T.select, in_axes=(0, 0, None))(
+            trees, jax.random.split(jax.random.PRNGKey(5), B), CFG
+        )
+        v_nn = jnp.tile(jnp.linspace(1.0, 7.0, 7), (B, 1))
+        var_nn = jnp.full((B, 7), 3.0)
+        can = jnp.asarray([True, True, False, True])
+
+        got = tree_walk.lp_backup_batched_pallas(
+            trees, traces, lengths, v_nn, var_nn, can, CFG
+        )
+        t2, v0, var0 = jax.vmap(T.lp_seed, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            trees, traces, lengths, v_nn, var_nn, can, CFG
+        )
+        want = T.backup_batched(t2, traces, lengths, v0, var0, CFG)
+        np.testing.assert_array_equal(
+            np.asarray(got.visits), np.asarray(want.visits)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.values), np.asarray(want.values),
+            rtol=1e-6, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.vars_), np.asarray(want.vars_),
+            rtol=1e-6, atol=1e-5,
+        )

@@ -374,3 +374,176 @@ def select_batched_pallas(trees, key, cfg):
     svec_leaf = jax.vmap(lambda v, i: v[:, i])(trees.svec, leafs)  # (B, S)
     leaf_states = engine.unpack_state(svec_leaf)
     return traces, lengths, leafs, leaf_states
+
+
+# ---------------------------------------------------------------------------
+# fused LP-seed + backup kernel
+# ---------------------------------------------------------------------------
+
+def _lp_backup_kernel(gamma, D, N, M,
+                      trace_ref, len_ref, vnn_ref, varnn_ref, exp_ref,
+                      cbase_ref, score_ref, obsend_ref,
+                      visit_ref, value_ref, var_ref,
+                      visit_out, value_out, var_out):
+    """`backup_trace_obs_LP` (C++ core.h:303-381) in ONE kernel: seed the
+    leaf's fresh unique child obs with the NN estimates, compute the
+    averaged child value, then run the reverse Welford+γ walk — the whole
+    per-sim post-NN phase without a single XLA-level gather/scatter.
+
+    Shapes: trace (BG, D) i32; len/exp (BG, 1) i32; vnn/varnn (BG, 7) f32;
+    cbase/score (BG, N); obsend (BG, N) i32 = obs-id | end << 30;
+    stats (BG, M) f32 aliased in/out. The child-set prologue is unrolled
+    over the 7 actions with (BG, N)/(BG, M) masks (rank-3 intermediates at
+    useful BG blow the 16 MB VMEM budget)."""
+    del visit_ref, value_ref, var_ref  # aliased
+    BG = score_ref.shape[0]
+    diota = lax.broadcasted_iota(jnp.int32, (BG, D), 1)
+    niota = lax.broadcasted_iota(jnp.int32, (BG, N), 1)
+    miota = lax.broadcasted_iota(jnp.int32, (BG, M), 1)
+    lengths = len_ref[:]
+    expanded = exp_ref[:] != 0
+
+    # ---- leaf and its unique children (seed prologue) ---------------------
+    leaf = jnp.sum(
+        jnp.where(diota == lengths - 1, trace_ref[:], 0), 1, keepdims=True
+    )
+    lmask = niota == leaf
+    leaf_score = jnp.sum(jnp.where(lmask, score_ref[:], 0.0), 1,
+                         keepdims=True)
+    c = jnp.sum(jnp.where(lmask, cbase_ref[:], 0), 1, keepdims=True)
+    has_kids = c != 0
+
+    sc_k, obs_k, end_k, vi_k = [], [], [], []
+    for a in range(7):
+        kid = c + a  # (BG, 1); garbage when c == 0, masked below
+        kmask = niota == kid
+        sc_k.append(jnp.sum(jnp.where(kmask, score_ref[:], 0.0), 1,
+                            keepdims=True))
+        oe = jnp.sum(jnp.where(kmask, obsend_ref[:], 0), 1, keepdims=True)
+        obs_k.append(jnp.where(has_kids, oe & ((1 << 30) - 1), -1))
+        end_k.append((oe >> 30) & 1)
+    sc7 = jnp.concatenate(sc_k, axis=1)      # (BG, 7)
+    obs7 = jnp.concatenate(obs_k, axis=1)    # (BG, 7)
+    end7 = jnp.concatenate(end_k, axis=1)    # (BG, 7)
+
+    # unique-by-obs, keep group-max score (earliest on ties)
+    a7 = lax.broadcasted_iota(jnp.int32, (BG, 7), 1)
+    same = obs7[:, :, None] == obs7[:, None, :]          # (BG, 7, 7) — small
+    beats = (sc7[:, :, None] > sc7[:, None, :]) | (
+        (sc7[:, :, None] == sc7[:, None, :])
+        & (a7[:, :, None] <= a7[:, None, :])
+    )
+    kept = has_kids & jnp.all(~same | beats, 2) & expanded
+
+    # seed fresh obs with NN values (terminal children get 0) and read back
+    # the post-seed child stats — per action, (BG, M) masked ops
+    v_sum = jnp.zeros((BG, 1), jnp.float32)
+    var_sum = jnp.zeros((BG, 1), jnp.float32)
+    for a in range(7):
+        ka = kept[:, a:a + 1]
+        mm = (miota == obs7[:, a:a + 1]) & ka
+        vi = jnp.sum(jnp.where(mm, visit_out[:], 0.0), 1, keepdims=True)
+        first = mm & (vi == 0.0)
+        seed_v = jnp.where(end_k[a] != 0, 0.0, vnn_ref[:, a:a + 1])
+        seed_var = jnp.where(end_k[a] != 0, 0.0, varnn_ref[:, a:a + 1])
+        visit_out[:] = jnp.where(first, vi + 1.0, visit_out[:])
+        value_out[:] = jnp.where(first, seed_v, value_out[:])
+        var_out[:] = jnp.where(first, seed_var, var_out[:])
+        va = jnp.sum(jnp.where(mm, value_out[:], 0.0), 1, keepdims=True)
+        vr = jnp.sum(jnp.where(mm, var_out[:], 0.0), 1, keepdims=True)
+        v_sum = v_sum + jnp.where(ka, sc_k[a] + gamma * va, 0.0)
+        var_sum = var_sum + jnp.where(ka, vr, 0.0)
+
+    k = jnp.maximum(jnp.sum(kept.astype(jnp.int32), 1, keepdims=True), 1)
+    kf = k.astype(jnp.float32)
+    v_mean = v_sum / kf
+    var_mean = var_sum * gamma * gamma / kf
+    v0 = jnp.where(expanded, v_mean, leaf_score)
+    var0 = jnp.where(expanded, var_mean, jnp.float32(0.0))
+
+    # ---- reverse Welford+γ walk (same as _backup_kernel) -------------------
+    kmax = jnp.max(lengths)
+
+    def body(kk, v):
+        t = lengths - 1 - kk
+        live = t >= 0
+        tt = jnp.maximum(t, 0)
+        idx = jnp.sum(
+            jnp.where(diota == tt, trace_ref[:], 0), 1, keepdims=True
+        )
+        nmask = niota == idx
+        s = jnp.sum(jnp.where(nmask, score_ref[:], 0.0), 1, keepdims=True)
+        o = jnp.where(
+            live,
+            jnp.sum(jnp.where(nmask, obsend_ref[:], 0), 1, keepdims=True)
+            & ((1 << 30) - 1),
+            M,
+        )
+        mmask = (miota == o) & live
+
+        vi = jnp.sum(jnp.where(mmask, visit_out[:], 0.0), 1, keepdims=True)
+        va = jnp.sum(jnp.where(mmask, value_out[:], 0.0), 1, keepdims=True)
+        vr = jnp.sum(jnp.where(mmask, var_out[:], 0.0), 1, keepdims=True)
+
+        v_rel = v - s
+        first = vi == 0.0
+        delta = v_rel - va
+        val_new = jnp.where(first, v_rel, va + delta / (vi + 1.0))
+        delta2 = v_rel - val_new
+        var_new = jnp.where(
+            first, var0, vr + (delta * delta2 - vr) / (vi + 1.0)
+        )
+
+        visit_out[:] = jnp.where(mmask, vi + 1.0, visit_out[:])
+        value_out[:] = jnp.where(mmask, val_new, value_out[:])
+        var_out[:] = jnp.where(mmask, var_new, var_out[:])
+        return jnp.where(live, gamma * v_rel + s, v)
+
+    lax.fori_loop(0, kmax, body, v0, unroll=False)
+
+
+_BG_LP = 128
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "interpret"))
+def lp_backup_walk(traces, lengths, v_nn, var_nn, expanded,
+                   cbase, score, obsend, visits, values, vars_,
+                   *, gamma: float, interpret: bool = False):
+    """Seed + averaged leaf-parallel backup for B trees in one kernel."""
+    B, D = traces.shape
+    N = score.shape[1]
+    M = visits.shape[1]
+    bg = min(B, _BG_LP)
+    assert B % bg == 0, (B, bg)
+
+    row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+    kernel = functools.partial(_lp_backup_kernel, float(gamma), D, N, M)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bg,),
+        in_specs=[row(D), row(1), row(7), row(7), row(1),
+                  row(N), row(N), row(N), row(M), row(M), row(M)],
+        out_specs=[row(M), row(M), row(M)],
+        out_shape=[jax.ShapeDtypeStruct((B, M), jnp.float32)] * 3,
+        input_output_aliases={8: 0, 9: 1, 10: 2},
+        interpret=interpret,
+    )(traces, lengths.reshape(B, 1),
+      v_nn.astype(jnp.float32), var_nn.astype(jnp.float32),
+      expanded.astype(jnp.int32).reshape(B, 1),
+      cbase, score, obsend, visits, values, vars_)
+
+
+def lp_backup_batched_pallas(trees, traces, lengths, v_nn, var_nn, expanded,
+                             cfg):
+    """Fused drop-in for vmap(lp_seed) + backup_batched on TPU."""
+    obsend = trees.nstat[:, 1, :].astype(jnp.int32) | (
+        trees.end.astype(jnp.int32) << 30
+    )
+    visits, values, vars_ = lp_backup_walk(
+        traces, lengths, v_nn, var_nn, expanded,
+        trees.cbase, trees.nstat[:, 0, :], obsend,
+        trees.visits, trees.values, trees.vars_,
+        gamma=cfg.gamma, interpret=not on_tpu(),
+    )
+    return trees._replace(visits=visits, values=values, vars_=vars_)

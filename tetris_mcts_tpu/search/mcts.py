@@ -166,11 +166,19 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
 
         if cfg.evaluator == "lp":
             v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)
-            # loop-free seeding per tree, then ONE hand-batched backup walk
-            # over the whole batch (vmap's while batching re-masks every
-            # carried array per level; backup_batched self-masks by index)
-            trees, v0, var0 = vseed_lp(trees, traces, lengths, v, var, can, tcfg)
-            trees = backup_fn(trees, traces, lengths, v0, var0, tcfg)
+            if tree_walk.on_tpu():
+                # the whole post-NN phase (seed unique children, averaged
+                # value, reverse Welford+γ walk) is ONE Pallas kernel
+                trees = tree_walk.lp_backup_batched_pallas(
+                    trees, traces, lengths, v, var, can, tcfg
+                )
+            else:
+                # loop-free seeding per tree, then one hand-batched backup
+                # walk (bit-equivalent; golden-tested vs the kernel)
+                trees, v0, var0 = vseed_lp(
+                    trees, traces, lengths, v, var, can, tcfg
+                )
+                trees = backup_fn(trees, traces, lengths, v0, var0, tcfg)
         else:
             v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)
             leaf_score = bgather_col(trees.nstat, leafs)[:, 0]

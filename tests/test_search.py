@@ -841,3 +841,34 @@ class TestPallasLPBackup:
             np.asarray(got.vars_), np.asarray(want.vars_),
             rtol=1e-6, atol=1e-5,
         )
+
+
+class TestBatchedInsert:
+    """`insert_obs7_batched` (one probe loop for all B trees) must be
+    bit-exact vs vmapping `_insert_obs7`."""
+
+    def test_matches_vmapped_insert(self):
+        B = 5
+        rng = np.random.RandomState(11)
+        s = engine.reset_batch(3, B, CFG.env)
+        trees = jax.vmap(T.init_tree, in_axes=(0, None))(s, CFG)
+        pool = rng.randint(0, 2**20, size=(10, 20)).astype(np.uint32)
+
+        vins = jax.vmap(T._insert_obs7, in_axes=(0, 0, 0, 0, None))
+        t_b, t_v = trees, trees
+        for it in range(6):
+            pick = rng.randint(0, len(pool), size=(B, 7))
+            packed = jnp.asarray(pool[pick])           # (B, 7, 20)
+            end7 = jnp.zeros((B, 7), bool)
+            ok = jnp.asarray(rng.rand(B) > 0.2)
+            t_b, o_b = T.insert_obs7_batched(t_b, packed, end7, ok, CFG)
+            t_v, o_v = vins(t_v, packed, end7, ok, CFG)
+            np.testing.assert_array_equal(np.asarray(o_b), np.asarray(o_v))
+            for f in ("tbl_h1", "tbl_h2", "tbl_obs", "n_obs", "obs_end"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(t_b, f)),
+                    np.asarray(getattr(t_v, f)), err_msg=f,
+                )
+            np.testing.assert_array_equal(
+                np.asarray(t_b.obs_bits), np.asarray(t_v.obs_bits)
+            )

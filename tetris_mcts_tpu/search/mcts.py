@@ -129,7 +129,8 @@ def rollout_evaluator(cfg: SearchConfig):
 def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     tcfg = cfg.tree
     vselect = jax.vmap(T.select, in_axes=(0, 0, None))
-    vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, 0, None))
+    vexpand_ch = jax.vmap(T.expand_children, in_axes=(0, 0, None))
+    vexpand_commit = jax.vmap(T.expand_commit, in_axes=(0, 0, 0, 0, 0, None))
     vseed_lp = jax.vmap(T.lp_seed, in_axes=(0, 0, 0, 0, 0, 0, None))
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     # On TPU the backup walk runs as ONE Pallas kernel (~85x the XLA
@@ -162,7 +163,16 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
         childless = bgather(trees.cbase, leafs) == 0
         can = (~leaf_end) & childless & vheadroom(trees, tcfg)
 
-        trees, child_states = vexpand(trees, leaf_states, leafs, can, tcfg)
+        # expand in three phases: per-tree child stepping (vmapped,
+        # loop-free), ONE hand-batched obs-table insert (vmap's while
+        # batching re-masks the carried (B, T) tables per probe round),
+        # then per-tree node-row writes (vmapped, loop-free)
+        ok = can & (trees.n_nodes + N_ACTIONS <= tcfg.max_nodes)
+        child_states, packed7 = vexpand_ch(trees, leaf_states, tcfg)
+        trees, obs7 = T.insert_obs7_batched(
+            trees, packed7, child_states.end, ok, tcfg
+        )
+        trees = vexpand_commit(trees, child_states, obs7, leafs, ok, tcfg)
 
         if cfg.evaluator == "lp":
             v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)

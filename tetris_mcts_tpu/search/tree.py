@@ -396,6 +396,144 @@ def _insert_obs7(tree: Tree, packed7, end7, ok, cfg: TreeConfig):
     return tree, obs7
 
 
+def insert_obs7_batched(trees: Tree, packed7, end7, ok, cfg: TreeConfig):
+    """Hand-batched `_insert_obs7` over B trees: ONE probe while_loop for
+    the whole batch. vmap's while batching re-selects the three carried
+    (B, T) table arrays per probe round; here dead lanes self-mask via
+    index redirection and only (B, 7)/(B,) vectors are where-masked.
+    Lanes are independent (each tree probes its own table row), so the
+    claim-by-scatter logic is unchanged per lane — bit-exact vs vmapping
+    `_insert_obs7` (golden-tested).
+
+    trees: batched Tree. packed7 (B, 7, 20) uint32; end7 (B, 7) bool;
+    ok (B,) bool. Returns (trees, obs7 (B, 7) int32)."""
+    B = packed7.shape[0]
+    T_ = cfg.table_size
+    M = trees.obs_bits.shape[-1]
+    bidx = jnp.arange(B)[:, None]
+
+    if not cfg.projection:
+        has = trees.n_obs[:, None] + _A7 < cfg.max_obs
+        new_o = ok[:, None] & has
+        o = jnp.where(new_o, trees.n_obs[:, None] + _A7, 0)
+        o_w = jnp.where(new_o, o, M)
+        return trees._replace(
+            obs_end=trees.obs_end.at[bidx, o_w].set(end7, mode="drop"),
+            obs_bits=trees.obs_bits.at[bidx, :, o_w].set(
+                packed7, mode="drop"
+            ),
+            n_obs=trees.n_obs + jnp.sum(new_o.astype(jnp.int32), 1),
+        ), o
+
+    h1, h2 = _hash_packed(packed7)           # (B, 7) each
+    mask = jnp.uint32(cfg.table_size - 1)
+
+    same = (h1[:, :, None] == h1[:, None, :]) & (
+        h2[:, :, None] == h2[:, None, :]
+    )
+    rep = jnp.argmax(same, axis=2) == _A7[None, :]
+
+    slot0 = (h1 & mask).astype(jnp.int32)
+    placed0 = jnp.broadcast_to(~ok[:, None], (B, N_ACTIONS))
+    obs0 = jnp.zeros((B, N_ACTIONS), jnp.int32)
+
+    def cond(c):
+        placed = c[4]
+        return ~jnp.all(placed)
+
+    def body(c):
+        th1, th2, tobs, slot, placed, obs_id, n_obs = c
+        at = lambda tbl: tbl[bidx, slot]     # (B, 7) row-wise gather
+        occupied = at(tobs) != 0
+        match = (at(th1) == h1) & (at(th2) == h2) & occupied
+        live = ~placed
+
+        obs_id = jnp.where(live & match, at(tobs), obs_id)
+        placed = placed | (live & match)
+        live = ~placed
+
+        full = (n_obs >= cfg.max_obs)[:, None]
+        at_empty = live & ~occupied
+        placed = placed | (at_empty & full)
+        live = ~placed
+        at_empty = at_empty & ~full
+
+        attempt = at_empty & rep
+        s_w = jnp.where(attempt, slot, T_)
+        th1 = th1.at[bidx, s_w].set(h1, mode="drop")
+        th2 = th2.at[bidx, s_w].set(h2, mode="drop")
+        won = attempt & (at(th1) == h1) & (at(th2) == h2)
+
+        rank = jnp.cumsum(won.astype(jnp.int32), axis=1) - 1
+        ids = n_obs[:, None] + rank
+        won = won & (ids < cfg.max_obs)
+        s_w2 = jnp.where(won, slot, T_)
+        tobs = tobs.at[bidx, s_w2].set(ids, mode="drop")
+        obs_id = jnp.where(won, ids, obs_id)
+        placed = placed | won
+        n_obs = n_obs + jnp.sum(won.astype(jnp.int32), axis=1)
+
+        advance = ~placed & occupied & ~match
+        slot = jnp.where(
+            advance,
+            ((slot + 1).astype(jnp.uint32) & mask).astype(jnp.int32),
+            slot,
+        )
+        return th1, th2, tobs, slot, placed, obs_id, n_obs
+
+    th1, th2, tobs, _, _, obs7, n_obs = jax.lax.while_loop(
+        cond, body,
+        (trees.tbl_h1, trees.tbl_h2, trees.tbl_obs, slot0, placed0, obs0,
+         trees.n_obs),
+    )
+
+    fresh = ok[:, None] & (obs7 >= trees.n_obs[:, None])
+    first = fresh & rep
+    o_w = jnp.where(first, obs7, M)
+    trees = trees._replace(
+        tbl_h1=th1, tbl_h2=th2, tbl_obs=tobs, n_obs=n_obs,
+        obs_end=trees.obs_end.at[bidx, o_w].set(end7, mode="drop"),
+        obs_bits=trees.obs_bits.at[bidx, :, o_w].set(packed7, mode="drop"),
+    )
+    return trees, obs7
+
+
+def expand_children(tree: Tree, leaf_state: EnvState, cfg: TreeConfig):
+    """Per-tree expansion front half: step the 7 children and pack their
+    observations. Loop-free — vmapped by the driver."""
+    child_states = jax.vmap(
+        lambda a: engine.step(leaf_state, a, cfg.env)
+    )(_A7)
+    packed7 = jax.vmap(engine.pack_obs)(child_states)  # (7, 20)
+    return child_states, packed7
+
+
+def expand_commit(tree: Tree, child_states: EnvState, obs7, leaf, ok,
+                  cfg: TreeConfig):
+    """Per-tree expansion back half: write the 7 contiguous node rows.
+    Loop-free — vmapped by the driver; the obs-table insert between the
+    halves runs hand-batched (`insert_obs7_batched`)."""
+    base = jnp.where(ok, tree.n_nodes, 0)
+    ids = base + _A7
+    block = jnp.stack(
+        [child_states.score.astype(jnp.float32), obs7.astype(jnp.float32)]
+    )
+    ids_w = jnp.where(ok, ids, tree.nstat.shape[1])
+    tree = tree._replace(
+        nstat=tree.nstat.at[:, ids_w].set(block, mode="drop"),
+        end=_dus_rows(tree.end, base, child_states.end, ok),
+        n_nodes=tree.n_nodes + jnp.where(ok, N_ACTIONS, 0),
+    )
+    if cfg.select_kernel:
+        tree = tree._replace(
+            svec=tree.svec.at[:, ids_w].set(
+                engine.pack_state(child_states).T, mode="drop"
+            )
+        )
+    tree = tree._replace(cbase=_masked_set(tree.cbase, leaf, base, ok))
+    return tree
+
+
 def alloc_node(tree: Tree, st: EnvState, ok, cfg: TreeConfig):
     """Allocate a node for state `st` (when `ok`); project it onto an obs slot
     (dedup via the hash table when cfg.projection). Returns (tree, node_id);

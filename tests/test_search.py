@@ -872,3 +872,41 @@ class TestBatchedInsert:
             np.testing.assert_array_equal(
                 np.asarray(t_b.obs_bits), np.asarray(t_v.obs_bits)
             )
+
+
+class TestBatchedSelectWalk:
+    """`select_batched` (one while_loop for all B trees) must be bit-exact
+    vs vmapping `select` — same RNG stream, traces, lengths, leaf states."""
+
+    def test_matches_vmapped_select(self):
+        B = 5
+        scfg = M.SearchConfig(tree=CFG, sims=11, evaluator="lp")
+        run = M.make_run_sims(
+            M.nn_child_evaluator(
+                lambda p, u, x: (jnp.linspace(0.0, 6.0, x.shape[0]),
+                                 jnp.full(x.shape[0], 1.5))
+            ),
+            scfg,
+        )
+        trees, envs = M.init_batch(23, B, scfg)
+        trees = jax.jit(run)(None, None, trees, jax.random.PRNGKey(4))
+
+        keys = jax.random.split(jax.random.PRNGKey(9), B)
+        t_b, a_b, l_b, leafs_b, nokids_b, st_b = T.select_batched(trees, keys, CFG)
+        t_v, a_v, l_v, st_v = jax.vmap(T.select, in_axes=(0, 0, None))(
+            trees, keys, CFG
+        )
+        np.testing.assert_array_equal(np.asarray(l_b), np.asarray(l_v))
+        np.testing.assert_array_equal(np.asarray(t_b), np.asarray(t_v))
+        np.testing.assert_array_equal(np.asarray(a_b), np.asarray(a_v))
+        leafs_v = M.bgather(t_v, jnp.maximum(l_v - 1, 0))
+        np.testing.assert_array_equal(np.asarray(leafs_b), np.asarray(leafs_v))
+        np.testing.assert_array_equal(
+            np.asarray(nokids_b),
+            np.asarray(M.bgather(trees.cbase, leafs_v) == 0),
+        )
+        for f in st_b._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_b, f)), np.asarray(getattr(st_v, f)),
+                err_msg=f,
+            )

@@ -128,11 +128,9 @@ def rollout_evaluator(cfg: SearchConfig):
 
 def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     tcfg = cfg.tree
-    vselect = jax.vmap(T.select, in_axes=(0, 0, None))
     vexpand_ch = jax.vmap(T.expand_children, in_axes=(0, 0, None))
     vexpand_commit = jax.vmap(T.expand_commit, in_axes=(0, 0, 0, 0, 0, None))
     vseed_lp = jax.vmap(T.lp_seed, in_axes=(0, 0, 0, 0, 0, 0, None))
-    vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     # On TPU the backup walk runs as ONE Pallas kernel (~85x the XLA
     # while_loop form, ops/tree_walk.py); off-TPU the hand-batched XLA walk
     # computes bit-identical results (golden-tested), so the platform switch
@@ -153,15 +151,20 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
                 tree_walk.select_batched_pallas(trees, k_sel, tcfg)
             )
         else:
-            # XLA walk: steps the env inline and returns the leaf state
-            traces, actions, lengths, leaf_states = vselect(
-                trees, jax.random.split(k_sel, B), tcfg
+            # hand-batched XLA walk (bit-identical stream/trajectories to
+            # vmapping T.select — golden-tested): steps the env inline and
+            # returns the leaf states and the exit (= childless) flag
+            traces, actions, lengths, leafs, childless, leaf_states = (
+                T.select_batched(trees, jax.random.split(k_sel, B), tcfg)
             )
-            leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
 
+        if tcfg.select_kernel and tree_walk.on_tpu():
+            childless = bgather(trees.cbase, leafs) == 0
         leaf_end = bgather(trees.end, leafs)
-        childless = bgather(trees.cbase, leafs) == 0
-        can = (~leaf_end) & childless & vheadroom(trees, tcfg)
+        headroomB = (trees.n_nodes + N_ACTIONS <= tcfg.max_nodes) & (
+            trees.n_obs + N_ACTIONS <= tcfg.max_obs
+        )
+        can = (~leaf_end) & childless & headroomB
 
         # expand in three phases: per-tree child stepping (vmapped,
         # loop-free), ONE hand-batched obs-table insert (vmap's while

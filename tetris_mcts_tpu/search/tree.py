@@ -734,6 +734,132 @@ def select(tree: Tree, key, cfg: TreeConfig):
     return ta & ((1 << 20) - 1), ta >> 20, depth, leaf_state
 
 
+def select_batched(trees: Tree, keys, cfg: TreeConfig):
+    """Hand-batched `select` over B trees in ONE while_loop (no vmap) — the
+    same treatment as `backup_batched`/`insert_obs7_batched`: vmap's while
+    batching re-selects every carried array (the packed trace and all ~16
+    EnvState fields) per level; here finished lanes self-mask via index
+    redirection and per-field guards. The per-level RNG is the vmapped
+    primitives themselves (one vectorized threefry per level), so the draw
+    stream and trajectories are BIT-IDENTICAL to vmapping `select`
+    (golden-tested).
+
+    trees: batched Tree; keys (B, 2) uint32 per-lane PRNG keys.
+    Returns (traces (B, D) i32, actions (B, D) i32, lengths (B,) i32,
+    leafs (B,) i32, childless (B,) bool, leaf_states batched EnvState).
+    `childless` is the walk's exit flag: a lane finishes iff its leaf has
+    cbase == 0 (kept is never empty for an expanded node), so the driver's
+    post-walk cbase gather is free."""
+    B = trees.root.shape[0]
+    D = cfg.max_depth
+    assert cfg.max_nodes < (1 << 20), "trace packing needs node ids < 2^20"
+    bidx = jnp.arange(B)
+    ta0 = jnp.zeros((B, D), jnp.int32)
+    vsplit = jax.vmap(jax.random.split)
+    vgumbel = jax.vmap(lambda k: jax.random.gumbel(k, (N_ACTIONS,)))
+    vnormal = jax.vmap(lambda k: jax.random.normal(k, (N_ACTIONS,)))
+
+    def cond(carry):
+        _, _, _, depth, done, _, _, _, _ = carry
+        return (depth < D) & ~jnp.all(done)
+
+    def body(carry):
+        ta, idx, sc_idx, depth, done, st, keys, lengths, leafs = carry
+        live = ~done
+        leafs = jnp.where(live, idx, leafs)
+
+        c = trees.cbase[bidx, idx]                       # (B,)
+        valid = (c != 0)[:, None]
+        kids = jnp.where(valid, c[:, None] + _A7[None, :], 0)   # (B, 7)
+        ns = jnp.take_along_axis(
+            trees.nstat, kids[:, None, :].astype(jnp.int32), axis=2
+        )                                                # (B, 2, 7)
+        sc = ns[:, 0, :]
+        obs = jnp.where(valid, ns[:, 1, :].astype(jnp.int32), -1)
+        same = obs[:, :, None] == obs[:, None, :]
+        beats = (sc[:, :, None] > sc[:, None, :]) | (
+            (sc[:, :, None] == sc[:, None, :])
+            & (_A7[None, :, None] <= _A7[None, None, :])
+        )
+        kept = valid & jnp.all(~same | beats, axis=2)
+        any_kid = jnp.any(kept, axis=1) & live           # (B,)
+
+        visits = jnp.where(kept, jnp.take_along_axis(trees.visits, obs, 1), 0.0)
+        low_mask = kept & (visits < cfg.low)
+        any_low = jnp.any(low_mask, axis=1, keepdims=True)
+
+        n_total = jnp.sum(visits, axis=1, keepdims=True)
+        q_base = (
+            jnp.take_along_axis(trees.values, obs, 1) + sc - sc_idx[:, None]
+        )
+        var = jnp.maximum(jnp.take_along_axis(trees.vars_, obs, 1), 0.0)
+        nv = jnp.maximum(visits, 1.0)
+        if cfg.policy == "clt":
+            explore = norm_quantile(n_total) * jnp.sqrt(var / nv)
+        elif cfg.policy == "gauss":
+            explore = norm_quantile(n_total) * jnp.sqrt(var)
+        elif cfg.policy == "max":
+            q_max = jnp.max(
+                jnp.where(kept, q_base, -jnp.inf), axis=1, keepdims=True
+            )
+            explore = q_max * jnp.sqrt(
+                jnp.log(jnp.maximum(n_total, 2.0)) / nv
+            )
+        elif cfg.policy == "mc":
+            ks = vsplit(keys)
+            keys, sub_mc = ks[:, 0], ks[:, 1]
+            explore = vnormal(sub_mc) * jnp.sqrt(var)
+        elif cfg.policy == "random":
+            ks = vsplit(keys)
+            keys, sub_r = ks[:, 0], ks[:, 1]
+            explore = vgumbel(sub_r) * 1e9 - q_base
+        elif cfg.policy == "greedy":
+            explore = 0.0
+        else:
+            raise ValueError(f"unknown selection policy {cfg.policy!r}")
+        q = q_base + explore
+
+        ks = vsplit(keys)
+        keys, sub = ks[:, 0], ks[:, 1]
+        gumbel = vgumbel(sub)
+        cand = jnp.where(
+            any_low,
+            jnp.where(low_mask, gumbel, -jnp.inf),
+            jnp.where(kept, q, -jnp.inf),
+        )
+        choice = jnp.argmax(cand, axis=1).astype(jnp.int32)
+
+        act = jnp.where(any_kid, choice, 0)
+        col = jnp.where(live, depth, D)
+        ta = ta.at[bidx, col].set(idx | (act << 20), mode="drop")
+        kc = jnp.take_along_axis(kids, choice[:, None], 1)[:, 0]
+        sc_c = jnp.take_along_axis(sc, choice[:, None], 1)[:, 0]
+        idx = jnp.where(any_kid, kc, idx)
+        sc_idx = jnp.where(any_kid, sc_c, sc_idx)
+
+        st2 = engine.step_batch(st, act, cfg.env)
+        do_step = any_kid & (depth < D - 1)
+        st = jax.tree.map(
+            lambda a, b: jnp.where(
+                do_step.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            st2, st,
+        )
+        newly_done = live & ~any_kid
+        lengths = jnp.where(newly_done, depth + 1, lengths)
+        return (ta, idx, sc_idx, depth + 1, done | newly_done, st, keys,
+                lengths, leafs)
+
+    root_sc = trees.nstat[bidx, 0, trees.root]
+    ta, _, _, _, done, leaf_states, _, lengths, leafs = jax.lax.while_loop(
+        cond, body,
+        (ta0, trees.root, root_sc, jnp.int32(0), jnp.zeros(B, bool),
+         trees.root_state, keys, jnp.full(B, D, jnp.int32), trees.root),
+    )
+    return (ta & ((1 << 20) - 1), ta >> 20, lengths, leafs, done,
+            leaf_states)
+
+
 def replay_leaf(tree: Tree, actions, length, cfg: TreeConfig) -> EnvState:
     """Recompute a leaf env state by replaying an action path from the root
     state (`engine.step` is deterministic — RNG lives in the state). The lp

@@ -132,6 +132,17 @@ def on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def use_walk_kernels() -> bool:
+    """The walk kernels run in single-device TPU programs. Under a
+    multi-device mesh the move program falls back to the hand-batched XLA
+    walks (bit-identical, golden-tested): a pallas_call is a custom call
+    that GSPMD sharding propagation cannot partition — wrapping the kernels
+    in shard_map over the data axis is the multi-chip path (future work;
+    untestable without >1 real chip, and the CPU-mesh dryrun exercises the
+    XLA walks by design)."""
+    return on_tpu() and jax.device_count() == 1
+
+
 def backup_batched_pallas(trees, traces, lengths, v0, var0, cfg):
     """Drop-in for `tree.backup_batched` running the walk as one Pallas
     kernel (interpreted off-TPU so every platform takes the same path)."""

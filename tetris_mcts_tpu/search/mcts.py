@@ -137,14 +137,14 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     # is numerically transparent.
     backup_fn = (
         tree_walk.backup_batched_pallas
-        if tree_walk.on_tpu()
+        if tree_walk.use_walk_kernels()
         else T.backup_batched
     )
 
     def sim_once(params, ubound, trees, key):
         B = trees.root.shape[0]
         key, k_sel, k_ev = jax.random.split(key, 3)
-        if tcfg.select_kernel and tree_walk.on_tpu():
+        if tcfg.select_kernel and tree_walk.use_walk_kernels():
             # ONE Pallas kernel walks all B trees; the leaf state is a
             # gather from the svec node store (no replay)
             traces, lengths, leafs, leaf_states = (
@@ -158,7 +158,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
                 T.select_batched(trees, jax.random.split(k_sel, B), tcfg)
             )
 
-        if tcfg.select_kernel and tree_walk.on_tpu():
+        if tcfg.select_kernel and tree_walk.use_walk_kernels():
             childless = bgather(trees.cbase, leafs) == 0
         leaf_end = bgather(trees.end, leafs)
         headroomB = (trees.n_nodes + N_ACTIONS <= tcfg.max_nodes) & (
@@ -179,7 +179,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
 
         if cfg.evaluator == "lp":
             v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)
-            if tree_walk.on_tpu():
+            if tree_walk.use_walk_kernels():
                 # the whole post-NN phase (seed unique children, averaged
                 # value, reverse Welford+γ walk) is ONE Pallas kernel
                 trees = tree_walk.lp_backup_batched_pallas(

@@ -688,9 +688,9 @@ class TestPallasBackupWalk:
 
 
 class TestPallasSelectWalk:
-    """The Pallas selection kernel (interpreted on CPU) vs a NumPy oracle of
-    `select_trace_obs` driven by the same pre-drawn tie-break gumbels, and
-    the svec node store vs action-path replay."""
+    """The fused Pallas selection kernel (interpreted on CPU) vs a NumPy
+    oracle of `select_trace_obs` driven by the same pre-drawn tie-break
+    gumbels, and its in-kernel env carry vs the action-path replay."""
 
     def _grown_trees(self, B=3, sims=10, seed=5):
         scfg = M.SearchConfig(
@@ -759,9 +759,10 @@ class TestPallasSelectWalk:
         score = trees.nstat[:, 0, :]
         obs = trees.nstat[:, 1, :].astype(jnp.int32)
         rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
-        traces, lengths, leafs = tree_walk.select_walk(
+        env0 = engine.pack_state(trees.root_state)
+        traces, lengths, leafs, leaf_env = tree_walk.select_walk(
             trees.cbase, score, obs, trees.visits, trees.values,
-            trees.vars_, trees.root, rootsc, gumbels, rnd,
+            trees.vars_, trees.root, rootsc, env0, gumbels, rnd,
             policy="clt", low=CFG.low, interpret=True, block=B,
         )
 
@@ -779,22 +780,35 @@ class TestPallasSelectWalk:
             )
             assert int(leafs[b]) == want[-1]
 
-    def test_svec_store_matches_replay(self):
-        """unpack(svec[leaf]) must equal the action-path replay state for
-        every leaf the XLA select walks to."""
+    def test_kernel_leaf_env_matches_replay(self):
+        """The kernel's in-kernel env carry must equal replaying the
+        kernel's own trace from the root state with `engine.step` (the
+        action per level falls out of the contiguous-child encoding:
+        action = trace[t+1] - cbase[trace[t]])."""
+        from tetris_mcts_tpu.ops import tree_walk
+
         trees = self._grown_trees(B=4, sims=8, seed=9)
         B = 4
-        traces, acts, lengths, leaf_states = jax.vmap(
-            T.select, in_axes=(0, 0, None)
-        )(trees, jax.random.split(jax.random.PRNGKey(3), B), CFG)
-        leafs = M.bgather(traces, jnp.maximum(lengths - 1, 0))
-        svec_leaf = jax.vmap(lambda v, i: v[:, i])(trees.svec, leafs)
-        got = engine.unpack_state(svec_leaf)
-        for f in got._fields:
-            np.testing.assert_array_equal(
-                np.asarray(getattr(got, f)),
-                np.asarray(getattr(leaf_states, f)), err_msg=f,
+        traces, lengths, leafs, leaf_states = (
+            tree_walk.select_batched_pallas(
+                trees, jax.random.PRNGKey(3),
+                CFG._replace(select_kernel=True),
             )
+        )
+        for b in range(B):
+            L = int(lengths[b])
+            st = jax.tree.map(lambda a: a[b], trees.root_state)
+            cb = np.asarray(trees.cbase[b])
+            tr = np.asarray(traces[b])
+            for t in range(L - 1):
+                act = int(tr[t + 1]) - int(cb[tr[t]])
+                assert 0 <= act < 7, (b, t, act)
+                st = engine.step(st, jnp.int32(act), CFG.env)
+            for f in st._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(st, f)),
+                    np.asarray(getattr(leaf_states, f))[b], err_msg=f,
+                )
 
 
 class TestPallasLPBackup:

@@ -36,6 +36,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tetris_mcts_tpu.ops import env_packed
+
 # Max rows (trees) per grid step: bounds VMEM use at
 # BG * (3 stats * M + score/obs * N + trace D) * 4 bytes.
 # BG=256 with M=N=2048 ~= 10 MB of the ~16 MB/core VMEM.
@@ -171,29 +173,32 @@ def _norm_quantile(t):
     return 10.0 * jnp.log(1.0 - jnp.log(-jnp.log(alpha) / log2) / log22) / log41
 
 
-def _select_kernel(policy, low, D, N, M,
+def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
                    cbase_ref, score_ref, obs_ref,
                    visit_ref, value_ref, var_ref,
-                   root_ref, rootsc_ref, gum_ref, rnd_ref,
-                   trace_out, len_out, leaf_out,
+                   root_ref, rootsc_ref, env0_ref, gum_ref, rnd_ref,
+                   trace_out, len_out, leaf_out, env_out,
                    idx_ref, sc_ref, done_ref):
-    """One grid step: BG trees descending in lockstep.
+    """One grid step: BG trees descending in lockstep, each lane CARRYING
+    its env state and stepping it inline per descend (`env_packed.packed_step`
+    — the same inline-replay design as the XLA walk `tree.select_batched`,
+    so there is no per-node state store and no separate leaf replay).
 
     Shapes: cbase (BG, N) i32; score (BG, N) f32; obs (BG, N) i32;
-    stats (BG, M) f32; root (BG, 1) i32; rootsc (BG, 1) f32;
-    gum/rnd (BG, D, 7) f32. Outputs: trace (BG, D) i32, len (BG, 1) i32,
-    leaf (BG, 1) i32.
+    stats (BG, M) f32; root (BG, 1) i32; rootsc (BG, 1) f32; env0 (BG, 44)
+    u32 packed root states (`engine.pack_state`); gum/rnd (BG, D, 7) f32.
+    Outputs: trace (BG, D) i32, len (BG, 1) i32, leaf (BG, 1) i32,
+    env (BG, 44) u32 leaf states (env_out doubles as the walk's working
+    state buffer).
 
     Per level, each per-lane gather is an iota-mask + masked reduction; the
     whole walk is one kernel (see module docstring). Semantics are those of
-    `tree.select` minus the env replay (the caller fetches the leaf state
-    from the svec node store) and with the per-walk tie-break randomness
-    pre-drawn (i.i.d. per level either way)."""
+    `tree.select` with the per-walk tie-break randomness pre-drawn (i.i.d.
+    per level either way)."""
     BG = score_ref.shape[0]
     diota = lax.broadcasted_iota(jnp.int32, (BG, D), 1)
     niota = lax.broadcasted_iota(jnp.int32, (BG, N), 1)
-    n7iota = lax.broadcasted_iota(jnp.int32, (BG, 7, N), 2)
-    m7iota = lax.broadcasted_iota(jnp.int32, (BG, 7, M), 2)
+    miota = lax.broadcasted_iota(jnp.int32, (BG, M), 1)
     d7iota = lax.broadcasted_iota(jnp.int32, (BG, D, 7), 1)
     a7 = lax.broadcasted_iota(jnp.int32, (BG, 7), 1)
     neg_inf = jnp.float32(-jnp.inf)
@@ -201,6 +206,7 @@ def _select_kernel(policy, low, D, N, M,
     trace_out[:] = jnp.zeros((BG, D), jnp.int32)
     len_out[:] = jnp.full((BG, 1), D, jnp.int32)
     leaf_out[:] = root_ref[:]
+    env_out[:] = env0_ref[:]
     # Walk state lives in VMEM scratch, not the loop carry: Mosaic cannot
     # legalize a while/fori yield of mixed (BG, 1) i32/f32/i1 vectors
     # ("failed to legalize scf.yield" on the vpad layouts), and ref state
@@ -233,15 +239,23 @@ def _select_kernel(policy, low, D, N, M,
             c7 = jnp.broadcast_to(c, (BG, 7))
             valid = c7 != 0
             kids = jnp.where(valid, c7 + a7, 0)               # (BG, 7)
-            kmask = n7iota == kids[:, :, None]                # (BG, 7, N)
-            sc_k = jnp.sum(
-                jnp.where(kmask, score_ref[:][:, None, :], 0.0), 2
-            )
-            obs = jnp.where(
-                valid,
-                jnp.sum(jnp.where(kmask, obs_ref[:][:, None, :], 0), 2),
-                -1,
-            )
+            # per-child gathers UNROLLED over the 7 actions: rank-3
+            # (BG, 7, N) masks blow the 16 MB VMEM budget at useful BG
+            # (the module-docstring rule); 7 x (BG, N) masked reduces keep
+            # the block at 128 lanes. When c == 0 the mask hits node `a`
+            # and the gathered garbage is dead: `valid`/`kept` gate every
+            # consumer, exactly as the rank-3 form's node-0 reads were.
+            sc_l, obs_l = [], []
+            for a in range(7):
+                kmask = niota == c + a                        # (BG, N)
+                sc_l.append(jnp.sum(
+                    jnp.where(kmask, score_ref[:], 0.0), 1, keepdims=True
+                ))
+                obs_l.append(jnp.sum(
+                    jnp.where(kmask, obs_ref[:], 0), 1, keepdims=True
+                ))
+            sc_k = jnp.concatenate(sc_l, axis=1)              # (BG, 7)
+            obs = jnp.where(valid, jnp.concatenate(obs_l, axis=1), -1)
 
             # unique-children-by-obs, keep group-max score (earliest
             # ties). With cbase the 7 kids are valid all-or-nothing per
@@ -256,10 +270,21 @@ def _select_kernel(policy, low, D, N, M,
             kept = valid & jnp.all(~same | beats, 2)
             any_kid = jnp.any(kept, 1, keepdims=True) & live  # (BG, 1)
 
-            omask = m7iota == obs[:, :, None]                 # (BG, 7, M)
-            vi = jnp.sum(jnp.where(omask, visit_ref[:][:, None, :], 0.0), 2)
-            va = jnp.sum(jnp.where(omask, value_ref[:][:, None, :], 0.0), 2)
-            vr = jnp.sum(jnp.where(omask, var_ref[:][:, None, :], 0.0), 2)
+            vi_l, va_l, vr_l = [], [], []
+            for a in range(7):
+                om = miota == obs[:, a:a + 1]                 # (BG, M)
+                vi_l.append(jnp.sum(
+                    jnp.where(om, visit_ref[:], 0.0), 1, keepdims=True
+                ))
+                va_l.append(jnp.sum(
+                    jnp.where(om, value_ref[:], 0.0), 1, keepdims=True
+                ))
+                vr_l.append(jnp.sum(
+                    jnp.where(om, var_ref[:], 0.0), 1, keepdims=True
+                ))
+            vi = jnp.concatenate(vi_l, axis=1)                # (BG, 7)
+            va = jnp.concatenate(va_l, axis=1)
+            vr = jnp.concatenate(vr_l, axis=1)
 
             visits = jnp.where(kept, vi, 0.0)
             n_total = jnp.sum(visits, 1, keepdims=True)
@@ -300,6 +325,18 @@ def _select_kernel(policy, low, D, N, M,
             nxt = jnp.sum(jnp.where(amask, kids, 0), 1, keepdims=True)
             sc_n = jnp.sum(jnp.where(amask, sc_k, 0.0), 1, keepdims=True)
 
+            # inline env step (tree.select semantics: descend steps the
+            # carried state; never on the last level of a depth-capped walk)
+            stepped = env_packed.packed_step(
+                env_out[:], choice.astype(jnp.int32),
+                actions_per_drop=app, scoring=scoring, randomizer=randomizer,
+            )
+            step_flag = jnp.where(
+                depth < D - 1, any_kid.astype(jnp.int32), 0
+            )
+            m44 = jnp.broadcast_to(step_flag, (BG, env_out.shape[1])) != 0
+            env_out[:] = jnp.where(m44, stepped, env_out[:])
+
             newly_done = live & ~any_kid
             len_out[:] = jnp.where(newly_done, depth + 1, len_out[:])
             idx_ref[:] = jnp.where(any_kid, nxt, idx)
@@ -312,20 +349,35 @@ def _select_kernel(policy, low, D, N, M,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("policy", "low", "interpret", "block")
+    jax.jit,
+    static_argnames=("policy", "low", "app", "scoring", "randomizer",
+                     "interpret", "block"),
 )
 def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
-                gumbels, rnd, *, policy: str, low: int,
-                interpret: bool = False, block: int = 64):
-    """Run the selection walk for B trees in one kernel.
+                env0, gumbels, rnd, *, policy: str, low: int,
+                app: int = 1, scoring: int = 0, randomizer: int = 0,
+                interpret: bool = False, block: int = 0):
+    """Run the selection walk (with inline env stepping) for B trees in one
+    kernel.
 
     cbase (B, N) i32; score (B, N) f32; obs (B, N) i32;
-    visits/values/vars_ (B, M) f32; root/rootsc (B,); gumbels/rnd
-    (B, D, 7) f32 pre-drawn per-level randomness.
-    Returns (traces (B, D) i32, lengths (B,) i32, leafs (B,) i32)."""
+    visits/values/vars_ (B, M) f32; root/rootsc (B,); env0 (B, 44) u32
+    packed root env states; gumbels/rnd (B, D, 7) f32 pre-drawn per-level
+    randomness. Returns (traces (B, D) i32, lengths (B,) i32,
+    leafs (B,) i32, leaf_env (B, 44) u32)."""
     B, N = cbase.shape
     M = visits.shape[1]
     D = gumbels.shape[1]
+    if block == 0:
+        # auto block: largest power-of-2 lane count whose resident inputs
+        # (3 N-arrays + 3 M-arrays + 2 (D,7) randomness planes, 4 B each)
+        # leave headroom for the kernel's (BG, N)/(BG, M) temporaries in
+        # the ~16 MB VMEM. With the 7-unrolled gathers this lands at 128
+        # for the production pool (N = M = 2048, D = 64).
+        lane_bytes = 4 * (3 * N + 3 * M + 2 * D * 7)
+        block = 128
+        while block > 8 and block * lane_bytes > 10 * 2**20:
+            block //= 2
     bg = min(B, block)
     assert B % bg == 0, (B, bg)
 
@@ -333,17 +385,21 @@ def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
                                  memory_space=pltpu.VMEM)
     row3 = lambda a, w: pl.BlockSpec((bg, a, w), lambda g: (g, 0, 0),
                                      memory_space=pltpu.VMEM)
-    kernel = functools.partial(_select_kernel, policy, low, D, N, M)
-    traces, lengths, leafs = pl.pallas_call(
+    kernel = functools.partial(
+        _select_kernel, policy, low, app, scoring, randomizer, D, N, M
+    )
+    S = env0.shape[1]
+    traces, lengths, leafs, leaf_env = pl.pallas_call(
         kernel,
         grid=(B // bg,),
         in_specs=[row(N), row(N), row(N), row(M), row(M), row(M),
-                  row(1), row(1), row3(D, 7), row3(D, 7)],
-        out_specs=[row(D), row(1), row(1)],
+                  row(1), row(1), row(S), row3(D, 7), row3(D, 7)],
+        out_specs=[row(D), row(1), row(1), row(S)],
         out_shape=[
             jax.ShapeDtypeStruct((B, D), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, S), jnp.uint32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bg, 1), jnp.int32),    # idx
@@ -353,14 +409,15 @@ def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
         interpret=interpret,
     )(cbase, score, obs, visits, values, vars_,
       root.reshape(B, 1), rootsc.reshape(B, 1).astype(jnp.float32),
-      gumbels, rnd)
-    return traces, lengths.reshape(B), leafs.reshape(B)
+      env0, gumbels, rnd)
+    return traces, lengths.reshape(B), leafs.reshape(B), leaf_env
 
 
 def select_batched_pallas(trees, key, cfg):
     """Kernel-backed batched selection: returns (traces, lengths, leafs,
-    leaf_states). The leaf env state comes from the svec node store (one
-    gather + `engine.unpack_state`) instead of an env replay walk."""
+    leaf_states). The leaf env states come straight out of the kernel (the
+    walk carries and steps each lane's env inline — no per-node state store,
+    no separate replay)."""
     from tetris_mcts_tpu.env import engine
 
     B = trees.root.shape[0]
@@ -377,13 +434,15 @@ def select_batched_pallas(trees, key, cfg):
     score = trees.nstat[:, 0, :]
     obs = trees.nstat[:, 1, :].astype(jnp.int32)
     rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
-    traces, lengths, leafs = select_walk(
+    env0 = engine.pack_state(trees.root_state)  # (B, 44)
+    traces, lengths, leafs, leaf_env = select_walk(
         trees.cbase, score, obs, trees.visits, trees.values, trees.vars_,
-        trees.root, rootsc, gumbels, rnd,
-        policy=cfg.policy, low=cfg.low, interpret=not on_tpu(),
+        trees.root, rootsc, env0, gumbels, rnd,
+        policy=cfg.policy, low=cfg.low,
+        app=cfg.env.actions_per_drop, scoring=cfg.env.scoring,
+        randomizer=cfg.env.randomizer, interpret=not on_tpu(),
     )
-    svec_leaf = jax.vmap(lambda v, i: v[:, i])(trees.svec, leafs)  # (B, S)
-    leaf_states = engine.unpack_state(svec_leaf)
+    leaf_states = engine.unpack_state(leaf_env)
     return traces, lengths, leafs, leaf_states
 
 

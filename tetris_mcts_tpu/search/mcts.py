@@ -145,8 +145,9 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
         B = trees.root.shape[0]
         key, k_sel, k_ev = jax.random.split(key, 3)
         if tcfg.select_kernel and tree_walk.use_walk_kernels():
-            # ONE Pallas kernel walks all B trees; the leaf state is a
-            # gather from the svec node store (no replay)
+            # ONE Pallas kernel walks all B trees, carrying and stepping
+            # each lane's env state inline — the leaf env states come
+            # straight out of the kernel (no node-state store, no replay)
             traces, lengths, leafs, leaf_states = (
                 tree_walk.select_batched_pallas(trees, k_sel, tcfg)
             )

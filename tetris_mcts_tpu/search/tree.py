@@ -88,14 +88,19 @@ class TreeConfig(NamedTuple):
     projection: bool = True
     policy: str = "clt"    # selection rule (agents/policy.py): clt | gauss |
                            # max | mc | random | greedy
-    select_kernel: bool = False  # use the Pallas selection kernel (and
-                           # maintain the svec node-state store it needs).
-                           # Off by default: at B=256/pool 2048 the kernel
-                           # measured 800 us/sim (VMEM caps the block at 32
-                           # lanes -> 8 sequential grid steps) vs 1123 us
-                           # for the XLA walk, and the svec upkeep ate the
-                           # difference. Groundwork for a larger-block
-                           # variant; see ops/tree_walk.py.
+    select_kernel: bool = True  # use the fused Pallas selection kernel:
+                           # the walk AND the inline env stepping run in ONE
+                           # kernel (ops/tree_walk.py + ops/env_packed.py),
+                           # returning the leaf env states directly — active
+                           # only on single-device TPU programs
+                           # (tree_walk.use_walk_kernels); elsewhere the
+                           # hand-batched XLA walk runs. Measured 98.2k ->
+                           # 119.2k sims/s when it replaced the XLA walk
+                           # (which it beats 1106 -> ~590 us/sim with zero
+                           # upkeep). The tie-break randomness is pre-drawn
+                           # per level (i.i.d. either way), so kernel and
+                           # XLA walks follow different but equal-law
+                           # trajectories.
     env: EnvConfig = EnvConfig()
 
 
@@ -114,10 +119,6 @@ class Tree(NamedTuple):
                           # into a scalar gather.
     nstat: jax.Array      # float32[2, N]: [score; obs-id (exact int)]
     end: jax.Array        # bool[N]
-    svec: jax.Array       # uint32[44, N] packed env state per node
-                          # (engine.pack_state) — lets the Pallas selection
-                          # kernel return a leaf id whose state is one
-                          # gather + unpack instead of a replay walk
     n_nodes: jax.Array    # int32 next free node id (starts at 1)
     root_state: EnvState  # env state at the root node (single state)
     # obs arrays (walk-carried: separate scalars, see module docstring)
@@ -524,12 +525,6 @@ def expand_commit(tree: Tree, child_states: EnvState, obs7, leaf, ok,
         end=_dus_rows(tree.end, base, child_states.end, ok),
         n_nodes=tree.n_nodes + jnp.where(ok, N_ACTIONS, 0),
     )
-    if cfg.select_kernel:
-        tree = tree._replace(
-            svec=tree.svec.at[:, ids_w].set(
-                engine.pack_state(child_states).T, mode="drop"
-            )
-        )
     tree = tree._replace(cbase=_masked_set(tree.cbase, leaf, base, ok))
     return tree
 
@@ -554,10 +549,6 @@ def alloc_node(tree: Tree, st: EnvState, ok, cfg: TreeConfig):
         end=_masked_set(tree.end, idx, st.end, ok),
         n_nodes=tree.n_nodes + ok.astype(jnp.int32),
     )
-    if cfg.select_kernel:
-        tree = tree._replace(
-            svec=tree.svec.at[:, idx_w].set(engine.pack_state(st), mode="drop")
-        )
     return tree, idx
 
 
@@ -568,9 +559,6 @@ def init_tree(env_state: EnvState, cfg: TreeConfig) -> Tree:
         cbase=jnp.zeros(N, jnp.int32),
         nstat=jnp.zeros((2, N), jnp.float32),
         end=jnp.zeros(N, bool),
-        svec=jnp.zeros(
-            (engine.STATE_WORDS, N if cfg.select_kernel else 1), jnp.uint32
-        ),
         n_nodes=jnp.int32(1),
         root_state=env_state,
         visits=jnp.zeros(M, jnp.float32),
@@ -922,12 +910,6 @@ def expand(tree: Tree, leaf_state: EnvState, leaf, ok, cfg: TreeConfig):
         end=_dus_rows(tree.end, base, child_states.end, ok),
         n_nodes=tree.n_nodes + jnp.where(ok, N_ACTIONS, 0),
     )
-    if cfg.select_kernel:
-        tree = tree._replace(
-            svec=tree.svec.at[:, ids_w].set(
-                engine.pack_state(child_states).T, mode="drop"
-            )
-        )
     # first-child base: single read-free scalar write
     tree = tree._replace(cbase=_masked_set(tree.cbase, leaf, base, ok))
     return tree, child_states

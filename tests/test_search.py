@@ -760,7 +760,7 @@ class TestPallasSelectWalk:
         obs = trees.nstat[:, 1, :].astype(jnp.int32)
         rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
         env0 = engine.pack_state(trees.root_state)
-        traces, lengths, leafs, leaf_env = tree_walk.select_walk(
+        traces, lengths, leafs, leaf_env, _, _, _ = tree_walk.select_walk(
             trees.cbase, score, obs, trees.visits, trees.values,
             trees.vars_, trees.root, rootsc, env0, gumbels, rnd,
             policy="clt", low=CFG.low, interpret=True, block=B,
@@ -789,7 +789,7 @@ class TestPallasSelectWalk:
 
         trees = self._grown_trees(B=4, sims=8, seed=9)
         B = 4
-        traces, lengths, leafs, leaf_states = (
+        traces, lengths, leafs, leaf_states, packed7, sc7, end7 = (
             tree_walk.select_batched_pallas(
                 trees, jax.random.PRNGKey(3),
                 CFG._replace(select_kernel=True),
@@ -809,6 +809,19 @@ class TestPallasSelectWalk:
                     np.asarray(getattr(st, f)),
                     np.asarray(getattr(leaf_states, f))[b], err_msg=f,
                 )
+            # the kernel's child outputs must equal the XLA expansion
+            # front half run from the same leaf state
+            child_states, want_packed7 = T.expand_children(None, st, CFG)
+            np.testing.assert_array_equal(
+                np.asarray(packed7[b]), np.asarray(want_packed7)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(sc7[b]),
+                np.asarray(child_states.score).astype(np.float32),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(end7[b]), np.asarray(child_states.end)
+            )
 
 
 class TestPallasLPBackup:

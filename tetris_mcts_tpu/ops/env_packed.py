@@ -239,6 +239,18 @@ def _perm7_decode(r):
     return jnp.concatenate(cols, axis=1)
 
 
+def packed_obs(env):
+    """`engine.pack_obs` on a packed state: bits 0-9 locked row, bits 10-19
+    piece row. env (B, 44) u32 -> (B, 20) u32."""
+    rows = env[:, 0:20]
+    piece = _i(env[:, 20:21])
+    rot = _i(env[:, 21:22])
+    px = _i(env[:, 22:23])
+    py = _i(env[:, 23:24])
+    ys, xs = _abs_cells(_cells(piece * 4 + rot), px, py)
+    return rows | (_prow(ys, xs) << jnp.uint32(10))
+
+
 # ---------------------------------------------------------------------------
 # the step
 # ---------------------------------------------------------------------------

@@ -178,18 +178,24 @@ def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
                    visit_ref, value_ref, var_ref,
                    root_ref, rootsc_ref, env0_ref, gum_ref, rnd_ref,
                    trace_out, len_out, leaf_out, env_out,
+                   chpk_out, chsc_out, chend_out,
                    idx_ref, sc_ref, done_ref):
     """One grid step: BG trees descending in lockstep, each lane CARRYING
     its env state and stepping it inline per descend (`env_packed.packed_step`
     — the same inline-replay design as the XLA walk `tree.select_batched`,
-    so there is no per-node state store and no separate leaf replay).
+    so there is no per-node state store and no separate leaf replay). After
+    the walk, the SAME kernel steps the leaf's 7 children and emits their
+    packed observations / scores / end flags — the whole expansion front
+    half (`tree.expand_children`: 7 vmapped engine.steps + pack_obs per
+    tree) collapses into ~7 in-kernel packed_steps on VMEM-resident state.
 
     Shapes: cbase (BG, N) i32; score (BG, N) f32; obs (BG, N) i32;
     stats (BG, M) f32; root (BG, 1) i32; rootsc (BG, 1) f32; env0 (BG, 44)
     u32 packed root states (`engine.pack_state`); gum/rnd (BG, D, 7) f32.
     Outputs: trace (BG, D) i32, len (BG, 1) i32, leaf (BG, 1) i32,
     env (BG, 44) u32 leaf states (env_out doubles as the walk's working
-    state buffer).
+    state buffer), chpk (BG, 140) u32 = 7 packed child obs side by side,
+    chsc/chend (BG, 7) i32 child scores / end flags.
 
     Per level, each per-lane gather is an iota-mask + masked reduction; the
     whole walk is one kernel (see module docstring). Semantics are those of
@@ -347,6 +353,23 @@ def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
 
     lax.fori_loop(0, D, level, 0)
 
+    # ---- in-kernel expansion: step the leaf's 7 children ------------------
+    # (engine.step no-ops on ended leaves, exactly like the XLA expand; all
+    # downstream consumers mask by `can`.)
+    leaf_env = env_out[:]
+    pk_l, sc_l2, end_l2 = [], [], []
+    for a in range(7):
+        ch = env_packed.packed_step(
+            leaf_env, jnp.full((BG, 1), a, jnp.int32),
+            actions_per_drop=app, scoring=scoring, randomizer=randomizer,
+        )
+        pk_l.append(env_packed.packed_obs(ch))
+        sc_l2.append(env_packed._i(ch[:, 36:37]))
+        end_l2.append(env_packed._i(ch[:, 43:44]))
+    chpk_out[:] = jnp.concatenate(pk_l, axis=1)
+    chsc_out[:] = jnp.concatenate(sc_l2, axis=1)
+    chend_out[:] = jnp.concatenate(end_l2, axis=1)
+
 
 @functools.partial(
     jax.jit,
@@ -364,7 +387,8 @@ def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
     visits/values/vars_ (B, M) f32; root/rootsc (B,); env0 (B, 44) u32
     packed root env states; gumbels/rnd (B, D, 7) f32 pre-drawn per-level
     randomness. Returns (traces (B, D) i32, lengths (B,) i32,
-    leafs (B,) i32, leaf_env (B, 44) u32)."""
+    leafs (B,) i32, leaf_env (B, 44) u32, child_packed (B, 7, 20) u32,
+    child_score (B, 7) i32, child_end (B, 7) i32)."""
     B, N = cbase.shape
     M = visits.shape[1]
     D = gumbels.shape[1]
@@ -389,17 +413,20 @@ def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
         _select_kernel, policy, low, app, scoring, randomizer, D, N, M
     )
     S = env0.shape[1]
-    traces, lengths, leafs, leaf_env = pl.pallas_call(
+    traces, lengths, leafs, leaf_env, chpk, chsc, chend = pl.pallas_call(
         kernel,
         grid=(B // bg,),
         in_specs=[row(N), row(N), row(N), row(M), row(M), row(M),
                   row(1), row(1), row(S), row3(D, 7), row3(D, 7)],
-        out_specs=[row(D), row(1), row(1), row(S)],
+        out_specs=[row(D), row(1), row(1), row(S), row(140), row(7), row(7)],
         out_shape=[
             jax.ShapeDtypeStruct((B, D), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, S), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 140), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 7), jnp.int32),
+            jax.ShapeDtypeStruct((B, 7), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bg, 1), jnp.int32),    # idx
@@ -410,14 +437,17 @@ def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
     )(cbase, score, obs, visits, values, vars_,
       root.reshape(B, 1), rootsc.reshape(B, 1).astype(jnp.float32),
       env0, gumbels, rnd)
-    return traces, lengths.reshape(B), leafs.reshape(B), leaf_env
+    return (traces, lengths.reshape(B), leafs.reshape(B), leaf_env,
+            chpk.reshape(B, 7, 20), chsc, chend)
 
 
 def select_batched_pallas(trees, key, cfg):
-    """Kernel-backed batched selection: returns (traces, lengths, leafs,
-    leaf_states). The leaf env states come straight out of the kernel (the
-    walk carries and steps each lane's env inline — no per-node state store,
-    no separate replay)."""
+    """Kernel-backed batched selection + expansion front half: returns
+    (traces, lengths, leafs, leaf_states, packed7 (B, 7, 20) u32,
+    child_score (B, 7) f32, child_end (B, 7) bool). The leaf env states and
+    the 7 stepped children come straight out of the kernel (the walk carries
+    and steps each lane's env inline — no per-node state store, no separate
+    replay, no XLA-side child stepping)."""
     from tetris_mcts_tpu.env import engine
 
     B = trees.root.shape[0]
@@ -435,7 +465,7 @@ def select_batched_pallas(trees, key, cfg):
     obs = trees.nstat[:, 1, :].astype(jnp.int32)
     rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
     env0 = engine.pack_state(trees.root_state)  # (B, 44)
-    traces, lengths, leafs, leaf_env = select_walk(
+    traces, lengths, leafs, leaf_env, chpk, chsc, chend = select_walk(
         trees.cbase, score, obs, trees.visits, trees.values, trees.vars_,
         trees.root, rootsc, env0, gumbels, rnd,
         policy=cfg.policy, low=cfg.low,
@@ -443,7 +473,8 @@ def select_batched_pallas(trees, key, cfg):
         randomizer=cfg.env.randomizer, interpret=not on_tpu(),
     )
     leaf_states = engine.unpack_state(leaf_env)
-    return traces, lengths, leafs, leaf_states
+    return (traces, lengths, leafs, leaf_states, chpk,
+            chsc.astype(jnp.float32), chend != 0)
 
 
 # ---------------------------------------------------------------------------

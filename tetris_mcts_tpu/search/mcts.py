@@ -68,12 +68,15 @@ def bgather_col(arr, idx):
 
 def nn_child_evaluator(apply_fn):
     """Evaluate all 7 children of every env's leaf in one forward pass.
-    apply_fn: (params, ubound, imgs NHWC) -> (v, var) flat."""
+    apply_fn: (params, ubound, imgs NHWC) -> (v, var) flat. child_imgs is
+    the (B, 7, 20, 10) int8 getState image stack (rendered by the driver —
+    from the fused kernel's packed observations or from the XLA-stepped
+    child states; `engine.unpack_obs` and `engine.get_state` are
+    identity-equivalent)."""
 
-    def ev(params, ubound, child_states, leaf_states, key):
-        imgs = jax.vmap(jax.vmap(engine.get_state))(child_states)  # (B,7,20,10)
-        B = imgs.shape[0]
-        flat = imgs.reshape(B * N_ACTIONS, 20, 10, 1).astype(jnp.float32)
+    def ev(params, ubound, child_imgs, leaf_states, key):
+        B = child_imgs.shape[0]
+        flat = child_imgs.reshape(B * N_ACTIONS, 20, 10, 1).astype(jnp.float32)
         v, var = apply_fn(params, ubound, flat)
         return v.reshape(B, N_ACTIONS), var.reshape(B, N_ACTIONS)
 
@@ -83,7 +86,7 @@ def nn_child_evaluator(apply_fn):
 def nn_leaf_evaluator(apply_fn):
     """Evaluate the leaf obs only (ValueSim single-leaf semantics)."""
 
-    def ev(params, ubound, child_states, leaf_states, key):
+    def ev(params, ubound, child_imgs, leaf_states, key):
         imgs = jax.vmap(engine.get_state)(leaf_states)  # (B, 20, 10)
         flat = imgs[..., None].astype(jnp.float32)
         v, var = apply_fn(params, ubound, flat)
@@ -113,7 +116,7 @@ def rollout_evaluator(cfg: SearchConfig):
         final, _, _ = jax.lax.while_loop(cond, body, (st, key, jnp.int32(0)))
         return final.score.astype(jnp.float32)
 
-    def ev(params, ubound, child_states, leaf_states, key):
+    def ev(params, ubound, child_imgs, leaf_states, key):
         B = leaf_states.score.shape[0]
         keys = jax.random.split(key, B)
         v = jax.vmap(one)(leaf_states, keys)
@@ -129,7 +132,9 @@ def rollout_evaluator(cfg: SearchConfig):
 def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     tcfg = cfg.tree
     vexpand_ch = jax.vmap(T.expand_children, in_axes=(0, 0, None))
-    vexpand_commit = jax.vmap(T.expand_commit, in_axes=(0, 0, 0, 0, 0, None))
+    vexpand_commit = jax.vmap(
+        T.expand_commit, in_axes=(0, 0, 0, 0, 0, 0, None)
+    )
     vseed_lp = jax.vmap(T.lp_seed, in_axes=(0, 0, 0, 0, 0, 0, None))
     # On TPU the backup walk runs as ONE Pallas kernel (~85x the XLA
     # while_loop form, ops/tree_walk.py); off-TPU the hand-batched XLA walk
@@ -144,13 +149,16 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     def sim_once(params, ubound, trees, key):
         B = trees.root.shape[0]
         key, k_sel, k_ev = jax.random.split(key, 3)
-        if tcfg.select_kernel and tree_walk.use_walk_kernels():
+        kernel_path = tcfg.select_kernel and tree_walk.use_walk_kernels()
+        if kernel_path:
             # ONE Pallas kernel walks all B trees, carrying and stepping
-            # each lane's env state inline — the leaf env states come
-            # straight out of the kernel (no node-state store, no replay)
-            traces, lengths, leafs, leaf_states = (
-                tree_walk.select_batched_pallas(trees, k_sel, tcfg)
-            )
+            # each lane's env state inline, AND steps the leaf's 7 children
+            # — the leaf states, packed child observations, child scores
+            # and end flags all come straight out of the kernel (no
+            # node-state store, no replay, no XLA-side child stepping)
+            (traces, lengths, leafs, leaf_states, packed7, child_sc7,
+             child_end7) = tree_walk.select_batched_pallas(trees, k_sel, tcfg)
+            childless = bgather(trees.cbase, leafs) == 0
         else:
             # hand-batched XLA walk (bit-identical stream/trajectories to
             # vmapping T.select — golden-tested): steps the env inline and
@@ -159,27 +167,33 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
                 T.select_batched(trees, jax.random.split(k_sel, B), tcfg)
             )
 
-        if tcfg.select_kernel and tree_walk.use_walk_kernels():
-            childless = bgather(trees.cbase, leafs) == 0
         leaf_end = bgather(trees.end, leafs)
         headroomB = (trees.n_nodes + N_ACTIONS <= tcfg.max_nodes) & (
             trees.n_obs + N_ACTIONS <= tcfg.max_obs
         )
         can = (~leaf_end) & childless & headroomB
 
-        # expand in three phases: per-tree child stepping (vmapped,
-        # loop-free), ONE hand-batched obs-table insert (vmap's while
-        # batching re-masks the carried (B, T) tables per probe round),
-        # then per-tree node-row writes (vmapped, loop-free)
+        # expand in three phases: per-tree child stepping (in the kernel,
+        # or vmapped loop-free XLA), ONE hand-batched obs-table insert
+        # (vmap's while batching re-masks the carried (B, T) tables per
+        # probe round), then per-tree node-row writes (vmapped, loop-free)
         ok = can & (trees.n_nodes + N_ACTIONS <= tcfg.max_nodes)
-        child_states, packed7 = vexpand_ch(trees, leaf_states, tcfg)
+        if kernel_path:
+            child_imgs = engine.unpack_obs(packed7)      # (B, 7, 20, 10)
+        else:
+            child_states, packed7 = vexpand_ch(trees, leaf_states, tcfg)
+            child_sc7 = child_states.score.astype(jnp.float32)
+            child_end7 = child_states.end
+            child_imgs = jax.vmap(jax.vmap(engine.get_state))(child_states)
         trees, obs7 = T.insert_obs7_batched(
-            trees, packed7, child_states.end, ok, tcfg
+            trees, packed7, child_end7, ok, tcfg
         )
-        trees = vexpand_commit(trees, child_states, obs7, leafs, ok, tcfg)
+        trees = vexpand_commit(
+            trees, child_sc7, child_end7, obs7, leafs, ok, tcfg
+        )
 
         if cfg.evaluator == "lp":
-            v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)
+            v, var = evaluator(params, ubound, child_imgs, leaf_states, k_ev)
             if tree_walk.use_walk_kernels():
                 # the whole post-NN phase (seed unique children, averaged
                 # value, reverse Welford+γ walk) is ONE Pallas kernel
@@ -194,7 +208,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
                 )
                 trees = backup_fn(trees, traces, lengths, v0, var0, tcfg)
         else:
-            v, var = evaluator(params, ubound, child_states, leaf_states, k_ev)
+            v, var = evaluator(params, ubound, child_imgs, leaf_states, k_ev)
             leaf_score = bgather_col(trees.nstat, leafs)[:, 0]
             if cfg.evaluator == "leaf":
                 # ValueSim: absolute value = leaf score + NN value; terminal

@@ -509,20 +509,22 @@ def expand_children(tree: Tree, leaf_state: EnvState, cfg: TreeConfig):
     return child_states, packed7
 
 
-def expand_commit(tree: Tree, child_states: EnvState, obs7, leaf, ok,
+def expand_commit(tree: Tree, score7, end7, obs7, leaf, ok,
                   cfg: TreeConfig):
-    """Per-tree expansion back half: write the 7 contiguous node rows.
-    Loop-free — vmapped by the driver; the obs-table insert between the
-    halves runs hand-batched (`insert_obs7_batched`)."""
+    """Per-tree expansion back half: write the 7 contiguous node rows from
+    the children's (score, end, obs) — produced either by `expand_children`
+    or by the fused selection kernel. Loop-free — vmapped by the driver;
+    the obs-table insert between the halves runs hand-batched
+    (`insert_obs7_batched`)."""
     base = jnp.where(ok, tree.n_nodes, 0)
     ids = base + _A7
     block = jnp.stack(
-        [child_states.score.astype(jnp.float32), obs7.astype(jnp.float32)]
+        [score7.astype(jnp.float32), obs7.astype(jnp.float32)]
     )
     ids_w = jnp.where(ok, ids, tree.nstat.shape[1])
     tree = tree._replace(
         nstat=tree.nstat.at[:, ids_w].set(block, mode="drop"),
-        end=_dus_rows(tree.end, base, child_states.end, ok),
+        end=_dus_rows(tree.end, base, end7, ok),
         n_nodes=tree.n_nodes + jnp.where(ok, N_ACTIONS, 0),
     )
     tree = tree._replace(cbase=_masked_set(tree.cbase, leaf, base, ok))

@@ -255,17 +255,20 @@ def packed_obs(env):
 # the step
 # ---------------------------------------------------------------------------
 
-def _draw_piece(bag, bag_pos, k0, k1, ctr, randomizer):
+def _draw_piece(bag, bag_pos, k0, k1, ctr, randomizer, predrawn=None):
     """`engine._draw_piece` on columns: returns (piece, bag, bag_pos, ctr).
     The refill draw always runs; ctr advances only when taken — the draw
-    sequence is bit-exact vs the engine/oracle."""
-    word = _threefry(k0, k1, ctr)
+    sequence is bit-exact vs the engine/oracle. `predrawn` optionally
+    supplies this state's draw products (from `predraw`) so siblings
+    stepped from ONE parent share the threefry + decode work (the draw
+    depends only on (k0, k1, ctr), which all 7 children inherit)."""
+    if predrawn is None:
+        predrawn = predraw(k0, k1, ctr, randomizer)
     if randomizer == 1:
-        piece = _mod_const(word, 7, (1 << 16) % 7)
-        return piece, bag, bag_pos, ctr + jnp.uint32(1)
+        return predrawn, bag, bag_pos, ctr + jnp.uint32(1)
 
+    new_bag = predrawn
     need = (bag_pos >= 7).astype(jnp.int32)
-    new_bag = _perm7_decode(_mod_const(word, 5040, (1 << 16) % 5040))
     m7 = _mask(need, 7)
     bag = jnp.where(m7, new_bag, bag)
     pos = jnp.where(need != 0, 0, bag_pos)
@@ -276,10 +279,23 @@ def _draw_piece(bag, bag_pos, k0, k1, ctr, randomizer):
     return piece, bag, pos + 1, ctr
 
 
-def packed_step(env, act, *, actions_per_drop=1, scoring=0, randomizer=0):
+def predraw(k0, k1, ctr, randomizer):
+    """This state's piece-draw products: the uniform piece id, or the decoded
+    refill bag — a function of (k0, k1, ctr) only, so all 7 children of one
+    parent share it (`packed_step(..., predrawn=...)`)."""
+    word = _threefry(k0, k1, ctr)
+    if randomizer == 1:
+        return _mod_const(word, 7, (1 << 16) % 7)
+    return _perm7_decode(_mod_const(word, 5040, (1 << 16) % 5040))
+
+
+def packed_step(env, act, *, actions_per_drop=1, scoring=0, randomizer=0,
+                predrawn=None):
     """`engine.step` on packed states. env (B, 44) u32 (`engine.pack_state`
     layout), act (B, 1) i32. Returns the stepped (B, 44) u32. No-op on ended
-    games; bit-exact vs engine.step (fuzz-tested)."""
+    games; bit-exact vs engine.step (fuzz-tested). `predrawn` (from
+    `predraw` on THIS state's k0/k1/ctr) shares the spawn-draw work across
+    sibling steps."""
     B = env.shape[0]
     rows = env[:, 0:20]
     piece = _i(env[:, 20:21])
@@ -373,7 +389,7 @@ def packed_step(env, act, *, actions_per_drop=1, scoring=0, randomizer=0):
 
     # spawn on the post-clear board
     l_piece, l_bag, l_bag_pos, l_ctr = _draw_piece(
-        bag, bag_pos, k0, k1, ctr, randomizer
+        bag, bag_pos, k0, k1, ctr, randomizer, predrawn
     )
     sys_, sxs_ = _abs_cells(
         _cells_spawn(l_piece), jnp.full((B, 1), SPAWN_X, jnp.int32),

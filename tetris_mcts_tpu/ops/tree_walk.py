@@ -357,11 +357,17 @@ def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
     # (engine.step no-ops on ended leaves, exactly like the XLA expand; all
     # downstream consumers mask by `can`.)
     leaf_env = env_out[:]
+    # all 7 children inherit the leaf's (k0, k1, ctr): one shared draw
+    predrawn = env_packed.predraw(
+        leaf_env[:, 32:33], leaf_env[:, 33:34], leaf_env[:, 34:35],
+        randomizer,
+    )
     pk_l, sc_l2, end_l2 = [], [], []
     for a in range(7):
         ch = env_packed.packed_step(
             leaf_env, jnp.full((BG, 1), a, jnp.int32),
             actions_per_drop=app, scoring=scoring, randomizer=randomizer,
+            predrawn=predrawn,
         )
         pk_l.append(env_packed.packed_obs(ch))
         sc_l2.append(env_packed._i(ch[:, 36:37]))

@@ -824,6 +824,45 @@ class TestPallasSelectWalk:
             )
 
 
+class TestPallasInsert:
+    """The Pallas obs-table insert kernel (interpreted on CPU) must be
+    bit-exact vs the hand-batched XLA probe loop across repeated inserts
+    with duplicate keys, hits, and pool exhaustion."""
+
+    def test_matches_xla_insert(self):
+        from tetris_mcts_tpu.ops import tree_walk
+
+        B = 4
+        cfg = CFG._replace(max_obs=64, table_size=128)
+        envs = engine.reset_batch(11, B, cfg.env)
+        tk = jax.vmap(T.init_tree, in_axes=(0, None))(envs, cfg)
+        tx = jax.vmap(T.init_tree, in_axes=(0, None))(envs, cfg)
+
+        key = jax.random.PRNGKey(5)
+        for it in range(16):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            # small key space forces duplicates and repeat hits; later
+            # rounds overflow max_obs and exercise the full-pool path
+            packed7 = jax.random.randint(
+                k1, (B, 7, 20), 0, 5
+            ).astype(jnp.uint32)
+            end7 = jax.random.bernoulli(k2, 0.2, (B, 7))
+            ok = jax.random.bernoulli(k3, 0.9, (B,))
+            tk, ok7 = tree_walk.insert_obs7_batched_pallas(
+                tk, packed7, end7, ok, cfg
+            )
+            tx, ox7 = T.insert_obs7_batched(tx, packed7, end7, ok, cfg)
+            np.testing.assert_array_equal(
+                np.asarray(ok7), np.asarray(ox7), err_msg=f"iter {it}"
+            )
+            for f in ("tbl_h1", "tbl_h2", "tbl_obs", "n_obs", "obs_end",
+                      "obs_bits"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(tk, f)), np.asarray(getattr(tx, f)),
+                    err_msg=f"{f} iter {it}",
+                )
+
+
 class TestPallasLPBackup:
     """The fused seed+backup kernel (interpreted on CPU) vs the XLA
     pipeline (vmap(lp_seed) + backup_batched)."""

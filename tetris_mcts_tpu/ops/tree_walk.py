@@ -484,6 +484,244 @@ def select_batched_pallas(trees, key, cfg):
 
 
 # ---------------------------------------------------------------------------
+# obs-table insert kernel
+# ---------------------------------------------------------------------------
+
+# Probe-round bound for the kernel's fori (the XLA twin's while_loop is
+# unbounded). Table load is capped at 50% (max_obs <= table_size/2), where
+# the expected linear-probe cluster is ~2 slots and the longest cluster in a
+# 4096-slot table is ~25 (3.3 ln n); 128 rounds is astronomically safe, and
+# rounds after all-placed cost one skipped predicate each.
+_INSERT_ROUNDS = 128
+
+
+def _insert7_kernel(max_obs, T, h1_ref, h2_ref, ok_ref,
+                    th1_ref, th2_ref, tobs_ref, nobs_ref,
+                    th1_out, th2_out, tobs_out, nobs_out, obs7_out,
+                    slot_ref, placed_ref):
+    """`tree.insert_obs7_batched`'s probe loop as ONE kernel: BG trees, each
+    resolving its 7 child keys against its own open-addressing table row in
+    lockstep rounds. Tables are VMEM-resident and aliased in/out; each XLA
+    round cost ~130 us of op-dispatch latency where a kernel round is ~20 us
+    of VPU work (measured — the insert was the single largest phase of the
+    move program at ~1 ms/sim).
+
+    Same lockstep algorithm as the XLA twin: resolve-by-match, claim empty
+    slots by group representatives (the 7-unrolled masked writes make the
+    LAST contending action the slot winner — contention between distinct
+    keys on one slot needs an h1-mod-T collision, which the golden tests'
+    random keys never produce and either winner is semantically valid),
+    duplicate-key lanes resolve by match one round later; pool exhaustion
+    resolves to obs 0 at the first empty slot.
+
+    Shapes: h1/h2 (BG, 7) u32; ok (BG, 1) i32; th1/th2 (BG, T) u32;
+    tobs (BG, T) i32; nobs (BG, 1) i32. Outputs alias the table inputs;
+    obs7 (BG, 7) i32."""
+    del th1_ref, th2_ref, tobs_ref, nobs_ref  # aliased: *_out hold inputs
+    BG = h1_ref.shape[0]
+    tiota = lax.broadcasted_iota(jnp.int32, (BG, T), 1)
+    a7 = lax.broadcasted_iota(jnp.int32, (BG, 7), 1)
+    h1 = h1_ref[:]
+    h2 = h2_ref[:]
+    mask = jnp.uint32(T - 1)
+
+    same = (h1[:, :, None] == h1[:, None, :]) & (
+        h2[:, :, None] == h2[:, None, :]
+    )
+    # group representative = lowest lane of each same-key group (argmax is
+    # f32-only in Mosaic: count same-key lanes strictly below instead)
+    lower = a7[:, :, None] > a7[:, None, :]
+    rep = jnp.sum((same & lower).astype(jnp.int32), axis=2) == 0
+
+    okm = jnp.broadcast_to(ok_ref[:], (BG, 7)) != 0
+    slot_ref[:] = (h1 & mask).astype(jnp.int32)
+    placed_ref[:] = jnp.where(okm, 0, 1)
+    obs7_out[:] = jnp.zeros((BG, 7), jnp.int32)
+
+    def round_(r, carry):
+        done_v = placed_ref[:] != 0
+        all_placed = jnp.all(done_v)
+
+        @pl.when(~all_placed)
+        def _():
+            slot = slot_ref[:]
+            placed = placed_ref[:] != 0
+            n_obs = nobs_out[:]
+
+            # gather occupied/match per action (7-unrolled (BG, T) reduces).
+            # Key equality is tested at table width BEFORE reducing —
+            # Mosaic has no unsigned reductions, and the compare-then-count
+            # form needs none (sm selects exactly one position).
+            # (concat i32 counts, compare after — i1 vector concatenation
+            # is not a legal vreg cast)
+            mat_l, oid_l = [], []
+            for a in range(7):
+                sm = tiota == slot[:, a : a + 1]
+                to = jnp.sum(jnp.where(sm, tobs_out[:], 0), 1, keepdims=True)
+                eq = sm & (th1_out[:] == h1[:, a : a + 1]) & (
+                    th2_out[:] == h2[:, a : a + 1]
+                )
+                mat_l.append(jnp.sum(eq.astype(jnp.int32), 1, keepdims=True))
+                oid_l.append(to)
+            tid = jnp.concatenate(oid_l, axis=1)             # (BG, 7)
+            occupied = tid != 0
+            match = (jnp.concatenate(mat_l, axis=1) > 0) & occupied
+
+            live = ~placed
+            obs_id = jnp.where(live & match, tid, obs7_out[:])
+            placed = placed | (live & match)
+            live = ~placed
+
+            full = jnp.broadcast_to(
+                (n_obs >= max_obs).astype(jnp.int32), (BG, 7)
+            ) != 0
+            at_empty = live & ~occupied
+            placed = placed | (at_empty & full)
+            live = ~placed
+            at_empty = at_empty & ~full
+
+            # claim: group representatives at an empty slot write their key
+            # (broadcast the i32 flag, compare after — no i1 broadcasts)
+            attempt = at_empty & rep
+            attempt_i = attempt.astype(jnp.int32)
+            th1_new, th2_new = th1_out[:], th2_out[:]
+            for a in range(7):
+                wm = (tiota == slot[:, a : a + 1]) & (
+                    jnp.broadcast_to(attempt_i[:, a : a + 1], (BG, T)) != 0
+                )
+                th1_new = jnp.where(wm, h1[:, a : a + 1], th1_new)
+                th2_new = jnp.where(wm, h2[:, a : a + 1], th2_new)
+            th1_out[:] = th1_new
+            th2_out[:] = th2_new
+
+            # read back: the surviving writer per slot wins (same
+            # compare-then-count form as the match test)
+            won_l = []
+            for a in range(7):
+                sm = tiota == slot[:, a : a + 1]
+                eqn = sm & (th1_new == h1[:, a : a + 1]) & (
+                    th2_new == h2[:, a : a + 1]
+                )
+                won_l.append(jnp.sum(eqn.astype(jnp.int32), 1, keepdims=True))
+            won = attempt & (jnp.concatenate(won_l, axis=1) > 0)
+
+            # ids in action order (exclusive prefix count of winners)
+            wi = won.astype(jnp.int32)
+            parts = [jnp.zeros((BG, 1), jnp.int32)]
+            run = wi[:, 0:1]
+            for j in range(1, 7):
+                parts.append(run)
+                run = run + wi[:, j : j + 1]
+            rank = jnp.concatenate(parts, axis=1)
+            ids = n_obs + rank
+            won = won & (ids < max_obs)
+
+            tobs_new = tobs_out[:]
+            won_i = won.astype(jnp.int32)
+            for a in range(7):
+                wm = (tiota == slot[:, a : a + 1]) & (
+                    jnp.broadcast_to(won_i[:, a : a + 1], (BG, T)) != 0
+                )
+                tobs_new = jnp.where(wm, ids[:, a : a + 1], tobs_new)
+            tobs_out[:] = tobs_new
+            obs_id = jnp.where(won, ids, obs_id)
+            placed = placed | won
+            nobs_out[:] = n_obs + jnp.sum(
+                won.astype(jnp.int32), axis=1, keepdims=True
+            )
+
+            advance = ~placed & occupied & ~match
+            slot_ref[:] = jnp.where(
+                advance,
+                ((slot + 1).astype(jnp.uint32) & mask).astype(jnp.int32),
+                slot,
+            )
+            placed_ref[:] = placed.astype(jnp.int32)
+            obs7_out[:] = obs_id
+
+        return carry
+
+    lax.fori_loop(0, _INSERT_ROUNDS, round_, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_obs", "table_size", "interpret")
+)
+def insert7_walk(h1, h2, ok, th1, th2, tobs, n_obs,
+                 *, max_obs: int, table_size: int, interpret: bool = False):
+    """Run the 7-key table insert for B trees in one kernel. Returns
+    (th1, th2, tobs, n_obs, obs7)."""
+    B = h1.shape[0]
+    T = table_size
+    # The three aliased (BG, T) tables plus the round body's table-wide
+    # temporaries (th1_new/th2_new/tobs_new and the probe masks) must fit
+    # the ~16 MB VMEM. Measured: Mosaic's scoped stack peaks at ~7x the
+    # resident table bytes (21.96 MB at 3.1 MB resident, T=4096) — cap
+    # resident bytes at 1.5 MB so the peak stays near ~11 MB.
+    bg = 128
+    while bg > 8 and bg * 3 * T * 4 > (3 * 2**20) // 2:
+        bg //= 2
+    bg = min(B, bg)
+    assert B % bg == 0, (B, bg)
+    row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+    kernel = functools.partial(_insert7_kernel, max_obs, T)
+    th1, th2, tobs, n_obs, obs7 = pl.pallas_call(
+        kernel,
+        grid=(B // bg,),
+        in_specs=[row(7), row(7), row(1), row(T), row(T), row(T), row(1)],
+        out_specs=[row(T), row(T), row(T), row(1), row(7)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T), jnp.uint32),
+            jax.ShapeDtypeStruct((B, T), jnp.uint32),
+            jax.ShapeDtypeStruct((B, T), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 7), jnp.int32),
+        ],
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+        scratch_shapes=[
+            pltpu.VMEM((bg, 7), jnp.int32),  # slot
+            pltpu.VMEM((bg, 7), jnp.int32),  # placed
+        ],
+        interpret=interpret,
+    )(h1, h2, ok.astype(jnp.int32).reshape(B, 1),
+      th1, th2, tobs, n_obs.reshape(B, 1))
+    return th1, th2, tobs, n_obs.reshape(B), obs7
+
+
+def insert_obs7_batched_pallas(trees, packed7, end7, ok, cfg):
+    """Kernel-backed drop-in for `tree.insert_obs7_batched` (projection
+    mode): the probe loop runs as one kernel; the fresh-id tail writes
+    (obs_end, packed boards) stay as single XLA scatters (measured
+    negligible next to the probe loop)."""
+    from tetris_mcts_tpu.search import tree as T_
+
+    B = packed7.shape[0]
+    M = trees.obs_bits.shape[-1]
+    h1, h2 = T_._hash_packed(packed7)
+    n_obs0 = trees.n_obs
+    th1, th2, tobs, n_obs, obs7 = insert7_walk(
+        h1, h2, ok, trees.tbl_h1, trees.tbl_h2, trees.tbl_obs, trees.n_obs,
+        max_obs=cfg.max_obs, table_size=cfg.table_size,
+        interpret=not on_tpu(),
+    )
+    same = (h1[:, :, None] == h1[:, None, :]) & (
+        h2[:, :, None] == h2[:, None, :]
+    )
+    rep = jnp.argmax(same, axis=2) == jnp.arange(7)[None, :]
+    fresh = ok[:, None] & (obs7 >= n_obs0[:, None])
+    first = fresh & rep
+    o_w = jnp.where(first, obs7, M)
+    bidx = jnp.arange(B)[:, None]
+    trees = trees._replace(
+        tbl_h1=th1, tbl_h2=th2, tbl_obs=tobs, n_obs=n_obs,
+        obs_end=trees.obs_end.at[bidx, o_w].set(end7, mode="drop"),
+        obs_bits=trees.obs_bits.at[bidx, :, o_w].set(packed7, mode="drop"),
+    )
+    return trees, obs7
+
+
+# ---------------------------------------------------------------------------
 # fused LP-seed + backup kernel
 # ---------------------------------------------------------------------------
 

@@ -30,6 +30,7 @@ Evaluators:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -145,6 +146,18 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
         if tree_walk.use_walk_kernels()
         else T.backup_batched
     )
+    # The obs-table probe loop also exists as a Pallas kernel
+    # (tree_walk.insert_obs7_batched_pallas, golden-tested) but is opt-in
+    # (TMT_INSERT_KERNEL=1): its only real-chip measurement so far ran on a
+    # degrading tunnel and read 6x slower than the XLA probe loop — keep the
+    # measured-fast default until a clean measurement lands. Non-projection
+    # mode has no probe loop and always keeps the trivial XLA form.
+    insert_fn = (
+        tree_walk.insert_obs7_batched_pallas
+        if tree_walk.use_walk_kernels() and tcfg.projection
+        and os.environ.get("TMT_INSERT_KERNEL") == "1"
+        else T.insert_obs7_batched
+    )
 
     def sim_once(params, ubound, trees, key):
         B = trees.root.shape[0]
@@ -185,9 +198,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
             child_sc7 = child_states.score.astype(jnp.float32)
             child_end7 = child_states.end
             child_imgs = jax.vmap(jax.vmap(engine.get_state))(child_states)
-        trees, obs7 = T.insert_obs7_batched(
-            trees, packed7, child_end7, ok, tcfg
-        )
+        trees, obs7 = insert_fn(trees, packed7, child_end7, ok, tcfg)
         trees = vexpand_commit(
             trees, child_sc7, child_end7, obs7, leafs, ok, tcfg
         )

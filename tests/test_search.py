@@ -976,3 +976,82 @@ class TestBatchedSelectWalk:
                 np.asarray(getattr(st_b, f)), np.asarray(getattr(st_v, f)),
                 err_msg=f,
             )
+
+
+class TestShardedKernels:
+    """Every Pallas walk kernel entered through shard_map over the 8-device
+    CPU mesh (the multi-chip path, `tree_walk.set_kernel_mesh`) must be
+    bit-exact vs the direct single-device call — the kernels are purely
+    batch-parallel and all their randomness is drawn outside at global
+    batch shape."""
+
+    def _grown(self, B):
+        scfg = M.SearchConfig(tree=CFG, sims=9, evaluator="lp")
+        run = M.make_run_sims(
+            M.nn_child_evaluator(
+                lambda p, u, x: (jnp.linspace(1.0, 8.0, x.shape[0]),
+                                 jnp.full(x.shape[0], 2.5))
+            ),
+            scfg,
+        )
+        trees, envs = M.init_batch(31, B, scfg)
+        return jax.jit(run)(None, None, trees, jax.random.PRNGKey(6))
+
+    def test_sharded_matches_direct(self):
+        from tetris_mcts_tpu.ops import tree_walk
+        from tetris_mcts_tpu.parallel import mesh as PM
+
+        B = 8
+        trees = self._grown(B)
+        traces, acts, lengths, _ = jax.vmap(T.select, in_axes=(0, 0, None))(
+            trees, jax.random.split(jax.random.PRNGKey(3), B), CFG
+        )
+        v0 = jnp.linspace(2.0, 50.0, B)
+        var0 = jnp.linspace(0.5, 3.0, B)
+        v_nn = jnp.tile(jnp.linspace(1.0, 7.0, 7), (B, 1))
+        var_nn = jnp.full((B, 7), 3.0)
+        can = jnp.arange(B) % 3 != 0
+        key = jax.random.PRNGKey(13)
+        rng = np.random.RandomState(7)
+        packed7 = jnp.asarray(
+            rng.randint(0, 2**20, size=(B, 7, 20)).astype(np.uint32)
+        )
+        end7 = jnp.zeros((B, 7), bool)
+
+        direct = {
+            "backup": tree_walk.backup_batched_pallas(
+                trees, traces, lengths, v0, var0, CFG
+            ),
+            "select": tree_walk.select_batched_pallas(trees, key, CFG),
+            "insert": tree_walk.insert_obs7_batched_pallas(
+                trees, packed7, end7, can, CFG
+            ),
+            "lp": tree_walk.lp_backup_batched_pallas(
+                trees, traces, lengths, v_nn, var_nn, can, CFG
+            ),
+        }
+
+        tree_walk.set_kernel_mesh(PM.make_mesh())
+        try:
+            sharded = {
+                "backup": tree_walk.backup_batched_pallas(
+                    trees, traces, lengths, v0, var0, CFG
+                ),
+                "select": tree_walk.select_batched_pallas(trees, key, CFG),
+                "insert": tree_walk.insert_obs7_batched_pallas(
+                    trees, packed7, end7, can, CFG
+                ),
+                "lp": tree_walk.lp_backup_batched_pallas(
+                    trees, traces, lengths, v_nn, var_nn, can, CFG
+                ),
+            }
+        finally:
+            tree_walk.set_kernel_mesh(None)
+
+        for name in direct:
+            jax.tree.map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=name
+                ),
+                direct[name], sharded[name],
+            )

@@ -134,21 +134,64 @@ def on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+# ---------------------------------------------------------------------------
+# multi-device: shard_map over the data axis
+# ---------------------------------------------------------------------------
+#
+# A pallas_call is a custom call that GSPMD sharding propagation cannot
+# partition, so under a multi-device mesh the kernels must be entered
+# through shard_map: every operand/result is batch-leading, each device
+# runs the kernel on its local rows, and no collective is needed. All the
+# randomness a kernel consumes (the select walk's gumbels) is drawn OUTSIDE
+# at global batch shape, so the sharded program computes bit-identical
+# trajectories to the single-device one (golden-tested on the CPU mesh).
+
+_KERNEL_MESH = None
+
+
+def set_kernel_mesh(mesh) -> None:
+    """Register the mesh whose "data" axis the walk kernels shard over
+    (None clears it). Multi-device drivers call this so `use_walk_kernels`
+    can keep the kernel path on instead of falling back to the XLA walks."""
+    global _KERNEL_MESH
+    _KERNEL_MESH = mesh
+
+
+def _data_sharded(fn, *arrays, **static):
+    """Call `fn(*arrays, **static)` — through shard_map over the registered
+    mesh's data axis when one is registered (every array is batch-leading
+    and stays batch-sharded), directly otherwise."""
+    mesh = _KERNEL_MESH
+    if mesh is None:
+        return fn(*arrays, **static)
+    from jax.sharding import PartitionSpec
+    from tetris_mcts_tpu.parallel.mesh import DATA_AXIS
+
+    spec = PartitionSpec(DATA_AXIS)
+    n = mesh.shape[DATA_AXIS]
+    for a in arrays:
+        assert a.shape[0] % n == 0, (a.shape, n)
+    return jax.shard_map(
+        functools.partial(fn, **static), mesh=mesh,
+        in_specs=spec, out_specs=spec, check_vma=False,
+    )(*arrays)
+
+
 def use_walk_kernels() -> bool:
-    """The walk kernels run in single-device TPU programs. Under a
-    multi-device mesh the move program falls back to the hand-batched XLA
-    walks (bit-identical, golden-tested): a pallas_call is a custom call
-    that GSPMD sharding propagation cannot partition — wrapping the kernels
-    in shard_map over the data axis is the multi-chip path (future work;
-    untestable without >1 real chip, and the CPU-mesh dryrun exercises the
-    XLA walks by design)."""
-    return on_tpu() and jax.device_count() == 1
+    """The walk kernels run in single-device TPU programs, and in
+    multi-device ones when the driver registered a mesh via
+    `set_kernel_mesh` (the kernels then enter through shard_map — a
+    pallas_call is a custom call GSPMD cannot partition on its own)."""
+    if not on_tpu():
+        return False
+    return jax.device_count() == 1 or _KERNEL_MESH is not None
 
 
 def backup_batched_pallas(trees, traces, lengths, v0, var0, cfg):
     """Drop-in for `tree.backup_batched` running the walk as one Pallas
     kernel (interpreted off-TPU so every platform takes the same path)."""
-    visits, values, vars_ = backup_walk(
+    visits, values, vars_ = _data_sharded(
+        backup_walk,
         traces, lengths, v0, var0,
         trees.nstat[:, 0, :], trees.nstat[:, 1, :].astype(jnp.int32),
         trees.visits, trees.values, trees.vars_,
@@ -471,7 +514,8 @@ def select_batched_pallas(trees, key, cfg):
     obs = trees.nstat[:, 1, :].astype(jnp.int32)
     rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
     env0 = engine.pack_state(trees.root_state)  # (B, 44)
-    traces, lengths, leafs, leaf_env, chpk, chsc, chend = select_walk(
+    traces, lengths, leafs, leaf_env, chpk, chsc, chend = _data_sharded(
+        select_walk,
         trees.cbase, score, obs, trees.visits, trees.values, trees.vars_,
         trees.root, rootsc, env0, gumbels, rnd,
         policy=cfg.policy, low=cfg.low,
@@ -700,7 +744,8 @@ def insert_obs7_batched_pallas(trees, packed7, end7, ok, cfg):
     M = trees.obs_bits.shape[-1]
     h1, h2 = T_._hash_packed(packed7)
     n_obs0 = trees.n_obs
-    th1, th2, tobs, n_obs, obs7 = insert7_walk(
+    th1, th2, tobs, n_obs, obs7 = _data_sharded(
+        insert7_walk,
         h1, h2, ok, trees.tbl_h1, trees.tbl_h2, trees.tbl_obs, trees.n_obs,
         max_obs=cfg.max_obs, table_size=cfg.table_size,
         interpret=not on_tpu(),
@@ -885,7 +930,8 @@ def lp_backup_batched_pallas(trees, traces, lengths, v_nn, var_nn, expanded,
     obsend = trees.nstat[:, 1, :].astype(jnp.int32) | (
         trees.end.astype(jnp.int32) << 30
     )
-    visits, values, vars_ = lp_backup_walk(
+    visits, values, vars_ = _data_sharded(
+        lp_backup_walk,
         traces, lengths, v_nn, var_nn, expanded,
         trees.cbase, trees.nstat[:, 0, :], obsend,
         trees.visits, trees.values, trees.vars_,

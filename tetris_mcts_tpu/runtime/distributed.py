@@ -90,10 +90,18 @@ class DistributedSelfPlay:
     degenerates to `parallel.mesh.shard_batch`."""
 
     def __init__(self, cfg, model=None, model_parallel: int = 1, **driver_kw):
+        from tetris_mcts_tpu.ops import tree_walk
         from tetris_mcts_tpu.runtime.selfplay import SelfPlayDriver
 
         self.process_index = jax.process_index()
         self.mesh = global_mesh(model_parallel)
+        # registered BEFORE the driver traces its move program, so on TPU
+        # the Pallas walk kernels stay on (entered through shard_map over
+        # the data axis) instead of falling back to the XLA walks; off-TPU
+        # the kernels are never taken and registering would only leak the
+        # mesh into unrelated later traces
+        if tree_walk.on_tpu():
+            tree_walk.set_kernel_mesh(self.mesh)
         cfg = cfg._replace(seed=cfg.seed + 7919 * self.process_index)
         self.driver = SelfPlayDriver(cfg, model=model, **driver_kw)
         # shard the device state over the mesh's data axis

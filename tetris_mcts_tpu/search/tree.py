@@ -92,8 +92,9 @@ class TreeConfig(NamedTuple):
                            # the walk AND the inline env stepping run in ONE
                            # kernel (ops/tree_walk.py + ops/env_packed.py),
                            # returning the leaf env states directly — active
-                           # only on single-device TPU programs
-                           # (tree_walk.use_walk_kernels); elsewhere the
+                           # on TPU programs (multi-device via a registered
+                           # shard_map mesh,
+                           # tree_walk.use_walk_kernels); elsewhere the
                            # hand-batched XLA walk runs. Measured 98.2k ->
                            # 119.2k sims/s when it replaced the XLA walk
                            # (which it beats 1106 -> ~590 us/sim with zero

@@ -100,3 +100,17 @@ class TestCycle:
         assert plan.count("cli.play") == 3
         assert "cli.train" not in plan
         assert "--benchmark" in plan
+
+
+class TestTraceFlag:
+    def test_trace_writes_profile(self, tmp_path):
+        from tetris_mcts_tpu.cli.play import main
+
+        trace_dir = tmp_path / "trace"
+        main([
+            "--agent_type", "Random", "--batch", "2", "--ngames", "1",
+            "--max_nodes", "64", "--max_obs", "64", "--max_moves", "2",
+            "--trace", str(trace_dir), "--trace_moves", "1",
+        ])
+        files = list(trace_dir.rglob("*"))
+        assert any(f.is_file() for f in files), files

@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSONL metrics path ('' = off)")
     p.add_argument("--status_dir", default="",
                    help="publish live-state memmaps here ('' = off)")
+    p.add_argument("--trace", default="",
+                   help="capture a jax.profiler trace of the move program "
+                        "into this directory (after 2 warmup moves), then "
+                        "exit — open with tensorboard/xprof ('' = off)")
+    p.add_argument("--trace_moves", type=int, default=4,
+                   help="moves to capture under --trace")
     return p
 
 
@@ -181,6 +187,21 @@ def main(argv=None):
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _term)
+
+    if args.trace:
+        # SURVEY.md §5 tracing: the reference has none; here the whole move
+        # is ONE device program, so a short profiler capture shows every
+        # phase (select kernel, insert, NN forward, backup) on a timeline.
+        import jax
+
+        for _ in range(2):  # warm up: compiles excluded from the capture
+            driver.step()
+        with jax.profiler.trace(args.trace):
+            for _ in range(args.trace_moves):
+                driver.step()
+        print(f"Trace of {args.trace_moves} moves written to {args.trace}",
+              file=sys.stderr)
+        return driver
 
     try:
         if args.endless:

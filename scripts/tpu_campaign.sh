@@ -1,0 +1,73 @@
+#!/bin/bash
+# One-button TPU campaign. Safe to launch while the axon tunnel is down:
+# phase 0 polls device health until the chip answers, then the phases run
+# strictly sequentially (the chip is single-tenant — nothing else may touch
+# it while this script is alive).
+#
+#   0. wait for the tunnel (poll every 5 min, give up after MAX_WAIT_H)
+#   1. bench.py baseline                      -> $OUT/bench_base.json
+#   2. bench.py with TMT_INSERT_KERNEL=1      -> $OUT/bench_insertk.json
+#      (the Pallas obs-insert kernel's first clean real-chip measurement;
+#      >3% win flips it on for the long run)
+#   3. long online 500-sims ValueSimLP run    -> $OUT/long/   (RUN_H hours)
+#   4. 1000-sims benchmark games on the net   -> $OUT/bench_games.log
+#
+# Usage: bash scripts/tpu_campaign.sh [OUT_DIR]   (default runs/campaign1)
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-runs/campaign1}
+RUN_H=${RUN_H:-4}
+MAX_WAIT_H=${MAX_WAIT_H:-24}
+mkdir -p "$OUT"
+exec >>"$OUT/campaign.log" 2>&1
+
+echo "=== campaign start $(date -u +%FT%TZ) out=$OUT run_h=$RUN_H"
+
+# --- 0: wait for the chip -------------------------------------------------
+deadline=$((SECONDS + MAX_WAIT_H * 3600))
+until timeout 90 python - <<'EOF'
+import jax
+assert jax.devices()[0].platform == "tpu"
+EOF
+do
+    if [ $SECONDS -ge $deadline ]; then
+        echo "=== giving up: tunnel still down after ${MAX_WAIT_H}h"
+        exit 1
+    fi
+    echo "tunnel down at $(date -u +%T); retrying in 300s"
+    sleep 300
+done
+echo "=== chip healthy at $(date -u +%FT%TZ)"
+
+# --- 1+2: bench baseline, then the insert-kernel A/B ----------------------
+timeout 2400 python bench.py > "$OUT/bench_base.json"
+echo "baseline: $(cat "$OUT/bench_base.json")"
+timeout 2400 env TMT_INSERT_KERNEL=1 python bench.py > "$OUT/bench_insertk.json"
+echo "insert-kernel: $(cat "$OUT/bench_insertk.json")"
+
+base=$(python -c "import json;print(json.load(open('$OUT/bench_base.json'))['value'])")
+ik=$(python -c "import json;print(json.load(open('$OUT/bench_insertk.json'))['value'])" 2>/dev/null || echo 0)
+use_ik=$(python -c "print(1 if $ik > 1.03*$base else 0)")
+echo "decision: insert kernel on=$use_ik (base=$base insertk=$ik)"
+
+# --- 3: the long 500-SPM online run (reference v2 training config:
+#        500 sims/move, guideline scoring, min_visit 25) -------------------
+mkdir -p "$OUT/long"
+TMT_INSERT_KERNEL=$use_ik timeout $((RUN_H * 3600)) \
+python -m tetris_mcts_tpu play \
+    --agent_type ValueSimLP --online --endless --mcts_sims 500 --batch 128 \
+    --max_nodes 8192 --max_obs 8192 --min_visits 25 \
+    --memory_size 500000 --memory_growth 20000 \
+    --train_rows 20000 --train_batch 512 \
+    --train_iters_per_val 200 --train_max_iters 2000 \
+    --seed 4242 --metrics "$OUT/long/m.jsonl" \
+    --checkpoint "$OUT/long/model.msgpack" > "$OUT/long/run.log" 2>&1
+echo "=== long run finished at $(date -u +%FT%TZ)"
+
+# --- 4: benchmark-game channel (reference cycle.sh: 1000-sims eval) -------
+timeout 3600 python -m tetris_mcts_tpu play \
+    --agent_type ValueSimLP --benchmark --mcts_sims 1000 --batch 32 \
+    --ngames 32 --max_nodes 16384 --max_obs 16384 \
+    --load_model --checkpoint "$OUT/long/model.msgpack" \
+    --metrics "$OUT/bench_games.jsonl" --seed 999 > "$OUT/bench_games.log" 2>&1
+echo "=== campaign done $(date -u +%FT%TZ)"

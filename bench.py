@@ -15,6 +15,7 @@ simulation (SURVEY.md §3.1).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -72,9 +73,13 @@ def bench_mcts(batch: int = 256, sims: int = 100, moves: int = 8,
     # moves of persistent subtree while keeping the carried tree arrays small
     # (tree-array size is a first-order throughput term: XLA's copy insertion
     # scales with the carry).
+    # TMT_INSERT_KERNEL=1 A/Bs the Pallas obs-insert kernel; the choice is
+    # recorded in the output JSON so measurements are self-describing.
+    insert_kernel = os.environ.get("TMT_INSERT_KERNEL") == "1"
     cfg = mcts.SearchConfig(
         tree=TreeConfig(
-            max_nodes=2048, max_obs=2048, table_size=4096, max_depth=64
+            max_nodes=2048, max_obs=2048, table_size=4096, max_depth=64,
+            insert_kernel=insert_kernel,
         ),
         sims=sims,
         evaluator="lp",
@@ -134,6 +139,7 @@ def main():
         "env_steps_per_s": round(env_rate, 1),
         "env_vs_target": round(env_rate / 1_000_000.0, 4),
         "device": str(dev.device_kind if on_tpu else dev.platform),
+        "insert_kernel": os.environ.get("TMT_INSERT_KERNEL") == "1",
     }))
 
 

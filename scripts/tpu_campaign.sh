@@ -42,19 +42,24 @@ echo "=== chip healthy at $(date -u +%FT%TZ)"
 # --- 1+2: bench baseline, then the insert-kernel A/B ----------------------
 timeout 2400 python bench.py > "$OUT/bench_base.json"
 echo "baseline: $(cat "$OUT/bench_base.json")"
+base=$(python -c "import json;print(json.load(open('$OUT/bench_base.json'))['value'])" 2>/dev/null || echo 0)
+if [ "$base" = "0" ] || [ -z "$base" ]; then
+    echo "=== aborting: baseline bench failed (tunnel degraded?) — not burning the long run"
+    exit 1
+fi
 timeout 2400 env TMT_INSERT_KERNEL=1 python bench.py > "$OUT/bench_insertk.json"
 echo "insert-kernel: $(cat "$OUT/bench_insertk.json")"
-
-base=$(python -c "import json;print(json.load(open('$OUT/bench_base.json'))['value'])")
 ik=$(python -c "import json;print(json.load(open('$OUT/bench_insertk.json'))['value'])" 2>/dev/null || echo 0)
 use_ik=$(python -c "print(1 if $ik > 1.03*$base else 0)")
 echo "decision: insert kernel on=$use_ik (base=$base insertk=$ik)"
+ik_flag=""
+[ "$use_ik" = "1" ] && ik_flag="--insert_kernel"
 
 # --- 3: the long 500-SPM online run (reference v2 training config:
 #        500 sims/move, guideline scoring, min_visit 25) -------------------
 mkdir -p "$OUT/long"
-TMT_INSERT_KERNEL=$use_ik timeout $((RUN_H * 3600)) \
-python -m tetris_mcts_tpu play \
+timeout $((RUN_H * 3600)) \
+python -m tetris_mcts_tpu play $ik_flag \
     --agent_type ValueSimLP --online --endless --mcts_sims 500 --batch 128 \
     --max_nodes 8192 --max_obs 8192 --min_visits 25 \
     --memory_size 500000 --memory_growth 20000 \

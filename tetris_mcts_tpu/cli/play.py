@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSONL metrics path ('' = off)")
     p.add_argument("--status_dir", default="",
                    help="publish live-state memmaps here ('' = off)")
+    p.add_argument("--insert_kernel", action="store_true",
+                   help="run the obs-table insert as a Pallas kernel "
+                        "(TPU; see TreeConfig.insert_kernel)")
     p.add_argument("--trace", default="",
                    help="capture a jax.profiler trace of the move program "
                         "into this directory (after 2 warmup moves), then "
@@ -102,6 +105,20 @@ def main(argv=None):
 
     evaluator, trains = AGENT_TYPES[args.agent_type]
 
+    def capture_trace(driver):
+        # SURVEY.md §5 tracing: the reference has none; here the whole move
+        # is ONE device program, so a short profiler capture shows every
+        # phase (select kernel, insert, NN forward, backup) on a timeline.
+        import jax
+
+        for _ in range(2):  # warm up: compiles excluded from the capture
+            driver.step()
+        with jax.profiler.trace(args.trace):
+            for _ in range(args.trace_moves):
+                driver.step()
+        print(f"Trace of {args.trace_moves} moves written to {args.trace}",
+              file=sys.stderr)
+
     if evaluator == "dqn":
         # self-contained Q-learning agent (reference agents/DQN.py): no tree
         from tetris_mcts_tpu.runtime.dqn import DQNConfig, DQNDriver
@@ -120,6 +137,9 @@ def main(argv=None):
             metrics=metrics,
         )
         try:
+            if args.trace:
+                capture_trace(driver)
+                return driver
             moves = 0
             while (args.endless or driver.episodes < args.ngames) \
                     and moves < args.max_moves:
@@ -144,6 +164,7 @@ def main(argv=None):
         train_rows_trigger=args.train_rows, train_batch=args.train_batch,
         train_iters_per_val=args.train_iters_per_val,
         train_max_iters=args.train_max_iters,
+        insert_kernel=args.insert_kernel,
         benchmark=benchmark, seed=args.seed,
         actions_per_drop=args.app, scoring=args.scoring,
         randomizer=args.randomizer,
@@ -188,23 +209,11 @@ def main(argv=None):
 
     signal.signal(signal.SIGTERM, _term)
 
-    if args.trace:
-        # SURVEY.md §5 tracing: the reference has none; here the whole move
-        # is ONE device program, so a short profiler capture shows every
-        # phase (select kernel, insert, NN forward, backup) on a timeline.
-        import jax
-
-        for _ in range(2):  # warm up: compiles excluded from the capture
-            driver.step()
-        with jax.profiler.trace(args.trace):
-            for _ in range(args.trace_moves):
-                driver.step()
-        print(f"Trace of {args.trace_moves} moves written to {args.trace}",
-              file=sys.stderr)
-        return driver
-
     try:
-        if args.endless:
+        if args.trace:
+            # inside the try so the finally-block flushes saver/metrics
+            capture_trace(driver)
+        elif args.endless:
             while True:
                 driver.step()
         else:
@@ -212,7 +221,8 @@ def main(argv=None):
     except KeyboardInterrupt:
         print("interrupted", file=sys.stderr)
     finally:
-        if trains and not benchmark:
+        # a --trace session is a profiling probe: never clobber checkpoints
+        if trains and not benchmark and not args.trace:
             model.save(verbose=True)
         if saver is not None:
             saver.close()

@@ -110,7 +110,8 @@ def backup_walk(traces, lengths, v0, var0, score, obs, visits, values, vars_,
     N = score.shape[1]
     M = visits.shape[1]
     bg = min(B, _BG)
-    assert B % bg == 0, (B, bg)
+    while B % bg:  # any B is accepted (bg=1 divides)
+        bg //= 2
 
     row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
@@ -152,7 +153,14 @@ _KERNEL_MESH = None
 def set_kernel_mesh(mesh) -> None:
     """Register the mesh whose "data" axis the walk kernels shard over
     (None clears it). Multi-device drivers call this so `use_walk_kernels`
-    can keep the kernel path on instead of falling back to the XLA walks."""
+    can keep the kernel path on instead of falling back to the XLA walks.
+
+    Process-global: it applies to every move program traced while set, so a
+    process mixing a mesh driver with single-device programs must clear it
+    between them (`DistributedSelfPlay.close`). With a 2D data×model mesh
+    the kernels shard over data only — each model-axis device runs the same
+    shard redundantly (correct and wall-clock-neutral; the model axis
+    exists for the TP demo, not for the walks)."""
     global _KERNEL_MESH
     _KERNEL_MESH = mesh
 
@@ -452,7 +460,8 @@ def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
         while block > 8 and block * lane_bytes > 10 * 2**20:
             block //= 2
     bg = min(B, block)
-    assert B % bg == 0, (B, bg)
+    while B % bg:  # any B is accepted (bg=1 divides)
+        bg //= 2
 
     row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
@@ -706,7 +715,8 @@ def insert7_walk(h1, h2, ok, th1, th2, tobs, n_obs,
     while bg > 8 and bg * 3 * T * 4 > (3 * 2**20) // 2:
         bg //= 2
     bg = min(B, bg)
-    assert B % bg == 0, (B, bg)
+    while B % bg:  # any B is accepted, like the XLA twin (bg=1 divides)
+        bg //= 2
     row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
     kernel = functools.partial(_insert7_kernel, max_obs, T)
@@ -904,7 +914,8 @@ def lp_backup_walk(traces, lengths, v_nn, var_nn, expanded,
     N = score.shape[1]
     M = visits.shape[1]
     bg = min(B, _BG_LP)
-    assert B % bg == 0, (B, bg)
+    while B % bg:  # any B is accepted (bg=1 divides)
+        bg //= 2
 
     row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)

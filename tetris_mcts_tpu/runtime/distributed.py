@@ -110,6 +110,13 @@ class DistributedSelfPlay:
         self.driver.replay = M.replicate(self.mesh, self.driver.replay)
         self.driver.key = host_fold(self.driver.key)
 
+    def close(self):
+        """Unregister the kernel mesh so later programs in this process
+        (e.g. a single-device bench) trace without it."""
+        from tetris_mcts_tpu.ops import tree_walk
+
+        tree_walk.set_kernel_mesh(None)
+
     def step(self):
         return self.driver.step()
 

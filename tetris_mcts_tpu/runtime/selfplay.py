@@ -66,6 +66,7 @@ class SelfPlayConfig(NamedTuple):
     train_iters_per_val: int = 100
     train_max_iters: int = 50_000
     benchmark: bool = False        # no training, no storage
+    insert_kernel: bool = False    # TreeConfig.insert_kernel passthrough
     dump_dir: str = ""             # write data/dump.npz per session
                                    # (reference ValueSim.py:176-177)
     seed: int = 0
@@ -257,6 +258,7 @@ class SelfPlayDriver(_OnlineDriverBase):
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
             table_size=cfg.table_size, max_depth=cfg.max_depth,
             gamma=cfg.gamma, policy=cfg.policy,
+            insert_kernel=cfg.insert_kernel,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
                 scoring=cfg.scoring, randomizer=cfg.randomizer,
@@ -399,6 +401,7 @@ class VPSelfPlayDriver(_OnlineDriverBase):
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
             table_size=cfg.table_size, max_depth=cfg.max_depth,
             gamma=cfg.gamma, policy=cfg.policy,
+            insert_kernel=cfg.insert_kernel,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
                 scoring=cfg.scoring, randomizer=cfg.randomizer,
@@ -488,6 +491,7 @@ class DistSelfPlayDriver(_OnlineDriverBase):
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
             table_size=cfg.table_size, max_depth=cfg.max_depth,
             gamma=cfg.gamma, policy=cfg.policy,
+            insert_kernel=cfg.insert_kernel,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
                 scoring=cfg.scoring, randomizer=cfg.randomizer,

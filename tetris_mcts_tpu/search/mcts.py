@@ -30,7 +30,6 @@ Evaluators:
 
 from __future__ import annotations
 
-import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -146,16 +145,14 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
         if tree_walk.use_walk_kernels()
         else T.backup_batched
     )
-    # The obs-table probe loop also exists as a Pallas kernel
-    # (tree_walk.insert_obs7_batched_pallas, golden-tested) but is opt-in
-    # (TMT_INSERT_KERNEL=1): its only real-chip measurement so far ran on a
-    # degrading tunnel and read 6x slower than the XLA probe loop — keep the
-    # measured-fast default until a clean measurement lands. Non-projection
-    # mode has no probe loop and always keeps the trivial XLA form.
+    # The obs-table probe loop also exists as a Pallas kernel — opt-in via
+    # TreeConfig.insert_kernel (see the field comment for why it defaults
+    # off). Non-projection mode has no probe loop and always keeps the
+    # trivial XLA form.
     insert_fn = (
         tree_walk.insert_obs7_batched_pallas
         if tree_walk.use_walk_kernels() and tcfg.projection
-        and os.environ.get("TMT_INSERT_KERNEL") == "1"
+        and tcfg.insert_kernel
         else T.insert_obs7_batched
     )
 

@@ -102,6 +102,13 @@ class TreeConfig(NamedTuple):
                            # per level (i.i.d. either way), so kernel and
                            # XLA walks follow different but equal-law
                            # trajectories.
+    insert_kernel: bool = False  # run the obs-table probe loop as a Pallas
+                           # kernel (tree_walk.insert_obs7_batched_pallas,
+                           # golden-tested). Off by default: its only
+                           # real-chip measurement ran on a degrading tunnel
+                           # and read 6x slower than the XLA probe loop.
+                           # A config field (not an env var) so the path
+                           # taken is always visible in the run's flags.
     env: EnvConfig = EnvConfig()
 
 

@@ -84,9 +84,14 @@ def bench_mcts(batch: int = 256, sims: int = 100, moves: int = 8,
         sims=sims,
         evaluator="lp",
     )
-    model = VVModel(seed=seed, compute_dtype=jnp.bfloat16)
+    # The in-search forward runs bfloat16 (the CLI's --bf16; TMT_NN_F32=1
+    # A/Bs the f32 path the online drivers default to).
+    nn_dtype = jnp.float32 if os.environ.get("TMT_NN_F32") == "1" \
+        else jnp.bfloat16
+    model = VVModel(seed=seed)
     move = mcts.make_move_fn(
-        mcts.nn_child_evaluator(model.apply_fn()), cfg, min_visits_store=25
+        mcts.nn_child_evaluator(model.apply_fn(nn_dtype)), cfg,
+        min_visits_store=25
     )
 
     def body(carry, _):
@@ -140,6 +145,8 @@ def main():
         "env_vs_target": round(env_rate / 1_000_000.0, 4),
         "device": str(dev.device_kind if on_tpu else dev.platform),
         "insert_kernel": os.environ.get("TMT_INSERT_KERNEL") == "1",
+        "nn_dtype": "float32" if os.environ.get("TMT_NN_F32") == "1"
+        else "bfloat16",
     }))
 
 

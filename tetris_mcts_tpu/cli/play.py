@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--insert_kernel", action="store_true",
                    help="run the obs-table insert as a Pallas kernel "
                         "(TPU; see TreeConfig.insert_kernel)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 in-search NN forward (training stays "
+                        "float32; halves the MXU cost of the move program's "
+                        "inference phase)")
     p.add_argument("--trace", default="",
                    help="capture a jax.profiler trace of the move program "
                         "into this directory (after 2 warmup moves), then "
@@ -164,7 +168,7 @@ def main(argv=None):
         train_rows_trigger=args.train_rows, train_batch=args.train_batch,
         train_iters_per_val=args.train_iters_per_val,
         train_max_iters=args.train_max_iters,
-        insert_kernel=args.insert_kernel,
+        insert_kernel=args.insert_kernel, bf16=args.bf16,
         benchmark=benchmark, seed=args.seed,
         actions_per_drop=args.app, scoring=args.scoring,
         randomizer=args.randomizer,

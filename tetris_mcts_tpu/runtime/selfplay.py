@@ -67,6 +67,8 @@ class SelfPlayConfig(NamedTuple):
     train_max_iters: int = 50_000
     benchmark: bool = False        # no training, no storage
     insert_kernel: bool = False    # TreeConfig.insert_kernel passthrough
+    bf16: bool = False             # bfloat16 in-search NN forward (training
+                                   # stays f32; see VVModel.apply_fn)
     dump_dir: str = ""             # write data/dump.npz per session
                                    # (reference ValueSim.py:176-177)
     seed: int = 0
@@ -268,7 +270,7 @@ class SelfPlayDriver(_OnlineDriverBase):
             tree=tree_cfg, sims=cfg.sims, evaluator=cfg.evaluator
         )
 
-        apply_fn = self.model.apply_fn()
+        apply_fn = self.model.apply_fn(jnp.bfloat16 if cfg.bf16 else None)
         if cfg.evaluator == "lp":
             evaluator = mcts.nn_child_evaluator(apply_fn)
         elif cfg.evaluator == "leaf":
@@ -410,7 +412,8 @@ class VPSelfPlayDriver(_OnlineDriverBase):
         self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims)
 
         move = VP.make_vp_move_fn(
-            self.model.apply_fn(), self.search_cfg,
+            self.model.apply_fn(jnp.bfloat16 if cfg.bf16 else None),
+            self.search_cfg,
             min_visits_store=cfg.min_visits_store,
             store=not cfg.benchmark,
         )
@@ -500,7 +503,8 @@ class DistSelfPlayDriver(_OnlineDriverBase):
         self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims)
 
         move = DD.make_dist_move_fn(
-            self.model.apply_fn(), self.search_cfg, self.dcfg,
+            self.model.apply_fn(jnp.bfloat16 if cfg.bf16 else None),
+            self.search_cfg, self.dcfg,
             min_visits_store=cfg.min_visits_store,
             store=not cfg.benchmark,
         )

@@ -163,10 +163,16 @@ class VVModel:
         v, var = self.inference(boards)
         return [self._rng.normal(v, np.sqrt(var)), var]
 
-    def apply_fn(self):
+    def apply_fn(self, compute_dtype=None):
         """(params, ubound, states_nhwc) -> (v, var) for use inside other jits
-        (the MCTS evaluator)."""
+        (the MCTS evaluator). `compute_dtype` overrides the net's compute
+        dtype for THIS closure only (params and training stay untouched) —
+        `jnp.bfloat16` halves the MXU cost of the in-search forward without
+        perturbing the f32 loss trajectory the reference's curves are
+        compared against."""
         net, lbound = self.net, self.lbound
+        if compute_dtype is not None:
+            net = net.clone(compute_dtype=compute_dtype)
 
         def f(params, ubound, states):
             out = net.apply(params, states, ubound, lbound)
@@ -460,9 +466,13 @@ class VPModel:
         v, p = self._infer(self.params, _boards(boards))
         return np.asarray(v)[:, None], np.asarray(p)
 
-    def apply_fn(self):
-        """(params, states_nhwc) -> (v, logits) for the fused VP search."""
+    def apply_fn(self, compute_dtype=None):
+        """(params, states_nhwc) -> (v, logits) for the fused VP search.
+        `compute_dtype` overrides the forward's compute dtype (see
+        `VVModel.apply_fn`)."""
         net = self.net
+        if compute_dtype is not None:
+            net = net.clone(compute_dtype=compute_dtype)
 
         def f(params, states):
             return net.apply(params, states)
@@ -571,8 +581,10 @@ class DistModel:
         """boards -> (N, atoms) distribution."""
         return np.asarray(self._infer(self.params, _boards(boards)))
 
-    def apply_fn(self):
+    def apply_fn(self, compute_dtype=None):
         net = self.net
+        if compute_dtype is not None:
+            net = net.clone(compute_dtype=compute_dtype)
 
         def f(params, states):
             return net.apply(params, states)

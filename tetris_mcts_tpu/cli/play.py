@@ -60,8 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 seven-bag, 1 uniform")
     p.add_argument("--gamma", type=float, default=0.999)
     p.add_argument("--policy", default="clt",
-                   choices=("clt", "gauss", "max", "mc", "random", "greedy"),
-                   help="leaf-selection rule (reference agents/policy.py)")
+                   choices=("clt", "bayes", "gauss", "max", "mc", "random",
+                            "greedy"),
+                   help="leaf-selection rule (reference agents/policy.py; "
+                        "bayes = Bayes-UCB t-quantile, core.py:290-351)")
     p.add_argument("--min_visits", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_model", action="store_true",
@@ -169,6 +171,9 @@ def main(argv=None):
         train_iters_per_val=args.train_iters_per_val,
         train_max_iters=args.train_max_iters,
         insert_kernel=args.insert_kernel, bf16=args.bf16,
+        # persist after every training session (crash/timeout resilience);
+        # --trace is a profiling probe and must never clobber checkpoints
+        checkpoint_each_train=trains and not benchmark and not args.trace,
         benchmark=benchmark, seed=args.seed,
         actions_per_drop=args.app, scoring=args.scoring,
         randomizer=args.randomizer,
@@ -225,9 +230,16 @@ def main(argv=None):
     except KeyboardInterrupt:
         print("interrupted", file=sys.stderr)
     finally:
-        # a --trace session is a profiling probe: never clobber checkpoints
+        # a --trace session is a profiling probe: never clobber checkpoints.
+        # The save itself may fail when the device died mid-run (params are
+        # unreachable) — the per-session checkpoints already on disk are the
+        # recovery point, and saver/metrics must still be flushed.
         if trains and not benchmark and not args.trace:
-            model.save(verbose=True)
+            try:
+                model.save(verbose=True)
+            except Exception as e:  # noqa: BLE001 — device may be gone
+                print(f"final checkpoint failed ({e!r}); "
+                      "last per-session checkpoint stands", file=sys.stderr)
         if saver is not None:
             saver.close()
         if metrics is not None:

@@ -69,6 +69,9 @@ class SelfPlayConfig(NamedTuple):
     insert_kernel: bool = False    # TreeConfig.insert_kernel passthrough
     bf16: bool = False             # bfloat16 in-search NN forward (training
                                    # stays f32; see VVModel.apply_fn)
+    checkpoint_each_train: bool = False  # persist the model after every
+                                   # training session so a mid-run crash
+                                   # (tunnel drop) loses at most one session
     dump_dir: str = ""             # write data/dump.npz per session
                                    # (reference ValueSim.py:176-177)
     seed: int = 0
@@ -219,6 +222,8 @@ class _OnlineDriverBase:
         self.train_history.append(hist)
         self.log(f"Training session {self.n_trains} done in "
                  f"{time.time() - t0:.1f}s")
+        if self.cfg.checkpoint_each_train:
+            self.model.save()
         if self.metrics is not None:
             last = hist[-1] if hist else (0, float("nan"), float("nan"), 0.0)
             self.metrics.write(

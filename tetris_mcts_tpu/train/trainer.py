@@ -37,6 +37,15 @@ from tetris_mcts_tpu.train import optim
 DEFAULT_CKPT = "./checkpoints/model_vv.msgpack"
 
 
+def _atomic_pickle(path: str, blob):
+    """Write-then-rename so a kill mid-write (timeout SIGKILL, tunnel drop)
+    never leaves a truncated checkpoint behind."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, path)
+
+
 def _col(x):
     """Accept (N,), (N,1) or (N,1,...) columns, return (N,) float32."""
     x = jnp.asarray(x, jnp.float32)
@@ -314,8 +323,7 @@ class VVModel:
             "ubound": np.asarray(self.ubound),
             "lbound": np.asarray(self.lbound),
         }
-        with open(path, "wb") as f:
-            pickle.dump(blob, f)
+        _atomic_pickle(path, blob)
         if verbose:
             print("Saving model...", flush=True)
 
@@ -504,8 +512,7 @@ class VPModel:
             "params": flax.serialization.to_bytes(self.params),
             "opt_state": flax.serialization.to_bytes(self.opt_state),
         }
-        with open(path, "wb") as f:
-            pickle.dump(blob, f)
+        _atomic_pickle(path, blob)
         if verbose:
             print("Saving model...", flush=True)
 
@@ -613,8 +620,7 @@ class DistModel:
             "params": flax.serialization.to_bytes(self.params),
             "opt_state": flax.serialization.to_bytes(self.opt_state),
         }
-        with open(path, "wb") as f:
-            pickle.dump(blob, f)
+        _atomic_pickle(path, blob)
         if verbose:
             print("Saving model...", flush=True)
 

@@ -11,7 +11,7 @@ from tetris_mcts_tpu.env import engine
 from tetris_mcts_tpu.env.engine import EnvConfig
 from tetris_mcts_tpu.search import mcts as M
 from tetris_mcts_tpu.search import tree as T
-from tetris_mcts_tpu.search.quantiles import norm_quantile
+from tetris_mcts_tpu.search.quantiles import norm_quantile, std_quantile2
 from tetris_mcts_tpu.search.tree import TreeConfig
 
 CFG = TreeConfig(max_nodes=256, max_obs=256, table_size=512, max_depth=32)
@@ -597,7 +597,8 @@ class TestBackupVariants:
 
 class TestSelectionPolicies:
     def test_all_policies_select_valid_children(self):
-        for policy in ("clt", "gauss", "max", "mc", "random", "greedy"):
+        for policy in ("clt", "bayes", "gauss", "max", "mc", "random",
+                       "greedy"):
             cfg = CFG._replace(policy=policy, low=0)
             tree, s = small_tree()
             tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), cfg)
@@ -707,7 +708,7 @@ class TestPallasSelectWalk:
         return jax.jit(run)(None, None, trees, jax.random.PRNGKey(seed))
 
     def _np_select(self, cbase, score, obs_row, visits, values, vars_np,
-                   root, gumbels, low, D):
+                   root, gumbels, low, D, policy="clt"):
         """Oracle transcription of select_trace_obs with pre-drawn gumbels."""
         trace, idx, sc_idx = [], int(root), float(score[int(root)])
         for depth in range(D):
@@ -734,11 +735,16 @@ class TestPallasSelectWalk:
                 n = sum(vis.values())
                 q_best, nxt = -np.inf, None
                 for k, o in kept:
-                    q = (
-                        values[o] + score[k] - sc_idx
-                        + float(norm_quantile(n))
-                        * np.sqrt(max(vars_np[o], 0.0) / max(visits[o], 1.0))
-                    )
+                    nv = max(visits[o], 1.0)
+                    if policy == "bayes":
+                        bound = float(std_quantile2(nv - 1.0, n)) * np.sqrt(
+                            max(vars_np[o], 0.0) / max(nv - 1.0, 1.0)
+                        )
+                    else:
+                        bound = float(norm_quantile(n)) * np.sqrt(
+                            max(vars_np[o], 0.0) / nv
+                        )
+                    q = values[o] + score[k] - sc_idx + bound
                     if q > q_best:
                         q_best, nxt = q, k
             sc_idx = float(score[nxt])
@@ -772,6 +778,43 @@ class TestPallasSelectWalk:
                 np.asarray(obs[b]), np.asarray(trees.visits[b]),
                 np.asarray(trees.values[b]), np.asarray(trees.vars_[b]),
                 int(trees.root[b]), np.asarray(gumbels[b]), CFG.low, D,
+            )
+            L = int(lengths[b])
+            assert L == len(want), (b, L, want)
+            np.testing.assert_array_equal(
+                np.asarray(traces[b])[:L], np.asarray(want, np.int32)
+            )
+            assert int(leafs[b]) == want[-1]
+
+    def test_kernel_matches_numpy_oracle_bayes(self):
+        """Same parity check under the Bayes-UCB policy — pins the
+        t-quantile bound (`select_index_bayes`, core.py:290-351) in both
+        the kernel and the oracle transcription."""
+        from tetris_mcts_tpu.ops import tree_walk
+
+        trees = self._grown_trees()
+        B = int(trees.root.shape[0])
+        D = CFG.max_depth
+        gumbels = jax.random.gumbel(jax.random.PRNGKey(17), (B, D, 7))
+        rnd = jnp.zeros((B, D, 7), jnp.float32)
+
+        score = trees.nstat[:, 0, :]
+        obs = trees.nstat[:, 1, :].astype(jnp.int32)
+        rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
+        env0 = engine.pack_state(trees.root_state)
+        traces, lengths, leafs, _, _, _, _ = tree_walk.select_walk(
+            trees.cbase, score, obs, trees.visits, trees.values,
+            trees.vars_, trees.root, rootsc, env0, gumbels, rnd,
+            policy="bayes", low=CFG.low, interpret=True, block=B,
+        )
+
+        for b in range(B):
+            want = self._np_select(
+                np.asarray(trees.cbase[b]), np.asarray(score[b]),
+                np.asarray(obs[b]), np.asarray(trees.visits[b]),
+                np.asarray(trees.values[b]), np.asarray(trees.vars_[b]),
+                int(trees.root[b]), np.asarray(gumbels[b]), CFG.low, D,
+                policy="bayes",
             )
             L = int(lengths[b])
             assert L == len(want), (b, L, want)

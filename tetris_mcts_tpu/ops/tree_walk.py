@@ -224,6 +224,18 @@ def _norm_quantile(t):
     return 10.0 * jnp.log(1.0 - jnp.log(-jnp.log(alpha) / log2) / log22) / log41
 
 
+def _std_quantile2(nu, t):
+    """std_quantile2 (search/quantiles.py, Koehler-83 t-quantile) inlined —
+    pure jnp vector math, kernel-safe."""
+    nu = jnp.maximum(nu, 1.0)
+    t = jnp.maximum(t, 2.0)
+    alpha = 2.0 / t
+    f_nu = 1.0 / (nu + 1.0)
+    g_alpha = 1.0 / jnp.sqrt(-jnp.log(alpha * (2.0 - alpha)))
+    h_nu_alpha = jnp.power(2.0 * alpha * jnp.sqrt(nu), 1.0 / nu)
+    return 1.0 / (-0.0953 - 0.631 * f_nu + 0.81 * g_alpha + 0.076 * h_nu_alpha)
+
+
 def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
                    cbase_ref, score_ref, obs_ref,
                    visit_ref, value_ref, var_ref,
@@ -351,6 +363,11 @@ def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
             rnd = jnp.sum(jnp.where(d7iota == depth, rnd_ref[:], 0.0), 1)
             if policy == "clt":
                 explore = _norm_quantile(n_total) * jnp.sqrt(var / nv)
+            elif policy == "bayes":
+                # Bayes-UCB t-quantile bound (tree.select has the derivation)
+                explore = _std_quantile2(nv - 1.0, n_total) * jnp.sqrt(
+                    var / jnp.maximum(nv - 1.0, 1.0)
+                )
             elif policy == "gauss":
                 explore = _norm_quantile(n_total) * jnp.sqrt(var)
             elif policy == "max":

@@ -70,7 +70,7 @@ import jax.numpy as jnp
 
 from tetris_mcts_tpu.env import engine
 from tetris_mcts_tpu.env.engine import EnvConfig, EnvState
-from tetris_mcts_tpu.search.quantiles import norm_quantile
+from tetris_mcts_tpu.search.quantiles import norm_quantile, std_quantile2
 
 N_ACTIONS = 7
 _A7 = jnp.arange(N_ACTIONS, dtype=jnp.int32)
@@ -86,8 +86,9 @@ class TreeConfig(NamedTuple):
     low: int = 1           # unvisited-first threshold (`check_low` n)
     gamma: float = 0.999   # backup discount (`agent.cpp:841` default)
     projection: bool = True
-    policy: str = "clt"    # selection rule (agents/policy.py): clt | gauss |
-                           # max | mc | random | greedy
+    policy: str = "clt"    # selection rule (agents/policy.py + Bayes-UCB,
+                           # core.py:290-351): clt | bayes | gauss | max |
+                           # mc | random | greedy
     select_kernel: bool = True  # use the fused Pallas selection kernel:
                            # the walk AND the inline env stepping run in ONE
                            # kernel (ops/tree_walk.py + ops/env_packed.py),
@@ -678,6 +679,14 @@ def select(tree: Tree, key, cfg: TreeConfig):
         # exploration term per the configured rule (agents/policy.py:8-55)
         if cfg.policy == "clt":
             explore = norm_quantile(n_total) * jnp.sqrt(var / nv)
+        elif cfg.policy == "bayes":
+            # Bayes-UCB (Kaufmann'12): Student-t quantile bound on the
+            # posterior mean (`select_index_bayes`, core.py:290-351) —
+            # the reference uses the unbiased variance M2/(n-1); vars_
+            # holds M2/n, so sqrt(var·n/(n-1) / n) = sqrt(var/(n-1))
+            explore = std_quantile2(nv - 1.0, n_total) * jnp.sqrt(
+                var / jnp.maximum(nv - 1.0, 1.0)
+            )
         elif cfg.policy == "gauss":
             explore = norm_quantile(n_total) * jnp.sqrt(var)
         elif cfg.policy == "max":
@@ -794,6 +803,11 @@ def select_batched(trees: Tree, keys, cfg: TreeConfig):
         nv = jnp.maximum(visits, 1.0)
         if cfg.policy == "clt":
             explore = norm_quantile(n_total) * jnp.sqrt(var / nv)
+        elif cfg.policy == "bayes":
+            # Bayes-UCB t-quantile bound (see `select` for the derivation)
+            explore = std_quantile2(nv - 1.0, n_total) * jnp.sqrt(
+                var / jnp.maximum(nv - 1.0, 1.0)
+            )
         elif cfg.policy == "gauss":
             explore = norm_quantile(n_total) * jnp.sqrt(var)
         elif cfg.policy == "max":

@@ -25,13 +25,24 @@ cd "$(dirname "$0")/.."
 OUT=${1:-runs/campaign1}
 RUN_H=${RUN_H:-4}
 MAX_WAIT_H=${MAX_WAIT_H:-24}
+# Absolute drop-dead time (epoch seconds). The chip is single-tenant, so the
+# campaign must be COMPLETELY off it before anything else (e.g. the round
+# driver's bench.py) needs it; every phase checks this and the long run's
+# budget is clamped to it. 0 = no deadline.
+END_BY=${END_BY:-0}
 mkdir -p "$OUT"
 exec >>"$OUT/campaign.log" 2>&1
 
-echo "=== campaign start $(date -u +%FT%TZ) out=$OUT run_h=$RUN_H"
+echo "=== campaign start $(date -u +%FT%TZ) out=$OUT run_h=$RUN_H end_by=$END_BY"
+
+left_s() {
+    # seconds until END_BY (a large number when no deadline is set)
+    if [ "$END_BY" = "0" ]; then echo 9999999; else
+        echo $((END_BY - $(date +%s))); fi
+}
 
 wait_for_chip() {
-    # poll until jax sees the TPU; returns 1 if MAX_WAIT_H elapses
+    # poll until jax sees the TPU; returns 1 if MAX_WAIT_H or END_BY elapses
     local deadline=$((SECONDS + MAX_WAIT_H * 3600))
     until timeout 90 python - <<'EOF'
 import jax
@@ -40,6 +51,10 @@ EOF
     do
         if [ $SECONDS -ge $deadline ]; then
             echo "=== giving up: tunnel still down after ${MAX_WAIT_H}h"
+            return 1
+        fi
+        if [ "$(left_s)" -lt 1200 ]; then
+            echo "=== giving up: END_BY deadline reached while tunnel down"
             return 1
         fi
         echo "tunnel down at $(date -u +%T); retrying in 300s"
@@ -74,7 +89,12 @@ timeout 2400 env TMT_NN_F32=1 python bench.py > "$OUT/bench_f32.json" \
 #        500 sims/move, guideline scoring, min_visit 25). Resumes from the
 #        per-session checkpoint after a tunnel drop until RUN_H is spent. ---
 mkdir -p "$OUT/long"
-long_end=$((SECONDS + RUN_H * 3600))
+budget=$((RUN_H * 3600))
+# clamp to the END_BY deadline, leaving 50 min for phase 4 + final save
+room=$(($(left_s) - 3000))
+[ "$room" -lt "$budget" ] && budget=$room && \
+    echo "long-run budget clamped to $((budget / 60)) min by END_BY"
+long_end=$((SECONDS + budget))
 attempt=0
 resume_flag=""
 while [ $((long_end - SECONDS)) -gt 300 ]; do
@@ -100,8 +120,14 @@ done
 echo "=== long run finished at $(date -u +%FT%TZ) after $attempt attempt(s)"
 
 # --- 4: benchmark-game channel (reference cycle.sh: 1000-sims eval) -------
+if [ "$(left_s)" -lt 1500 ]; then
+    echo "=== skipping benchmark games: END_BY deadline too close"
+    echo "=== campaign done (clamped) $(date -u +%FT%TZ)"
+    exit 0
+fi
 wait_for_chip || exit 1
-timeout 3600 python -m tetris_mcts_tpu play --bf16 \
+timeout $(($(left_s) < 3600 ? $(left_s) - 300 : 3600)) \
+python -m tetris_mcts_tpu play --bf16 \
     --agent_type ValueSimLP --benchmark --mcts_sims 1000 --batch 32 \
     --ngames 32 --max_nodes 16384 --max_obs 16384 \
     --load_model --checkpoint "$OUT/long/model.msgpack" \

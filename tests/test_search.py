@@ -11,7 +11,7 @@ from tetris_mcts_tpu.env import engine
 from tetris_mcts_tpu.env.engine import EnvConfig
 from tetris_mcts_tpu.search import mcts as M
 from tetris_mcts_tpu.search import tree as T
-from tetris_mcts_tpu.search.quantiles import norm_quantile, std_quantile2
+from tetris_mcts_tpu.search.quantiles import bayes_quantile, norm_quantile
 from tetris_mcts_tpu.search.tree import TreeConfig
 
 CFG = TreeConfig(max_nodes=256, max_obs=256, table_size=512, max_depth=32)
@@ -298,6 +298,44 @@ class TestSelect:
         want_next = ks[np.argmax(q)]
 
         trace, acts, length, _ = T.select(tree, jax.random.PRNGKey(0), CFG)
+        assert int(trace[1]) == int(want_next)
+
+    def test_select_bayes_argmax_when_all_visited(self):
+        """Golden check of the XLA bayes branch (`select_index_bayes`,
+        core.py:290-351): value + bayes_quantile(n-1, N)·sqrt(var/(n-1))."""
+        cfg = CFG._replace(policy="bayes", low=0)
+        tree, s = small_tree()
+        tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), cfg)
+        kids, obs, kept = T.unique_children(tree, tree.root)
+        kids_np, obs_np, kept_np = map(np.asarray, (kids, obs, kept))
+
+        rnd = np.random.RandomState(3)
+        visit = np.asarray(tree.obs_visit).copy()
+        value = np.asarray(tree.obs_value).copy()
+        var = np.asarray(tree.obs_var).copy()
+        for o in obs_np[kept_np]:
+            visit[o] = rnd.randint(2, 12)
+            value[o] = rnd.rand() * 50
+            var[o] = rnd.rand() * 5
+        tree = tree.with_fields(
+            obs_visit=jnp.asarray(visit),
+            obs_value=jnp.asarray(value),
+            obs_var=jnp.asarray(var),
+        )
+
+        score = np.asarray(tree.score)
+        ks = kids_np[kept_np]
+        os_ = obs_np[kept_np]
+        n = visit[os_].sum()
+        q = np.array([
+            value[o] + score[k] - score[1]
+            + float(bayes_quantile(visit[o] - 1.0, n))
+            * np.sqrt(var[o] / max(visit[o] - 1.0, 1.0))
+            for k, o in zip(ks, os_)
+        ])
+        want_next = ks[np.argmax(q)]
+
+        trace, acts, length, _ = T.select(tree, jax.random.PRNGKey(0), cfg)
         assert int(trace[1]) == int(want_next)
 
 
@@ -595,6 +633,27 @@ class TestBackupVariants:
         )
 
 
+class TestBayesQuantileRegime:
+    """The Koehler t-quantile approximation has a pole at small nu / large t
+    (a regime the reference's min_n guard never evaluates); `bayes_quantile`
+    must stay finite and non-negative there while matching the raw
+    approximation in the valid regime."""
+
+    def test_pole_regime_clipped(self):
+        import math
+        for nu, t in [(1.0, 150.0), (1.0, 200.0), (1.0, 500.0),
+                      (1.0, 2000.0), (2.0, 1e6)]:
+            q = float(bayes_quantile(nu, t))
+            assert math.isfinite(q) and 0.0 <= q <= 1e3, (nu, t, q)
+
+    def test_valid_regime_unclipped(self):
+        from tetris_mcts_tpu.search.quantiles import std_quantile2
+        for nu, t in [(9.0, 100.0), (9.0, 500.0), (24.0, 1e4), (4.0, 50.0)]:
+            raw = float(std_quantile2(nu, t))
+            assert 0.0 < raw < 1e3, (nu, t, raw)
+            assert float(bayes_quantile(nu, t)) == raw
+
+
 class TestSelectionPolicies:
     def test_all_policies_select_valid_children(self):
         for policy in ("clt", "bayes", "gauss", "max", "mc", "random",
@@ -737,7 +796,7 @@ class TestPallasSelectWalk:
                 for k, o in kept:
                     nv = max(visits[o], 1.0)
                     if policy == "bayes":
-                        bound = float(std_quantile2(nv - 1.0, n)) * np.sqrt(
+                        bound = float(bayes_quantile(nv - 1.0, n)) * np.sqrt(
                             max(vars_np[o], 0.0) / max(nv - 1.0, 1.0)
                         )
                     else:
@@ -988,8 +1047,16 @@ class TestBatchedSelectWalk:
     vs vmapping `select` — same RNG stream, traces, lengths, leaf states."""
 
     def test_matches_vmapped_select(self):
+        self._check_policy(CFG)
+
+    def test_matches_vmapped_select_bayes(self):
+        # the bayes branch shares everything but the bound — still must be
+        # stream- and trace-exact between the two batching strategies
+        self._check_policy(CFG._replace(policy="bayes"))
+
+    def _check_policy(self, cfg):
         B = 5
-        scfg = M.SearchConfig(tree=CFG, sims=11, evaluator="lp")
+        scfg = M.SearchConfig(tree=cfg, sims=11, evaluator="lp")
         run = M.make_run_sims(
             M.nn_child_evaluator(
                 lambda p, u, x: (jnp.linspace(0.0, 6.0, x.shape[0]),
@@ -1001,9 +1068,9 @@ class TestBatchedSelectWalk:
         trees = jax.jit(run)(None, None, trees, jax.random.PRNGKey(4))
 
         keys = jax.random.split(jax.random.PRNGKey(9), B)
-        t_b, a_b, l_b, leafs_b, nokids_b, st_b = T.select_batched(trees, keys, CFG)
+        t_b, a_b, l_b, leafs_b, nokids_b, st_b = T.select_batched(trees, keys, cfg)
         t_v, a_v, l_v, st_v = jax.vmap(T.select, in_axes=(0, 0, None))(
-            trees, keys, CFG
+            trees, keys, cfg
         )
         np.testing.assert_array_equal(np.asarray(l_b), np.asarray(l_v))
         np.testing.assert_array_equal(np.asarray(t_b), np.asarray(t_v))

@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                             "greedy"),
                    help="leaf-selection rule (reference agents/policy.py; "
                         "bayes = Bayes-UCB t-quantile, core.py:290-351)")
+    p.add_argument("--low", type=int, default=None,
+                   help="visit threshold below which children are chosen "
+                        "uniformly before any policy runs (reference "
+                        "check_low/min_n). Default: 10 for --policy bayes "
+                        "(select_index_bayes min_n, core.py:290), 5 for "
+                        "Vanilla/VanillaC (Vanilla.py low=5), else 1 "
+                        "(unvisited-first)")
     p.add_argument("--min_visits", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_model", action="store_true",
@@ -156,6 +163,15 @@ def main(argv=None):
         return driver
 
     sims = 1 if args.agent_type == "Random" else args.mcts_sims
+    # reference-matching low/min_n defaults, overridable with --low
+    if args.low is not None:
+        low = args.low
+    elif args.policy == "bayes":
+        low = 10   # select_index_bayes min_n (core.py:290)
+    elif args.agent_type in ("Vanilla", "VanillaC"):
+        low = 5    # Vanilla.py low=5 (SURVEY §2.3)
+    else:
+        low = 1
     # online training runs iff the agent trains, --online is set, and we are
     # not in benchmark mode (reference gating, play.py:49 + ValueSim.py:109)
     benchmark = args.benchmark or not (trains and args.online)
@@ -164,7 +180,7 @@ def main(argv=None):
         batch=args.batch, sims=sims, evaluator=evaluator,
         max_nodes=args.max_nodes, max_obs=args.max_obs,
         table_size=max(2 * args.max_obs, 16), max_depth=96,
-        gamma=args.gamma, policy=args.policy,
+        gamma=args.gamma, policy=args.policy, low=low,
         min_visits_store=args.min_visits,
         memory_size=args.memory_size, memory_growth=args.memory_growth,
         train_rows_trigger=args.train_rows, train_batch=args.train_batch,

@@ -37,6 +37,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tetris_mcts_tpu.ops import env_packed
+# the quantile approximations are pure jnp vector math, kernel-safe as-is —
+# one source of truth in search/quantiles.py
+from tetris_mcts_tpu.search.quantiles import (
+    norm_quantile as _norm_quantile,
+    std_quantile2 as _std_quantile2,
+)
 
 # Max rows (trees) per grid step: bounds VMEM use at
 # BG * (3 stats * M + score/obs * N + trace D) * 4 bytes.
@@ -212,30 +218,6 @@ def backup_batched_pallas(trees, traces, lengths, v0, var0, cfg):
 # selection kernel
 # ---------------------------------------------------------------------------
 
-def _norm_quantile(t):
-    """norm_quantile (search/quantiles.py) inlined — pure jnp, kernel-safe."""
-    import math
-
-    log2 = math.log(2.0)
-    log22 = math.log(22.0)
-    log41 = math.log(41.0)
-    t = jnp.maximum(t, 2.0)
-    alpha = 1.0 - 1.0 / t
-    return 10.0 * jnp.log(1.0 - jnp.log(-jnp.log(alpha) / log2) / log22) / log41
-
-
-def _std_quantile2(nu, t):
-    """std_quantile2 (search/quantiles.py, Koehler-83 t-quantile) inlined —
-    pure jnp vector math, kernel-safe."""
-    nu = jnp.maximum(nu, 1.0)
-    t = jnp.maximum(t, 2.0)
-    alpha = 2.0 / t
-    f_nu = 1.0 / (nu + 1.0)
-    g_alpha = 1.0 / jnp.sqrt(-jnp.log(alpha * (2.0 - alpha)))
-    h_nu_alpha = jnp.power(2.0 * alpha * jnp.sqrt(nu), 1.0 / nu)
-    return 1.0 / (-0.0953 - 0.631 * f_nu + 0.81 * g_alpha + 0.076 * h_nu_alpha)
-
-
 def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
                    cbase_ref, score_ref, obs_ref,
                    visit_ref, value_ref, var_ref,
@@ -364,10 +346,12 @@ def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
             if policy == "clt":
                 explore = _norm_quantile(n_total) * jnp.sqrt(var / nv)
             elif policy == "bayes":
-                # Bayes-UCB t-quantile bound (tree.select has the derivation)
-                explore = _std_quantile2(nv - 1.0, n_total) * jnp.sqrt(
-                    var / jnp.maximum(nv - 1.0, 1.0)
-                )
+                # Bayes-UCB t-quantile bound (tree.select has the
+                # derivation); the clip mirrors quantiles.bayes_quantile
+                # (small-nu pole of the Koehler approximation)
+                explore = jnp.clip(
+                    _std_quantile2(nv - 1.0, n_total), 0.0, 1e3
+                ) * jnp.sqrt(var / jnp.maximum(nv - 1.0, 1.0))
             elif policy == "gauss":
                 explore = _norm_quantile(n_total) * jnp.sqrt(var)
             elif policy == "max":

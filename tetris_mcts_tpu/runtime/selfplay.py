@@ -57,7 +57,9 @@ class SelfPlayConfig(NamedTuple):
     table_size: int = 8192
     max_depth: int = 96
     gamma: float = 0.999
-    policy: str = "clt"            # selection rule (agents/policy.py)
+    policy: str = "clt"
+    low: int = 1                   # unvisited-first threshold (TreeConfig.low;
+                                   # reference check_low / min_n / Vanilla low)            # selection rule (agents/policy.py)
     min_visits_store: int = 25     # min_visits_to_store (agent.cpp:839)
     memory_size: int = 100_000     # replay capacity (reference 500000)
     memory_growth: int = 5_000     # per-session growth gate (ValueSim.py:14)
@@ -264,7 +266,7 @@ class SelfPlayDriver(_OnlineDriverBase):
         tree_cfg = TreeConfig(
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
             table_size=cfg.table_size, max_depth=cfg.max_depth,
-            gamma=cfg.gamma, policy=cfg.policy,
+            gamma=cfg.gamma, policy=cfg.policy, low=cfg.low,
             insert_kernel=cfg.insert_kernel,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
@@ -407,7 +409,7 @@ class VPSelfPlayDriver(_OnlineDriverBase):
         tree_cfg = TreeConfig(
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
             table_size=cfg.table_size, max_depth=cfg.max_depth,
-            gamma=cfg.gamma, policy=cfg.policy,
+            gamma=cfg.gamma, policy=cfg.policy, low=cfg.low,
             insert_kernel=cfg.insert_kernel,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
@@ -498,7 +500,7 @@ class DistSelfPlayDriver(_OnlineDriverBase):
         tree_cfg = TreeConfig(
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
             table_size=cfg.table_size, max_depth=cfg.max_depth,
-            gamma=cfg.gamma, policy=cfg.policy,
+            gamma=cfg.gamma, policy=cfg.policy, low=cfg.low,
             insert_kernel=cfg.insert_kernel,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,

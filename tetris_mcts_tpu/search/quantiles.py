@@ -47,6 +47,21 @@ def std_quantile2(nu, t):
     return 1.0 / t_inv
 
 
+def bayes_quantile(nu, t):
+    """`std_quantile2` restricted to its valid regime, for Bayes-UCB bounds.
+
+    Koehler's approximation has a pole (its inverse crossing zero) at small
+    nu and large t — e.g. std_quantile2(1, 200) ~ -7.5e4, and NEGATIVE for
+    larger t — a regime the reference never evaluates because
+    `select_index_bayes` routes children with visits < min_n (default 10)
+    to the random-low path before the formula runs (core.py:290-351). The
+    clip keeps the bound exploratory (>= 0) and finite even if a caller
+    lowers the low threshold into that regime; near the pole the huge
+    positive bound makes the child get visited, which moves nu out of the
+    bad regime (self-correcting rather than anti-selecting)."""
+    return jnp.clip(std_quantile2(nu, t), 0.0, 1e3)
+
+
 def std_quantile(nu, t):
     """Student-t quantile via the gamma-function approximation
     (`special.py:10-27`)."""

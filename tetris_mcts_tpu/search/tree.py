@@ -70,7 +70,7 @@ import jax.numpy as jnp
 
 from tetris_mcts_tpu.env import engine
 from tetris_mcts_tpu.env.engine import EnvConfig, EnvState
-from tetris_mcts_tpu.search.quantiles import norm_quantile, std_quantile2
+from tetris_mcts_tpu.search.quantiles import bayes_quantile, norm_quantile
 
 N_ACTIONS = 7
 _A7 = jnp.arange(N_ACTIONS, dtype=jnp.int32)
@@ -683,8 +683,11 @@ def select(tree: Tree, key, cfg: TreeConfig):
             # Bayes-UCB (Kaufmann'12): Student-t quantile bound on the
             # posterior mean (`select_index_bayes`, core.py:290-351) —
             # the reference uses the unbiased variance M2/(n-1); vars_
-            # holds M2/n, so sqrt(var·n/(n-1) / n) = sqrt(var/(n-1))
-            explore = std_quantile2(nv - 1.0, n_total) * jnp.sqrt(
+            # holds M2/n, so sqrt(var·n/(n-1) / n) = sqrt(var/(n-1)).
+            # Pair with low >= the reference's min_n (the CLI defaults
+            # --low to 10 for this policy); bayes_quantile additionally
+            # clips the approximation's small-nu pole.
+            explore = bayes_quantile(nv - 1.0, n_total) * jnp.sqrt(
                 var / jnp.maximum(nv - 1.0, 1.0)
             )
         elif cfg.policy == "gauss":
@@ -805,7 +808,7 @@ def select_batched(trees: Tree, keys, cfg: TreeConfig):
             explore = norm_quantile(n_total) * jnp.sqrt(var / nv)
         elif cfg.policy == "bayes":
             # Bayes-UCB t-quantile bound (see `select` for the derivation)
-            explore = std_quantile2(nv - 1.0, n_total) * jnp.sqrt(
+            explore = bayes_quantile(nv - 1.0, n_total) * jnp.sqrt(
                 var / jnp.maximum(nv - 1.0, 1.0)
             )
         elif cfg.policy == "gauss":

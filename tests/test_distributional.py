@@ -137,7 +137,7 @@ def test_dist_driver_trains():
     )
     d.run(25)
     assert d.moves == 25
-    assert d._total_rows > 0
+    assert d.total_rows > 0
     assert d.n_trains >= 1
     # stored target distributions are normalized
     cnt = int(d.replay.count)

@@ -46,7 +46,7 @@ def test_moves_advance(driver):
 def test_replay_fills_and_training_fires(driver):
     # min_visits_store=1 + tiny trigger: after 30 moves with sims=4 some
     # trees must have been harvested (full or episode end) and a session run
-    assert driver._total_rows > 0
+    assert driver.total_rows > 0
     assert driver.n_trains >= 1
     assert len(driver.train_history) == driver.n_trains
     # training history rows: (iter, train_loss, val_loss, val_std)

@@ -92,5 +92,5 @@ def test_vp_driver_trains():
     )
     d.run(25)
     assert d.moves == 25
-    assert d._total_rows > 0
+    assert d.total_rows > 0
     assert d.n_trains >= 1

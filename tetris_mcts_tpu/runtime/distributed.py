@@ -10,8 +10,11 @@ processes that share files). Here scale-out is SPMD:
   data axis spanning hosts: gradient all-reduce rides ICI within a slice and
   DCN across slices, compiled by XLA from the shardings declared in
   `parallel/mesh.py` — there is no hand-written communication anywhere;
-- `host_fold(key)` folds the process index into an RNG key so every host
-  plays distinct games (per-host unique RNG folds, SURVEY.md §2.7);
+- per-host game diversity comes from seeding each host's shard of the
+  env/tree init with a process-offset seed (SURVEY.md §2.7 'per-host unique
+  RNG folds'); everything fed to the global-mesh program itself (driver key,
+  params) stays bit-identical across processes — a multi-controller
+  requirement for replicated inputs;
 - `DistributedSelfPlay` runs the actor-learner loop: each host steps its
   local shard of the global env/tree batch; training samples ride the same
   mesh so the learner's gradient psum is the only cross-host traffic.
@@ -68,8 +71,11 @@ def global_mesh(model_parallel: int = 1):
 
 
 def host_fold(key, axis: str = "host"):
-    """Per-host RNG: fold the process index into the key so hosts' games
-    differ (SURVEY.md §2.7 'per-host unique RNG folds')."""
+    """Fold the process index into an RNG key, for HOST-LOCAL streams
+    (e.g. seeding this host's shard of the global env batch). Never feed a
+    host-folded key into a jitted program over the global mesh: replicated
+    inputs must be bit-identical on every process in multi-controller JAX —
+    host-divergent values are undefined behavior."""
     return jax.random.fold_in(key, jax.process_index())
 
 
@@ -102,13 +108,23 @@ class DistributedSelfPlay:
         # mesh into unrelated later traces
         if tree_walk.on_tpu():
             tree_walk.set_kernel_mesh(self.mesh)
-        cfg = cfg._replace(seed=cfg.seed + 7919 * self.process_index)
         self.driver = SelfPlayDriver(cfg, model=model, **driver_kw)
+        # Per-host game diversity comes from the env/tree INIT: each host
+        # seeds its own shard of the global batch. The driver's RNG key and
+        # params stay at the shared base seed — they are REPLICATED inputs
+        # to the global-mesh program, and multi-controller jit requires
+        # replicated inputs to be bit-identical on every process
+        # (host-divergent values are undefined behavior; per-lane draw
+        # streams inside the program already differ per game).
+        from tetris_mcts_tpu.search import mcts
+        local_seed = cfg.seed + 7919 * self.process_index
+        self.driver.trees, self.driver.envs = mcts.init_batch(
+            local_seed, cfg.batch, self.driver.search_cfg
+        )
         # shard the device state over the mesh's data axis
         self.driver.trees = M.shard_batch(self.mesh, self.driver.trees)
         self.driver.envs = M.shard_batch(self.mesh, self.driver.envs)
         self.driver.replay = M.replicate(self.mesh, self.driver.replay)
-        self.driver.key = host_fold(self.driver.key)
 
     def close(self):
         """Unregister the kernel mesh so later programs in this process

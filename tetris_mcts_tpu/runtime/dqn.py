@@ -243,10 +243,11 @@ class DQNDriver:
             for i in np.nonzero(done)[0]:
                 self.episodes += 1
                 self._ep_lines_hist.append(int(lines[i]))
+                # reference field order (play.py:164): Score before Lines
                 self.log(
                     f"Episode:{self.episodes:6d}  "
-                    f"Lines Cleared:{int(lines[i]):5d}  "
-                    f"Score:{int(scores[i]):10d}  eps:{self.eps:5.3f}"
+                    f"Score:{int(scores[i]):10d}  "
+                    f"Lines Cleared:{int(lines[i]):5d}  eps:{self.eps:5.3f}"
                 )
                 if self.metrics is not None:
                     self.metrics.write(

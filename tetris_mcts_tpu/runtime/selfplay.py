@@ -40,8 +40,7 @@ from tetris_mcts_tpu.search.mcts import SearchConfig
 from tetris_mcts_tpu.search.tree import TreeConfig
 from tetris_mcts_tpu.train.trainer import VVModel
 
-_get_state = jax.jit(engine.get_state)
-_get_state_batch = jax.jit(jax.vmap(engine.get_state))
+_get_state_batch = jax.jit(engine.get_state_batch)
 _unpack = jax.jit(engine.unpack_obs)
 
 
@@ -59,7 +58,7 @@ class SelfPlayConfig(NamedTuple):
     gamma: float = 0.999
     policy: str = "clt"
     low: int = 1                   # unvisited-first threshold (TreeConfig.low;
-                                   # reference check_low / min_n / Vanilla low)            # selection rule (agents/policy.py)
+                                   # reference check_low / min_n / Vanilla low)
     min_visits_store: int = 25     # min_visits_to_store (agent.cpp:839)
     memory_size: int = 100_000     # replay capacity (reference 500000)
     memory_growth: int = 5_000     # per-session growth gate (ValueSim.py:14)
@@ -126,9 +125,7 @@ class _OnlineDriverBase:
         self.metrics = metrics
         self.status = status
         self.key = jax.random.PRNGKey(cfg.seed)
-        # episode bookkeeping: scores/lines of in-flight games
-        self._ep_score = np.zeros(cfg.batch, np.int64)
-        self._ep_lines = np.zeros(cfg.batch, np.int64)
+        # episode bookkeeping
         self._ep_id = np.arange(cfg.batch, dtype=np.int64)
         self._next_ep = cfg.batch
         self.episodes = 0
@@ -138,18 +135,60 @@ class _OnlineDriverBase:
         # training bookkeeping
         self.n_trains = 0
         self._rows_at_last_train = 0
-        self._total_rows = 0       # monotone count of rows ever harvested
-        self._last_ring_idx = 0
+        self._prev_total = 0
         self.train_history: list = []
         self.last_stats = None
 
-    def _finish_episodes(self, stats):
-        done = np.asarray(stats.done)
-        score = np.asarray(stats.score)
-        lines = np.asarray(stats.lines)
+    def _after_move(self, stats, envs_prev):
+        """Host bookkeeping for one move. ONE device->host sync fetches
+        everything the loop needs — each separate `np.asarray` through the
+        tunnel costs a ~25 ms round trip (CLAUDE.md)."""
+        self.moves += 1
+        self.last_stats = stats
+        done, score, lines, total = jax.device_get(
+            (stats.done, stats.score, stats.lines, self.replay.total)
+        )
+        self._publish(stats, envs_prev)
+        self._finish_episodes(done, score, lines)
+        if not self.cfg.benchmark:
+            self._maybe_train(int(total))
+        return stats
+
+    def _publish(self, stats, envs):
+        """`--save` / status channels, fed from the PRE-move env state: the
+        reference records the board the policy/action/value were computed
+        from, before `game.play` advances the game (play.py:118-148 order:
+        agent.play -> save/GUI/memmap -> game.play). One batched device_get
+        fetches every published array in a single tunnel round trip."""
+        if self.saver is None and self.status is None:
+            return
+        cs, var = self._saver_extras(stats)
+        boards, combo, score, lines, line_stats, probs, action, rv, cs, var = (
+            jax.device_get((
+                _get_state_batch(envs), envs.combo, envs.score, envs.lines,
+                envs.line_stats, stats.probs, stats.action, stats.root_value,
+                cs, var,
+            ))
+        )
+        if self.saver is not None:
+            self.saver.add_batch(
+                episode=self._ep_id.copy(), board=boards.astype(np.int8),
+                policy=probs, action=action,
+                combo=combo, lines=lines, line_stats=line_stats, score=score,
+                child_stats=cs, value=rv, variance=var,
+            )
+        if self.status is not None:
+            self.status.publish(boards[0], combo, score, lines, line_stats)
+
+    def _saver_extras(self, stats):
+        """Hook: (child_stats[B,3,7], variance[B]) saver columns — the VV
+        driver has them in its MoveStats; VP/Dist save zeros (no variance
+        statistics in those cores)."""
+        B = self.cfg.batch
+        return np.zeros((B, 3, 7), np.float32), np.zeros(B, np.float32)
+
+    def _finish_episodes(self, done, score, lines):
         if not done.any():
-            self._ep_score = score.astype(np.int64)
-            self._ep_lines = lines.astype(np.int64)
             return
         for i in np.nonzero(done)[0]:
             self.episodes += 1
@@ -157,11 +196,12 @@ class _OnlineDriverBase:
             self._next_ep += 1
             self.score_tracker.add(float(score[i]))
             self.line_tracker.add(float(lines[i]))
-            # reference episode line (play.py:155-165 format family) — the
-            # dashboards regex-parse "Episode:" lines (web/parseLog.py:59-68)
+            # reference episode line (play.py:164 field order) — the
+            # dashboards regex-parse "Episode: Score: Lines Cleared:"
+            # (web/parseLog.py:59-61); tracker stats append after
             self.log(
                 f"Episode:{self.episodes:6d}  "
-                f"Lines Cleared:{int(lines[i]):5d}  Score:{int(score[i]):10d}  "
+                f"Score:{int(score[i]):10d}  Lines Cleared:{int(lines[i]):5d}  "
                 f"lines(min/max/mean):{self.line_tracker.min:.0f}/"
                 f"{self.line_tracker.max:.0f}/{self.line_tracker.mean:.2f}  "
                 f"score(mean±std):{self.score_tracker.mean:.1f}"
@@ -172,33 +212,50 @@ class _OnlineDriverBase:
                     "episode", n=self.episodes, lines=int(lines[i]),
                     score=int(score[i]), benchmark=self.cfg.benchmark,
                 )
-        self._ep_score = np.where(done, 0, score).astype(np.int64)
-        self._ep_lines = np.where(done, 0, lines).astype(np.int64)
 
-    def _maybe_train(self):
-        # rows added this move = ring-head advance (per-move additions are
-        # far below capacity, so the mod is unambiguous)
-        idx = int(self.replay.idx)
-        self._total_rows += (idx - self._last_ring_idx) % self.cfg.memory_size
-        self._last_ring_idx = idx
-        if self._total_rows - self._rows_at_last_train < self.cfg.train_rows_trigger:
+    @property
+    def total_rows(self) -> int:
+        """Rows ever harvested into the replay ring (device-side monotone
+        counter; survives full ring wraps)."""
+        return int(self.replay.total)
+
+    def _maybe_train(self, total_rows: int):
+        # `total_rows` is the ring's device-side monotone written counter —
+        # unlike an idx delta it survives harvests larger than the capacity
+        if total_rows - self._prev_total > self.cfg.memory_size:
+            self.log(
+                "warning: one move harvested more rows than memory_size; "
+                "the ring overwrote itself and the excess was lost"
+            )
+        self._prev_total = total_rows
+        if total_rows - self._rows_at_last_train < self.cfg.train_rows_trigger:
             return
-        self._rows_at_last_train = self._total_rows
-        self.train()
+        if self.train():
+            self._rows_at_last_train = total_rows
+        # on a skip (not enough rows yet) the trigger stays armed and
+        # retries next move instead of waiting another full trigger window
 
     def train(self):
         """One training session with reference growth-gating
-        (`ValueSim.train_nodes`, ValueSim.py:161-186)."""
+        (`ValueSim.train_nodes`, ValueSim.py:161-186). Returns False when
+        skipped for lack of rows."""
         self.n_trains += 1
         m_size = min(self.n_trains * self.cfg.memory_growth,
                      self.cfg.memory_size)
+        # the gate can open below one minibatch when memory_growth is small;
+        # clamp up so such configs still train (the reference never hits
+        # this: growth 5000 >> batch 1024)
+        m_size = max(m_size, self.cfg.train_batch)
         count = int(self.replay.count)
         use = min(m_size, count)
+        # fixed-shape buckets: every distinct `use` compiles new unpack/val
+        # programs through the slow remote-compile path
+        use -= use % self.cfg.train_batch
         if use < self.cfg.train_batch:
-            self.log(f"Training session {self.n_trains}: only {use} rows, "
+            self.log(f"Training session {self.n_trains}: only {count} rows, "
                      "skipped")
             self.n_trains -= 1
-            return
+            return False
 
         # most recent `use` rows of the ring; boards stored bit-packed in
         # the move program, unpacked to images only here (training prep)
@@ -233,6 +290,7 @@ class _OnlineDriverBase:
                 seconds=time.time() - t0, iters=last[0],
                 loss_train=last[1], loss_val=last[2],
             )
+        return True
 
     def _dump_training_data(self, data):
         """Hook: per-session training-set dump (VV driver implements it)."""
@@ -304,43 +362,15 @@ class SelfPlayDriver(_OnlineDriverBase):
     def step(self):
         """One batched move (B games advance one action each)."""
         self.key, sub = jax.random.split(self.key)
+        envs_prev = self.envs
         self.trees, self.envs, self.replay, stats = self._move(
             self.model.params, self.model.ubound,
             self.trees, self.envs, self.replay, sub,
         )
-        self.moves += 1
-        self.last_stats = stats
-        self._publish(stats)
-        self._finish_episodes(stats)
-        if not self.cfg.benchmark:
-            self._maybe_train()
-        return stats
+        return self._after_move(stats, envs_prev)
 
-    def _publish(self, stats):
-        if self.saver is None and self.status is None:
-            return
-        envs = self.envs
-        if self.saver is not None:
-            boards = np.asarray(_get_state_batch(envs), np.int8)
-            self.saver.add_batch(
-                episode=self._ep_id.copy(), board=boards,
-                policy=np.asarray(stats.probs),
-                action=np.asarray(stats.action),
-                combo=np.asarray(envs.combo), lines=np.asarray(stats.lines),
-                line_stats=np.asarray(envs.line_stats),
-                score=np.asarray(stats.score),
-                child_stats=np.asarray(stats.child_stats),
-                value=np.asarray(stats.root_value),
-                variance=np.asarray(stats.root_var),
-            )
-        if self.status is not None:
-            board0 = np.asarray(
-                _get_state(jax.tree.map(lambda leaf: leaf[0], envs))
-            )
-            self.status.publish(
-                board0, np.asarray(envs.combo), np.asarray(stats.score),
-                np.asarray(stats.lines), np.asarray(envs.line_stats),
-            )
+    def _saver_extras(self, stats):
+        return stats.child_stats, stats.root_var
 
     def _training_columns(self, order):
         states = np.asarray(_unpack(self.replay.boards[jnp.asarray(order)]))
@@ -432,43 +462,11 @@ class VPSelfPlayDriver(_OnlineDriverBase):
 
     def step(self):
         self.key, sub = jax.random.split(self.key)
+        envs_prev = self.envs
         self.vtrees, self.envs, self.replay, stats = self._move(
             self.model.params, self.vtrees, self.envs, self.replay, sub
         )
-        self.moves += 1
-        self.last_stats = stats
-        self._publish(stats)
-        self._finish_episodes(stats)
-        if not self.cfg.benchmark:
-            self._maybe_train()
-        return stats
-
-    def _publish(self, stats):
-        if self.saver is None and self.status is None:
-            return
-        envs = self.envs
-        if self.saver is not None:
-            boards = np.asarray(_get_state_batch(envs), np.int8)
-            B = self.cfg.batch
-            self.saver.add_batch(
-                episode=self._ep_id.copy(), board=boards,
-                policy=np.asarray(stats.probs),
-                action=np.asarray(stats.action),
-                combo=np.asarray(envs.combo), lines=np.asarray(stats.lines),
-                line_stats=np.asarray(envs.line_stats),
-                score=np.asarray(stats.score),
-                child_stats=np.zeros((B, 3, 7), np.float32),  # VP: no var stats
-                value=np.asarray(stats.root_value),
-                variance=np.zeros(B, np.float32),
-            )
-        if self.status is not None:
-            board0 = np.asarray(
-                _get_state(jax.tree.map(lambda leaf: leaf[0], envs))
-            )
-            self.status.publish(
-                board0, np.asarray(envs.combo), np.asarray(stats.score),
-                np.asarray(stats.lines), np.asarray(envs.line_stats),
-            )
+        return self._after_move(stats, envs_prev)
 
     def _training_columns(self, order):
         return [
@@ -523,18 +521,11 @@ class DistSelfPlayDriver(_OnlineDriverBase):
 
     def step(self):
         self.key, sub = jax.random.split(self.key)
+        envs_prev = self.envs
         self.dtrees, self.envs, self.replay, stats = self._move(
             self.model.params, self.dtrees, self.envs, self.replay, sub
         )
-        self.moves += 1
-        self.last_stats = stats
-        self._publish(stats)
-        self._finish_episodes(stats)
-        if not self.cfg.benchmark:
-            self._maybe_train()
-        return stats
-
-    _publish = VPSelfPlayDriver._publish
+        return self._after_move(stats, envs_prev)
 
     def _training_columns(self, order):
         return [

@@ -197,6 +197,7 @@ class DistReplay(NamedTuple):
     weight: jax.Array  # float32[R]
     idx: jax.Array
     count: jax.Array
+    total: jax.Array   # monotone rows-ever-written (see mcts.Replay)
 
 
 def init_dist_replay(capacity: int, atoms: int) -> DistReplay:
@@ -206,6 +207,7 @@ def init_dist_replay(capacity: int, atoms: int) -> DistReplay:
         weight=jnp.zeros(capacity, jnp.float32),
         idx=jnp.int32(0),
         count=jnp.int32(0),
+        total=jnp.int32(0),
     )
 
 
@@ -226,6 +228,7 @@ def dist_replay_add(rep: DistReplay, packed, dist, weight, mask) -> DistReplay:
         weight=rep.weight.at[dst].set(weight, mode="drop"),
         idx=(rep.idx + n) % R,
         count=jnp.minimum(rep.count + n, R),
+        total=rep.total + n,
     )
 
 

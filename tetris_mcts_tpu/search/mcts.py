@@ -256,6 +256,9 @@ class Replay(NamedTuple):
     weight: jax.Array  # float32[R]
     idx: jax.Array     # int32 next write slot
     count: jax.Array   # int32 rows ever written (clamped to R)
+    total: jax.Array   # int32 rows ever written (monotone; the host's
+                       #   training trigger reads this — unlike an idx
+                       #   delta it survives full ring wraps)
 
 
 def init_replay(capacity: int) -> Replay:
@@ -266,6 +269,7 @@ def init_replay(capacity: int) -> Replay:
         weight=jnp.zeros(capacity, jnp.float32),
         idx=jnp.int32(0),
         count=jnp.int32(0),
+        total=jnp.int32(0),
     )
 
 
@@ -289,6 +293,7 @@ def replay_add(rep: Replay, packed, value, var, weight, mask) -> Replay:
         weight=rep.weight.at[dst].set(weight, mode="drop"),
         idx=(rep.idx + n) % R,
         count=jnp.minimum(rep.count + n, R),
+        total=rep.total + n,
     )
 
 

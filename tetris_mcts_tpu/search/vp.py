@@ -205,6 +205,7 @@ class VPReplay(NamedTuple):
     weight: jax.Array  # float32[R]
     idx: jax.Array
     count: jax.Array
+    total: jax.Array   # monotone rows-ever-written (see mcts.Replay)
 
 
 def init_vp_replay(capacity: int) -> VPReplay:
@@ -215,6 +216,7 @@ def init_vp_replay(capacity: int) -> VPReplay:
         weight=jnp.zeros(capacity, jnp.float32),
         idx=jnp.int32(0),
         count=jnp.int32(0),
+        total=jnp.int32(0),
     )
 
 
@@ -236,6 +238,7 @@ def vp_replay_add(rep: VPReplay, packed, value, policy, weight, mask) -> VPRepla
         weight=rep.weight.at[dst].set(weight, mode="drop"),
         idx=(rep.idx + n) % R,
         count=jnp.minimum(rep.count + n, R),
+        total=rep.total + n,
     )
 
 

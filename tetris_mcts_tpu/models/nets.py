@@ -50,8 +50,11 @@ class VVNet(nn.Module):
         x = x.reshape((x.shape[0], -1))
         x = nn.Dense(self.n_fc, dtype=self.compute_dtype, name="fc1")(x)
         x = nn.relu(x)
-        x = nn.Dense(2, dtype=self.compute_dtype, name="fc_out")(x)
-        x = nn.sigmoid(x.astype(jnp.float32))
+        # output head pinned f32 like VPNet/DistNet: under a bf16 compute
+        # override only the conv/fc256 body runs reduced-precision, the 2-unit
+        # head keeps full-precision logits into the bounded sigmoid
+        x = nn.Dense(2, dtype=jnp.float32, name="fc_out")(x)
+        x = nn.sigmoid(x)
         return x * jnp.asarray(ubound) + jnp.asarray(lbound)
 
 

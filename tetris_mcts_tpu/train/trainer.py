@@ -38,12 +38,36 @@ DEFAULT_CKPT = "./checkpoints/model_vv.msgpack"
 
 
 def _atomic_pickle(path: str, blob):
-    """Write-then-rename so a kill mid-write (timeout SIGKILL, tunnel drop)
-    never leaves a truncated checkpoint behind."""
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(blob, f)
-    os.replace(tmp, path)
+    """Write-then-fsync-then-rename so a kill mid-write (timeout SIGKILL,
+    tunnel drop) or host crash never leaves a truncated checkpoint behind.
+    The tmp name is unique per writer so two processes saving to the same
+    path cannot interleave into one tmp file."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", prefix=os.path.basename(path),
+        suffix=".tmp",
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(blob, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _with_dtype(net, compute_dtype):
+    """Inference-time compute-dtype override (dtype-only clone; params and
+    the training closures bound at __init__ stay untouched)."""
+    if compute_dtype is None:
+        return net
+    return net.clone(compute_dtype=compute_dtype)
 
 
 def _col(x):
@@ -179,9 +203,7 @@ class VVModel:
         `jnp.bfloat16` halves the MXU cost of the in-search forward without
         perturbing the f32 loss trajectory the reference's curves are
         compared against."""
-        net, lbound = self.net, self.lbound
-        if compute_dtype is not None:
-            net = net.clone(compute_dtype=compute_dtype)
+        net, lbound = _with_dtype(self.net, compute_dtype), self.lbound
 
         def f(params, ubound, states):
             out = net.apply(params, states, ubound, lbound)
@@ -478,9 +500,7 @@ class VPModel:
         """(params, states_nhwc) -> (v, logits) for the fused VP search.
         `compute_dtype` overrides the forward's compute dtype (see
         `VVModel.apply_fn`)."""
-        net = self.net
-        if compute_dtype is not None:
-            net = net.clone(compute_dtype=compute_dtype)
+        net = _with_dtype(self.net, compute_dtype)
 
         def f(params, states):
             return net.apply(params, states)
@@ -589,9 +609,7 @@ class DistModel:
         return np.asarray(self._infer(self.params, _boards(boards)))
 
     def apply_fn(self, compute_dtype=None):
-        net = self.net
-        if compute_dtype is not None:
-            net = net.clone(compute_dtype=compute_dtype)
+        net = _with_dtype(self.net, compute_dtype)
 
         def f(params, states):
             return net.apply(params, states)

@@ -110,3 +110,30 @@ def test_dashboard_state_snapshot(tmp_path):
     w.close()
     snap2 = state.snapshot()
     assert [e["lines"] for e in snap2["episodes"]] == [3, 5, 7]
+
+
+def test_loader_offsets_episode_ids_across_files(tmp_path):
+    """Per-file episode ids restart at 0; the loader must offset them so MC
+    targets and episodic validation never merge two files' distinct games."""
+    for c in (0, 1):
+        s = DataSaver(str(tmp_path), "data", cycle=c)
+        s.add_batch(**_rows(3, ep0=0))  # both files use ids 0..2
+        s.close()
+    ld = DataLoader(str(tmp_path / "data*.h5"))
+    assert len(np.unique(ld.episode)) == 6
+    assert set(ld.episode[:3]).isdisjoint(set(ld.episode[3:]))
+
+
+def test_metrics_writer_sanitizes_non_finite(tmp_path):
+    """NaN/Inf would serialize to invalid-JSON bare tokens and blank every
+    downstream reader (the dashboard in particular) — stored as null."""
+    import json
+
+    path = str(tmp_path / "m.jsonl")
+    w = MetricsWriter(path)
+    w.write("train_session", loss_train=float("nan"),
+            loss_val=float("inf"), n=3)
+    w.close()
+    rec = json.loads(open(path).read())   # strict parse must succeed
+    assert rec["loss_train"] is None and rec["loss_val"] is None
+    assert rec["n"] == 3

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(select_index_bayes min_n, core.py:290), 5 for "
                         "Vanilla/VanillaC (Vanilla.py low=5), else 1 "
                         "(unvisited-first)")
+    p.add_argument("--dump_dir", default="",
+                   help="write data/dump.npz of each training session's set "
+                        "(reference ValueSim.py:176-177; consumed by `tools "
+                        "train_dump`). '' = off")
     p.add_argument("--min_visits", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_model", action="store_true",
@@ -136,19 +140,37 @@ def main(argv=None):
         # self-contained Q-learning agent (reference agents/DQN.py): no tree
         from tetris_mcts_tpu.runtime.dqn import DQNConfig, DQNDriver
 
+        if args.save or args.status_dir:
+            print("--save/--status_dir are not supported for DQN agents "
+                  "(no tree statistics to store)", file=sys.stderr)
         metrics = None
         if args.metrics:
             from tetris_mcts_tpu.obs.metrics import MetricsWriter
             metrics = MetricsWriter(args.metrics)
+        # the shared --checkpoint default names the VV net; give DQN blobs
+        # their own default file so the two never clobber each other
+        ckpt = args.checkpoint
+        if ckpt == build_parser().get_default("checkpoint"):
+            ckpt = "./checkpoints/model_dqn.msgpack"
         driver = DQNDriver(
             DQNConfig(
                 batch=args.batch, memory_size=args.memory_size,
                 distributional=args.agent_type == "DistDQN",
+                benchmark=args.benchmark,
                 seed=args.seed, actions_per_drop=args.app,
                 scoring=args.scoring, randomizer=args.randomizer,
             ),
-            metrics=metrics,
+            metrics=metrics, checkpoint_path=ckpt,
         )
+        if args.load_model:
+            driver.load()
+
+        import signal
+
+        def _term(signum, frame):
+            raise KeyboardInterrupt
+
+        signal.signal(signal.SIGTERM, _term)
         try:
             if args.trace:
                 capture_trace(driver)
@@ -160,6 +182,14 @@ def main(argv=None):
                 moves += 1
         except KeyboardInterrupt:
             print("interrupted", file=sys.stderr)
+        finally:
+            if not args.benchmark and not args.trace:
+                try:
+                    driver.save(verbose=True)
+                except Exception as e:  # noqa: BLE001 — device may be gone
+                    print(f"final checkpoint failed ({e!r})", file=sys.stderr)
+            if metrics is not None:
+                metrics.close()
         return driver
 
     sims = 1 if args.agent_type == "Random" else args.mcts_sims
@@ -190,7 +220,7 @@ def main(argv=None):
         # persist after every training session (crash/timeout resilience);
         # --trace is a profiling probe and must never clobber checkpoints
         checkpoint_each_train=trains and not benchmark and not args.trace,
-        benchmark=benchmark, seed=args.seed,
+        benchmark=benchmark, dump_dir=args.dump_dir, seed=args.seed,
         actions_per_drop=args.app, scoring=args.scoring,
         randomizer=args.randomizer,
     )

@@ -81,12 +81,18 @@ def cmd_train_dump(args):
 
     blob = np.load(args.dump)
     model = VVModel(checkpoint_path=args.checkpoint)
+    if args.load_model:
+        model.load()
     data = [blob["states"], blob["values"], blob["variance"], blob["weights"]]
     model.train_data(
         data, batch_size=args.batch_size, iters_per_val=args.iters_per_val,
         max_iters=args.max_iters, shuffle=True,
     )
-    model.save(verbose=True)
+    # a reproducibility probe, not a trainer: saving is opt-in so one dump
+    # session can never clobber a long-run checkpoint (the reference
+    # tools/train_dump.py never saves)
+    if args.save_model:
+        model.save(verbose=True)
     return 0
 
 
@@ -168,6 +174,11 @@ def main(argv=None):
     s = sub.add_parser("train_dump")
     s.add_argument("dump", help="npz with states/values/variance/weights")
     s.add_argument("--checkpoint", default="./checkpoints/model_vv.msgpack")
+    s.add_argument("--load_model", action="store_true",
+                   help="start from the checkpoint instead of fresh init")
+    s.add_argument("--save_model", action="store_true",
+                   help="overwrite the checkpoint with the retrained net "
+                        "(off by default: this is a reproducibility probe)")
     s.add_argument("--batch_size", type=int, default=128)
     s.add_argument("--iters_per_val", type=int, default=100)
     s.add_argument("--max_iters", type=int, default=10000)

@@ -97,6 +97,7 @@ def main(argv=None):
     )
 
     rng = np.random.RandomState(args.seed)
+    val_rows = None
     if args.validation:
         tr, va = episodic_split(loader, args.val_fraction, rng)
         order = np.concatenate([np.nonzero(tr)[0], np.nonzero(va)[0]])
@@ -104,6 +105,10 @@ def main(argv=None):
             d[order] for d in (states, value, variance, weight)
         )
         shuffle = False  # split already arranged: validation tail
+        # pin the split to the exact episode boundary — a fraction-derived
+        # tail count would slice through the held-out episodes and leak
+        # training rows into validation
+        val_rows = int(va.sum())
     else:
         shuffle = True
 
@@ -119,6 +124,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         iters_per_val=args.iters_per_val,
         validation_fraction=args.val_fraction,
+        validation_rows=val_rows,
         early_stopping=args.early_stopping,
         shuffle=shuffle,
         max_iters=args.max_iters,

@@ -90,8 +90,11 @@ function lineChart(svg, seriesList, colors) {
   const all = seriesList.flat();
   if (!all.length) return;
   const xs = seriesList.map(s => s.map((_, i) => i));
-  const nmax = Math.max(...seriesList.map(s => s.length)) - 1 || 1;
-  const ymax = Math.max(...all, 1e-9), ymin = Math.min(...all, 0);
+  // reduce, not spread: Math.max(...arr) throws past ~125k arguments,
+  // exactly on the long runs the dashboard exists to monitor
+  const nmax = seriesList.reduce((a, s) => Math.max(a, s.length), 0) - 1 || 1;
+  const ymax = all.reduce((a, v) => Math.max(a, v), 1e-9);
+  const ymin = all.reduce((a, v) => Math.min(a, v), 0);
   const X = i => P.l + (W - P.l - P.r) * i / nmax;
   const Y = v => H - P.b - (H - P.t - P.b) * (v - ymin) / (ymax - ymin || 1);
   const ns = 'http://www.w3.org/2000/svg';
@@ -150,9 +153,9 @@ async function tick() {
     const eps = d.episodes;
     document.getElementById('tiles').innerHTML =
       tile('episodes', eps.length.toLocaleString()) +
-      tile('best lines', eps.length ? Math.max(...eps.map(e => e.lines)).toLocaleString() : '—') +
+      tile('best lines', eps.length ? eps.reduce((a, e) => Math.max(a, e.lines), 0).toLocaleString() : '—') +
       tile('mean lines (last 50)', eps.length ? (eps.slice(-50).reduce((a, e) => a + e.lines, 0) / Math.min(eps.length, 50)).toFixed(1) : '—') +
-      tile('best score', eps.length ? Math.max(...eps.map(e => e.score)).toLocaleString() : '—') +
+      tile('best score', eps.length ? eps.reduce((a, e) => Math.max(a, e.score), 0).toLocaleString() : '—') +
       tile('training sessions', d.trains.length.toLocaleString());
     const c1 = css('--series-1'), c2 = css('--series-2');
     lineChart(document.getElementById('c_lines'), [eps.map(e => e.lines)], [c1]);
@@ -231,6 +234,7 @@ def serve(metrics_path: str, status_dir: str = "", batch: int = 1,
     if blocking:
         print(f"dashboard: http://localhost:{port}", flush=True)
         httpd.serve_forever()
+        return httpd
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     return httpd

@@ -16,6 +16,7 @@ the live board (`play.py:109-148` <-> `parseLog.py:31-38`). Here:
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Optional
@@ -34,8 +35,14 @@ class MetricsWriter:
 
     def write(self, kind: str, **fields):
         rec = {"t": time.time(), "kind": kind}
+        # non-finite floats would serialize as bare NaN/Infinity tokens,
+        # which are invalid JSON and break every downstream reader (the
+        # dashboard's JSON response in particular) — store null instead
+        for k, v in fields.items():
+            if isinstance(v, float) and not math.isfinite(v):
+                fields[k] = None
         rec.update(fields)
-        self._f.write(json.dumps(rec) + "\n")
+        self._f.write(json.dumps(rec, allow_nan=False) + "\n")
 
     def close(self):
         self._f.close()

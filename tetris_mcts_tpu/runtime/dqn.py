@@ -19,6 +19,7 @@ used 22x10 relics); transitions are stored bit-packed.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import NamedTuple
 
@@ -44,6 +45,8 @@ class DQNConfig(NamedTuple):
     vmax: float = 2500.0
     lr: float = 1e-3
     seed: int = 0
+    benchmark: bool = False         # greedy eval: no training, no replay
+                                    # writes, eps pinned to eps_final
     actions_per_drop: int = 1
     scoring: int = 0
     randomizer: int = 0
@@ -82,10 +85,12 @@ class DQNDriver:
 
     def __init__(self, cfg: DQNConfig,
                  log=lambda s: print(s, file=sys.stderr, flush=True),
-                 metrics=None):
+                 metrics=None,
+                 checkpoint_path: str = "./checkpoints/model_dqn.msgpack"):
         self.cfg = cfg
         self.log = log
         self.metrics = metrics
+        self.checkpoint_path = checkpoint_path
         self.env_cfg = engine.EnvConfig(
             actions_per_drop=cfg.actions_per_drop, scoring=cfg.scoring,
             randomizer=cfg.randomizer,
@@ -115,6 +120,7 @@ class DQNDriver:
         atoms, vmax = cfg.atoms, cfg.vmax
         B, R, TB = cfg.batch, cfg.memory_size, cfg.train_batch
         distributional = cfg.distributional
+        benchmark = cfg.benchmark
 
         def q_values(params, packed):
             out = net.apply(params, _imgs(packed))
@@ -182,28 +188,30 @@ class DQNDriver:
             reward = (envs2.score - score0).astype(jnp.float32)
             done = envs2.end
 
-            # write B transitions at the ring head
-            dst = (replay.idx + jnp.arange(B)) % R
-            replay = DQNReplay(
-                si=replay.si.at[dst].set(packed_i),
-                a=replay.a.at[dst].set(action),
-                r=replay.r.at[dst].set(reward),
-                sf=replay.sf.at[dst].set(packed_f),
-                end=replay.end.at[dst].set(done),
-                idx=(replay.idx + B) % R,
-                count=jnp.minimum(replay.count + B, R),
-            )
+            loss = jnp.float32(0.0)
+            if not benchmark:  # static: eval builds a play-only program
+                # write B transitions at the ring head
+                dst = (replay.idx + jnp.arange(B)) % R
+                replay = DQNReplay(
+                    si=replay.si.at[dst].set(packed_i),
+                    a=replay.a.at[dst].set(action),
+                    r=replay.r.at[dst].set(reward),
+                    sf=replay.sf.at[dst].set(packed_f),
+                    end=replay.end.at[dst].set(done),
+                    idx=(replay.idx + B) % R,
+                    count=jnp.minimum(replay.count + B, R),
+                )
 
-            # one SGD step on a uniform minibatch
-            n = jnp.maximum(replay.count, 1)
-            bidx = jax.random.randint(k_batch, (TB,), 0, n)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, target_params,
-                replay.si[bidx], replay.a[bidx], replay.r[bidx],
-                replay.sf[bidx], replay.end[bidx],
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
+                # one SGD step on a uniform minibatch
+                n = jnp.maximum(replay.count, 1)
+                bidx = jax.random.randint(k_batch, (TB,), 0, n)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, target_params,
+                    replay.si[bidx], replay.a[bidx], replay.r[bidx],
+                    replay.sf[bidx], replay.end[bidx],
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
 
             # auto-reset finished games
             fresh = jax.vmap(lambda s: engine.soft_reset(s, env_cfg))(envs2)
@@ -223,8 +231,49 @@ class DQNDriver:
 
     @property
     def eps(self):
+        if self.cfg.benchmark:
+            return self.cfg.eps_final  # greedy eval (replay never fills)
         frac = min(int(self.replay.count) / self.cfg.memory_size, 1.0)
         return self.cfg.eps_init + (self.cfg.eps_final - self.cfg.eps_init) * frac
+
+    def save(self, path: str | None = None, verbose: bool = False):
+        """Checkpoint params + target + optimizer state (the reference DQN
+        checkpoints its nets too, agents/DQN.py:242-251)."""
+        import flax.serialization
+
+        from tetris_mcts_tpu.train.trainer import _atomic_pickle
+
+        path = path or self.checkpoint_path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        _atomic_pickle(path, {
+            "params": flax.serialization.to_bytes(self.params),
+            "target_params": flax.serialization.to_bytes(self.target_params),
+            "opt_state": flax.serialization.to_bytes(self.opt_state),
+        })
+        if verbose:
+            print("Saving model...", flush=True)
+
+    def load(self, path: str | None = None) -> bool:
+        import pickle
+
+        import flax.serialization
+
+        path = path or self.checkpoint_path
+        if not os.path.isfile(path):
+            print("Checkpoint not found, using default model", flush=True)
+            return False
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.params = flax.serialization.from_bytes(
+            self.params, blob["params"]
+        )
+        self.target_params = flax.serialization.from_bytes(
+            self.target_params, blob["target_params"]
+        )
+        self.opt_state = flax.serialization.from_bytes(
+            self.opt_state, blob["opt_state"]
+        )
+        return True
 
     def step(self):
         (self.params, self.opt_state, self.envs, self.replay, self.key,

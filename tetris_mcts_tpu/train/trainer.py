@@ -217,6 +217,7 @@ class VVModel:
         batch_size: int = 128,
         iters_per_val: int = 500,
         validation_fraction: float = 0.1,
+        validation_rows: int | None = None,
         weighted: bool | None = None,
         early_stopping: bool = True,
         early_stopping_patience: int = 10,
@@ -242,7 +243,11 @@ class VVModel:
             weight = jnp.ones_like(weight)
 
         n = states.shape[0]
-        n_val = max(int(n * validation_fraction), 1)
+        # validation_rows pins the tail exactly (the CLI's episodic split
+        # arranges held-out episodes at the tail; a fraction-derived count
+        # would slice through the episode boundary)
+        n_val = (validation_rows if validation_rows is not None
+                 else max(int(n * validation_fraction), 1))
         if shuffle:
             perm = self._rng.permutation(n)
             states, value, variance, weight = (
@@ -380,14 +385,15 @@ class VVModel:
 def _early_stop_fit(model, data_cols, batch_size, iters_per_val,
                     validation_fraction, early_stopping,
                     early_stopping_patience, early_stopping_threshold,
-                    shuffle, max_iters, log):
+                    shuffle, max_iters, log, validation_rows=None):
     """Shared minibatch-SGD session with tail-validation early stopping (the
     reference `Model.train_data` loop, model/model.py:176-249) for models
     whose jitted step is (params, opt_state, data, key, bs) -> (params,
     opt_state, metrics) and whose eval is (params, data) -> (mean, std).
     `data_cols`: tuple of equal-length device arrays, states first."""
     n = data_cols[0].shape[0]
-    n_val = max(int(n * validation_fraction), 1)
+    n_val = (validation_rows if validation_rows is not None
+             else max(int(n * validation_fraction), 1))
     if shuffle:
         perm = model._rng.permutation(n)
         data_cols = tuple(d[perm] for d in data_cols)
@@ -511,7 +517,8 @@ class VPModel:
                    validation_fraction: float = 0.1, early_stopping: bool = True,
                    early_stopping_patience: int = 10,
                    early_stopping_threshold: float = 1.0,
-                   shuffle: bool = False, max_iters: int = 100000, log=print):
+                   shuffle: bool = False, max_iters: int = 100000, log=print,
+                   validation_rows: int | None = None):
         """data = [states, values, policy(7), weights]."""
         weight = _col(data[3])
         weight = weight / jnp.mean(weight) if self.weighted else jnp.ones_like(weight)
@@ -522,7 +529,7 @@ class VPModel:
         return _early_stop_fit(
             self, cols, batch_size, iters_per_val, validation_fraction,
             early_stopping, early_stopping_patience, early_stopping_threshold,
-            shuffle, max_iters, log,
+            shuffle, max_iters, log, validation_rows=validation_rows,
         )
 
     def save(self, path: str | None = None, verbose: bool = False):
@@ -620,7 +627,8 @@ class DistModel:
                    validation_fraction: float = 0.1, early_stopping: bool = True,
                    early_stopping_patience: int = 10,
                    early_stopping_threshold: float = 1.0,
-                   shuffle: bool = False, max_iters: int = 100000, log=print):
+                   shuffle: bool = False, max_iters: int = 100000, log=print,
+                   validation_rows: int | None = None):
         """data = [states, target_dists (N, atoms), weights]."""
         weight = _col(data[2])
         weight = weight / jnp.mean(weight) if self.weighted else jnp.ones_like(weight)
@@ -628,7 +636,7 @@ class DistModel:
         return _early_stop_fit(
             self, cols, batch_size, iters_per_val, validation_fraction,
             early_stopping, early_stopping_patience, early_stopping_threshold,
-            shuffle, max_iters, log,
+            shuffle, max_iters, log, validation_rows=validation_rows,
         )
 
     def save(self, path: str | None = None, verbose: bool = False):

@@ -143,6 +143,14 @@ class DataLoader:
             with h5py.File(p, "r") as f:
                 for k in STATE_SCHEMA:
                     cols[k].append(np.asarray(f[k]))
+        # episode ids restart at 0 in every file; offset per file so ids are
+        # globally unique — MC targets and episodic validation key on them
+        # (two files' "episode 5" are different games)
+        base = 0
+        for chunk in cols["episode"]:
+            chunk += base
+            if len(chunk):
+                base = int(chunk.max()) + 1
         for k, chunks in cols.items():
             setattr(self, k, np.concatenate(chunks, axis=0))
         self.n = len(self.episode)
@@ -181,6 +189,8 @@ class LossLoader:
     def __init__(self, paths: Iterable[str] | str):
         if isinstance(paths, str):
             paths = sorted(glob.glob(paths))
+        paths = list(paths)
+        assert paths, "no loss files"
         cols = {k: [] for k in LOSS_SCHEMA}
         for p in paths:
             with h5py.File(p, "r") as f:

@@ -46,11 +46,15 @@ def _build() -> Path:
     _BUILD.mkdir(exist_ok=True)
     if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
         return _SO
-    subprocess.run(
+    proc = subprocess.run(
         ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
-        check=True,
         capture_output=True,
     )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            "oracle build failed "
+            f"(exit {proc.returncode}):\n{proc.stderr.decode()}"
+        )
     return _SO
 
 

@@ -143,3 +143,56 @@ def test_dist_driver_trains():
     cnt = int(d.replay.count)
     sums = np.asarray(d.replay.dist)[:cnt].sum(axis=1)
     np.testing.assert_allclose(sums, 1.0, atol=1e-3)
+
+
+class TestDistSelect:
+    def test_select_matches_policy_dist(self):
+        """Golden check of the selection bonus (`policy_dist`,
+        core_distributional.py:67-80): Q = mean + score delta +
+        norm_quantile(N)·sqrt(ns[3]/(n+eps)) with ns[3] = M2/(n-1) — a
+        standard-error term (the /n was once dropped; this pins it)."""
+        from tetris_mcts_tpu.env import engine
+        from tetris_mcts_tpu.search import tree as T
+        from tetris_mcts_tpu.search.quantiles import norm_quantile
+
+        c = small_cfg()
+        envs = engine.reset_batch(5, 1, c.tree.env)
+        env0 = jax.tree.map(lambda leaf: leaf[0], envs)
+        dt = DD.init_dist_tree(env0, c.tree, DCFG)
+        base, _ = T.expand(
+            dt.base, env0, dt.base.root, jnp.asarray(True), c.tree
+        )
+        kids, obs, kept = T.unique_children(base, base.root)
+        kids_np, obs_np, kept_np = map(np.asarray, (kids, obs, kept))
+
+        rng = np.random.RandomState(7)
+        visit = np.asarray(base.obs_visit).copy()
+        value = np.asarray(base.obs_value).copy()
+        m2 = np.asarray(dt.obs_m2).copy()
+        for o in obs_np[kept_np]:
+            visit[o] = rng.randint(6, 20)   # above low=5: policy path
+            value[o] = rng.rand() * 50
+            m2[o] = rng.rand() * 400
+        base = base.with_fields(
+            obs_visit=jnp.asarray(visit), obs_value=jnp.asarray(value)
+        )
+        dt = dt._replace(base=base, obs_m2=jnp.asarray(m2))
+
+        score = np.asarray(base.score)
+        root = int(base.root)
+        ks, os_ = kids_np[kept_np], obs_np[kept_np]
+        n = visit[os_].sum()
+        eps = 1e-3
+        q = (
+            value[os_] + score[ks] - score[root]
+            + float(norm_quantile(n))
+            * np.sqrt(
+                m2[os_] / ((visit[os_] - 1.0 + eps) * (visit[os_] + eps))
+            )
+        )
+        want = ks[np.argmax(q)]
+        trace, acts, length = DD.select(
+            dt, jax.random.PRNGKey(0), c.tree, DCFG
+        )
+        assert int(length) == 2
+        assert int(trace[1]) == int(want)

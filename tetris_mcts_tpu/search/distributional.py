@@ -21,6 +21,13 @@ Deviation (documented): distributions and stats live on obs slots
 (transposition-shared) like every other agent here; the reference legacy
 core predates its own projection layer. Distributions are stored (atoms, M)
 pool-minor.
+
+KNOWN PERF LIMITATION (CLAUDE.md rules 4-6): the walks here are vmapped
+while_loops and the backup's running-mean distribution update is a
+read-modify-write column scatter into the carried (atoms, M) store — both
+patterns the VV path eliminated (hand-batched walks, read-free scatters).
+Acceptable for the capability-parity role this legacy agent plays; rework
+the backup before using it at production scale.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ import jax.numpy as jnp
 from tetris_mcts_tpu.env import engine
 from tetris_mcts_tpu.env.engine import EnvState
 from tetris_mcts_tpu.search import tree as T
+from tetris_mcts_tpu.search.mcts import capacity_guard_for
 from tetris_mcts_tpu.search.quantiles import norm_quantile
 from tetris_mcts_tpu.search.tree import N_ACTIONS, Tree, TreeConfig
 
@@ -40,7 +48,7 @@ from tetris_mcts_tpu.search.tree import N_ACTIONS, Tree, TreeConfig
 class DistConfig(NamedTuple):
     atoms: int = 50
     vmax: float = 1000.0  # support [0, vmax], centers (b + 0.5) * vmax/atoms
-    low: int = 1
+    low: int = 5          # select_trace_distributional default (:83)
 
 
 class DistTree(NamedTuple):
@@ -117,14 +125,19 @@ def select(dt: DistTree, key, cfg: TreeConfig, dcfg: DistConfig):
         low_choice = jnp.argmax(jnp.where(low_mask, gumbel, -jnp.inf))
 
         n_total = jnp.sum(visits)
-        # reference policy_dist (:67-80): mean + score delta, sample variance
+        # reference policy_dist (core_distributional.py:67-80): Q = mean +
+        # score delta; bonus = sqrt(ns[3]/(n+eps)) where ns[3] = M2/(n-1)
+        # (backup :124-125) — a standard-error term, sigma/sqrt(n), so
+        # selection concentrates as visits grow
         q = (
             tree.values[obs]
             + sc
             - tree.nstat[:, idx][0]
             + norm_quantile(n_total)
             * jnp.sqrt(jnp.maximum(
-                dt.obs_m2[obs] / (visits - 1.0 + eps), 0.0
+                dt.obs_m2[obs]
+                / ((visits - 1.0 + eps) * (visits + eps)),
+                0.0,
             ))
         )
         clt_choice = jnp.argmax(jnp.where(kept, q, -jnp.inf))
@@ -311,8 +324,7 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
         dtrees, _ = jax.lax.fori_loop(0, cfg.sims, body, (dtrees, key))
         return dtrees
 
-    need_nodes = N_ACTIONS * (cfg.sims + 1) + 2
-    capacity_guard = min(need_nodes, tcfg.max_nodes - N_ACTIONS - 1)
+    capacity_guard = capacity_guard_for(cfg.sims, tcfg)
 
     def move(params, dtrees: DistTree, envs: EnvState, replay: DistReplay, key):
         key, k_sims = jax.random.split(key)

@@ -187,7 +187,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
         # or vmapped loop-free XLA), ONE hand-batched obs-table insert
         # (vmap's while batching re-masks the carried (B, T) tables per
         # probe round), then per-tree node-row writes (vmapped, loop-free)
-        ok = can & (trees.n_nodes + N_ACTIONS <= tcfg.max_nodes)
+        ok = can  # headroomB already guarantees node-pool room
         if kernel_path:
             child_imgs = engine.unpack_obs(packed7)      # (B, 7, 20, 10)
         else:
@@ -314,6 +314,27 @@ class MoveStats(NamedTuple):
     n_nodes: jax.Array      # int32[B] nodes allocated before any reset
 
 
+def capacity_guard_for(sims: int, tcfg) -> int:
+    """Node headroom one full move needs: trees must fit a move's expansions
+    without mid-move pool exhaustion. When the configured pools can't hold
+    that, the guard clamps (the tree harvests+resets every move) — and if
+    sims*7 exceeds the pool outright, the last sims of a move silently
+    expand nothing (ok=False backups with leaf score / zero variance), so
+    warn loudly about the misconfiguration."""
+    need = N_ACTIONS * (sims + 1) + 2
+    guard = min(need, tcfg.max_nodes - N_ACTIONS - 1)
+    if need > guard:
+        import sys as _sys
+        print(
+            f"warning: max_nodes={tcfg.max_nodes}/max_obs={tcfg.max_obs} "
+            f"cannot hold one {sims}-sim move (~{need} nodes): the tree "
+            "will harvest+reset every move, and sims beyond the pool "
+            "expand nothing — raise max_nodes/max_obs or lower sims",
+            file=_sys.stderr, flush=True,
+        )
+    return guard
+
+
 def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
                  store: bool = True):
     """Build the jitted per-move function:
@@ -335,9 +356,7 @@ def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
     vinit = jax.vmap(T.init_tree, in_axes=(0, None))
     vsoft_reset = jax.vmap(engine.soft_reset, in_axes=(0, None))
 
-    # Trees must fit a full move's expansions without mid-move exhaustion.
-    need_nodes = N_ACTIONS * (cfg.sims + 1) + 2
-    capacity_guard = min(need_nodes, tcfg.max_nodes - N_ACTIONS - 1)
+    capacity_guard = capacity_guard_for(cfg.sims, tcfg)
 
     def move(params, ubound, trees, envs: EnvState, replay: Replay, key):
         key, k_sims = jax.random.split(key)

@@ -914,31 +914,17 @@ def expand(tree: Tree, leaf_state: EnvState, leaf, ok, cfg: TreeConfig):
 
     Returns (tree, child_states) where child_states is the stepped EnvState
     with leading axis 7 (consumed directly by the NN evaluator — child
-    observations never round-trip through the node store)."""
-    child_states = jax.vmap(
-        lambda a: engine.step(leaf_state, a, cfg.env)
-    )(_A7)
-    packed7 = jax.vmap(engine.pack_obs)(child_states)  # (7, 20)
+    observations never round-trip through the node store).
 
-    has_room = tree.n_nodes + N_ACTIONS <= cfg.max_nodes
-    ok = ok & has_room
-    base = jnp.where(ok, tree.n_nodes, 0)
-    ids = base + _A7
-
+    Composes the two halves the batched driver uses directly
+    (`expand_children` + `expand_commit`, with the obs insert between) so
+    the node-row-commit layout lives in exactly one place."""
+    child_states, packed7 = expand_children(tree, leaf_state, cfg)
+    ok = ok & (tree.n_nodes + N_ACTIONS <= cfg.max_nodes)
     tree, obs7 = _insert_obs7(tree, packed7, child_states.end, ok, cfg)
-
-    # node rows: one fused (2, 7) scatter for [score; obs], one for end
-    block = jnp.stack(
-        [child_states.score.astype(jnp.float32), obs7.astype(jnp.float32)]
+    tree = expand_commit(
+        tree, child_states.score, child_states.end, obs7, leaf, ok, cfg
     )
-    ids_w = jnp.where(ok, ids, tree.nstat.shape[1])
-    tree = tree._replace(
-        nstat=tree.nstat.at[:, ids_w].set(block, mode="drop"),
-        end=_dus_rows(tree.end, base, child_states.end, ok),
-        n_nodes=tree.n_nodes + jnp.where(ok, N_ACTIONS, 0),
-    )
-    # first-child base: single read-free scalar write
-    tree = tree._replace(cbase=_masked_set(tree.cbase, leaf, base, ok))
     return tree, child_states
 
 
@@ -1123,10 +1109,14 @@ def backup_exp_moving(tree: Tree, trace, length, value, variance,
 
 def backup_mixture(tree: Tree, trace, length, value, variance,
                    cfg: TreeConfig):
-    """`backup_trace_mixture_obs` (core_projection.py:182-200 /
-    C++ core.h:262-301): treats each backup as a gaussian component and
-    tracks the mixture's variance — var += (Δvar + Δ(v²))/n −
-    (Δv/n)(v_old + v_new); the incoming variance decays by γ each level."""
+    """`backup_trace_mixture_obs`: treats each backup as a gaussian
+    component and tracks the mixture's variance — var += (Δvar + Δ(v²))/n −
+    (Δv/n)(v_old + v_new). NOTE: the reference's two implementations
+    disagree on the per-level decay of the incoming variance — the numba
+    core decays by γ (core_projection.py:182-200), the C++ twin by γ²
+    (`_variance *= gamma * gamma`, core.h:262-301, which is also the
+    statistically consistent Var(γX)). This follows the numba core
+    (γ per level); golden tests pin that choice."""
     gamma = jnp.float32(cfg.gamma)
     score_row = tree.nstat[0]
     obs_row = tree.nstat[1].astype(jnp.int32)

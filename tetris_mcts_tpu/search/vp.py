@@ -24,6 +24,12 @@ Deviations (documented):
   stored bit-packed, for the same TPU tiling reasons as tree.py.
 
 Functions operate on ONE tree; the driver vmaps them.
+
+KNOWN PERF LIMITATION (CLAUDE.md rule 5): the walks here are vmapped
+while_loops, which re-select every carried array per level — the VV path's
+hand-batched/Pallas treatment (tree.select_batched, ops/tree_walk.py) was
+measured 1.5-2x faster and has not yet been applied to this secondary
+agent. Hand-batch these walks before using VP at production scale.
 """
 
 from __future__ import annotations
@@ -36,6 +42,7 @@ import jax.numpy as jnp
 from tetris_mcts_tpu.env import engine
 from tetris_mcts_tpu.env.engine import EnvState
 from tetris_mcts_tpu.search import tree as T
+from tetris_mcts_tpu.search.mcts import capacity_guard_for
 from tetris_mcts_tpu.search.tree import N_ACTIONS, Tree, TreeConfig
 
 
@@ -322,8 +329,7 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         vtrees, _ = jax.lax.fori_loop(0, cfg.sims, body, (vtrees, key))
         return vtrees
 
-    need_nodes = N_ACTIONS * (cfg.sims + 1) + 2
-    capacity_guard = min(need_nodes, tcfg.max_nodes - N_ACTIONS - 1)
+    capacity_guard = capacity_guard_for(cfg.sims, tcfg)
 
     def move(params, vtrees: VPTree, envs: EnvState, replay: VPReplay, key):
         key, k_sims = jax.random.split(key)

@@ -302,16 +302,24 @@ def get_state_flat(s: EnvState):
     rows, prow = obs_bits(s)
     w = jnp.take(rows, _ROW_OF, axis=-1)
     p = jnp.take(prow, _ROW_OF, axis=-1)
-    locked = (w >> _COL_OF) & jnp.uint32(1)
-    piece = (p >> _COL_OF) & jnp.uint32(1)
-    return locked.astype(jnp.float32) - piece.astype(jnp.float32)
+    locked = ((w >> _COL_OF) & jnp.uint32(1)).astype(jnp.float32)
+    piece = ((p >> _COL_OF) & jnp.uint32(1)).astype(jnp.float32)
+    # piece wins where both bits are set (spawn-dead states overlap the
+    # stack; getState renders the colliding spawn as -1) — plain
+    # locked - piece would render those cells 0
+    return locked * (1.0 - piece) - piece
 
 
 def pack_obs(s: EnvState):
     """uint32[20] packed observation: bits 0-9 locked row, bits 10-19 piece
     row. One word per board row — the TPU-friendly storage form of the
-    getState image (rows only use BOARD_W=10 bits). Identity-equivalent to
-    the reference's `state.tobytes()` dict key (`agents/agent.py:114-117`)."""
+    getState image (rows only use BOARD_W=10 bits). Equivalent to the
+    reference's `state.tobytes()` dict key (`agents/agent.py:114-117`) for
+    every LIVE state; on spawn-dead boards it is strictly FINER — a locked
+    cell hidden under the colliding piece keeps its bit here but renders as
+    -1 in the image, so two such states can share an image yet get separate
+    obs slots. Terminal states never share statistics usefully (obs_end
+    gates them), so the finer key is deliberate."""
     rows, prow = obs_bits(s)
     return rows | (prow << jnp.uint32(10))
 

@@ -50,6 +50,49 @@ from tetris_mcts_tpu.search.quantiles import (
 _BG = 256
 
 
+def _reverse_welford_walk(gamma, trace_ref, lengths, score_ref, lookup_obs,
+                          v0, var0, visit_out, value_out, var_out,
+                          diota, niota, miota):
+    """The reverse Welford+γ backup walk shared by `_backup_kernel` and
+    `_lp_backup_kernel` — one source so a semantic fix can never reach one
+    and miss the other. `lookup_obs(nmask, live)` returns the (BG, 1) obs
+    index for the level (dead lanes may return anything in the plain form —
+    mmask is live-gated); `v0`/`var0` are (BG, 1) values."""
+    kmax = jnp.max(lengths)
+
+    def body(k, v):
+        t = lengths - 1 - k                      # (BG, 1) per-lane level
+        live = t >= 0
+        tt = jnp.maximum(t, 0)
+        idx = jnp.sum(
+            jnp.where(diota == tt, trace_ref[:], 0), 1, keepdims=True
+        )
+        nmask = niota == idx
+        s = jnp.sum(jnp.where(nmask, score_ref[:], 0.0), 1, keepdims=True)
+        o = lookup_obs(nmask, live)
+        mmask = (miota == o) & live
+
+        vi = jnp.sum(jnp.where(mmask, visit_out[:], 0.0), 1, keepdims=True)
+        va = jnp.sum(jnp.where(mmask, value_out[:], 0.0), 1, keepdims=True)
+        vr = jnp.sum(jnp.where(mmask, var_out[:], 0.0), 1, keepdims=True)
+
+        v_rel = v - s
+        first = vi == 0.0
+        delta = v_rel - va
+        val_new = jnp.where(first, v_rel, va + delta / (vi + 1.0))
+        delta2 = v_rel - val_new
+        var_new = jnp.where(
+            first, var0, vr + (delta * delta2 - vr) / (vi + 1.0)
+        )
+
+        visit_out[:] = jnp.where(mmask, vi + 1.0, visit_out[:])
+        value_out[:] = jnp.where(mmask, val_new, value_out[:])
+        var_out[:] = jnp.where(mmask, var_new, var_out[:])
+        return jnp.where(live, gamma * v_rel + s, v)
+
+    lax.fori_loop(0, kmax, body, v0, unroll=False)
+
+
 def _backup_kernel(gamma, D, N, M,
                    trace_ref, len_ref, v0_ref, var0_ref,
                    score_ref, obs_ref,
@@ -66,40 +109,15 @@ def _backup_kernel(gamma, D, N, M,
     diota = lax.broadcasted_iota(jnp.int32, (BG, D), 1)
     niota = lax.broadcasted_iota(jnp.int32, (BG, N), 1)
     miota = lax.broadcasted_iota(jnp.int32, (BG, M), 1)
-    lengths = len_ref[:]
-    kmax = jnp.max(lengths)
 
-    def body(k, v):
-        t = lengths - 1 - k                      # (BG, 1) per-lane level
-        live = t >= 0
-        tt = jnp.maximum(t, 0)
-        idx = jnp.sum(
-            jnp.where(diota == tt, trace_ref[:], 0), 1, keepdims=True
-        )
-        nmask = niota == idx
-        s = jnp.sum(jnp.where(nmask, score_ref[:], 0.0), 1, keepdims=True)
-        o = jnp.sum(jnp.where(nmask, obs_ref[:], 0), 1, keepdims=True)
-        mmask = (miota == o) & live
+    def lookup_obs(nmask, live):
+        return jnp.sum(jnp.where(nmask, obs_ref[:], 0), 1, keepdims=True)
 
-        vi = jnp.sum(jnp.where(mmask, visit_out[:], 0.0), 1, keepdims=True)
-        va = jnp.sum(jnp.where(mmask, value_out[:], 0.0), 1, keepdims=True)
-        vr = jnp.sum(jnp.where(mmask, var_out[:], 0.0), 1, keepdims=True)
-
-        v_rel = v - s
-        first = vi == 0.0
-        delta = v_rel - va
-        val_new = jnp.where(first, v_rel, va + delta / (vi + 1.0))
-        delta2 = v_rel - val_new
-        var_new = jnp.where(
-            first, var0_ref[:], vr + (delta * delta2 - vr) / (vi + 1.0)
-        )
-
-        visit_out[:] = jnp.where(mmask, vi + 1.0, visit_out[:])
-        value_out[:] = jnp.where(mmask, val_new, value_out[:])
-        var_out[:] = jnp.where(mmask, var_new, var_out[:])
-        return jnp.where(live, gamma * v_rel + s, v)
-
-    lax.fori_loop(0, kmax, body, v0_ref[:], unroll=False)
+    _reverse_welford_walk(
+        gamma, trace_ref, len_ref[:], score_ref, lookup_obs,
+        v0_ref[:], var0_ref[:], visit_out, value_out, var_out,
+        diota, niota, miota,
+    )
 
 
 @functools.partial(
@@ -862,45 +880,21 @@ def _lp_backup_kernel(gamma, D, N, M,
     v0 = jnp.where(expanded, v_mean, leaf_score)
     var0 = jnp.where(expanded, var_mean, jnp.float32(0.0))
 
-    # ---- reverse Welford+γ walk (same as _backup_kernel) -------------------
-    kmax = jnp.max(lengths)
-
-    def body(kk, v):
-        t = lengths - 1 - kk
-        live = t >= 0
-        tt = jnp.maximum(t, 0)
-        idx = jnp.sum(
-            jnp.where(diota == tt, trace_ref[:], 0), 1, keepdims=True
-        )
-        nmask = niota == idx
-        s = jnp.sum(jnp.where(nmask, score_ref[:], 0.0), 1, keepdims=True)
-        o = jnp.where(
+    # ---- reverse Welford+γ walk (shared with _backup_kernel) ---------------
+    def lookup_obs(nmask, live):
+        # obs and end share a word here; dead lanes redirect to M
+        return jnp.where(
             live,
             jnp.sum(jnp.where(nmask, obsend_ref[:], 0), 1, keepdims=True)
             & ((1 << 30) - 1),
             M,
         )
-        mmask = (miota == o) & live
 
-        vi = jnp.sum(jnp.where(mmask, visit_out[:], 0.0), 1, keepdims=True)
-        va = jnp.sum(jnp.where(mmask, value_out[:], 0.0), 1, keepdims=True)
-        vr = jnp.sum(jnp.where(mmask, var_out[:], 0.0), 1, keepdims=True)
-
-        v_rel = v - s
-        first = vi == 0.0
-        delta = v_rel - va
-        val_new = jnp.where(first, v_rel, va + delta / (vi + 1.0))
-        delta2 = v_rel - val_new
-        var_new = jnp.where(
-            first, var0, vr + (delta * delta2 - vr) / (vi + 1.0)
-        )
-
-        visit_out[:] = jnp.where(mmask, vi + 1.0, visit_out[:])
-        value_out[:] = jnp.where(mmask, val_new, value_out[:])
-        var_out[:] = jnp.where(mmask, var_new, var_out[:])
-        return jnp.where(live, gamma * v_rel + s, v)
-
-    lax.fori_loop(0, kmax, body, v0, unroll=False)
+    _reverse_welford_walk(
+        gamma, trace_ref, lengths, score_ref, lookup_obs,
+        v0, var0, visit_out, value_out, var_out,
+        diota, niota, miota,
+    )
 
 
 _BG_LP = 128

@@ -196,3 +196,37 @@ class TestDistSelect:
         )
         assert int(length) == 2
         assert int(trace[1]) == int(want)
+
+
+class TestBatchedDistSelect:
+    """The hand-batched dist select must be bit-exact vs vmapping the
+    per-tree walk — same draw stream, traces, lengths."""
+
+    def _grown(self, B=5, sims=8, seed=4):
+        c = small_cfg(sims=sims)
+
+        def apply_fn(params, imgs):
+            n = imgs.shape[0]
+            return jnp.full((n, DCFG.atoms), 1.0 / DCFG.atoms)
+
+        move = jax.jit(DD.make_dist_move_fn(apply_fn, c, DCFG,
+                                            min_visits_store=1))
+        dtrees, envs = DD.init_dist_batch(seed, B, c, DCFG)
+        replay = DD.init_dist_replay(512, DCFG.atoms)
+        key = jax.random.PRNGKey(seed)
+        for _ in range(2):
+            key, k = jax.random.split(key)
+            dtrees, envs, replay, _ = move(None, dtrees, envs, replay, k)
+        return c, dtrees
+
+    def test_select_matches_vmapped(self):
+        c, dtrees = self._grown()
+        B = int(dtrees.base.root.shape[0])
+        keys = jax.random.split(jax.random.PRNGKey(13), B)
+        t_b, a_b, l_b = DD.select_batched(dtrees, keys, c.tree, DCFG)
+        t_v, a_v, l_v = jax.vmap(DD.select, in_axes=(0, 0, None, None))(
+            dtrees, keys, c.tree, DCFG
+        )
+        np.testing.assert_array_equal(np.asarray(l_b), np.asarray(l_v))
+        np.testing.assert_array_equal(np.asarray(t_b), np.asarray(t_v))
+        np.testing.assert_array_equal(np.asarray(a_b), np.asarray(a_v))

@@ -94,3 +94,73 @@ def test_vp_driver_trains():
     assert d.moves == 25
     assert d.total_rows > 0
     assert d.n_trains >= 1
+
+
+class TestBatchedVPWalks:
+    """The hand-batched VP walks (one while_loop for all B trees) must be
+    bit-exact vs vmapping their per-tree twins — same RNG stream, traces,
+    stats (the validation pattern of tree.select_batched/backup_batched)."""
+
+    def _grown(self, B=5, sims=9, seed=3):
+        c = cfg(sims=sims)
+        move = jax.jit(
+            VP.make_vp_move_fn(const_apply(), c, min_visits_store=1)
+        )
+        vtrees, envs = VP.init_vp_batch(seed, B, c)
+        replay = VP.init_vp_replay(512)
+        key = jax.random.PRNGKey(seed)
+        for _ in range(2):
+            key, k = jax.random.split(key)
+            vtrees, envs, replay, _ = move(None, vtrees, envs, replay, k)
+        return c, vtrees
+
+    def test_select_matches_vmapped(self):
+        c, vtrees = self._grown()
+        B = int(vtrees.base.root.shape[0])
+        keys = jax.random.split(jax.random.PRNGKey(7), B)
+        t_b, a_b, l_b = VP.select_batched(vtrees, keys, c.tree)
+        t_v, a_v, l_v = jax.vmap(VP.select, in_axes=(0, 0, None))(
+            vtrees, keys, c.tree
+        )
+        np.testing.assert_array_equal(np.asarray(l_b), np.asarray(l_v))
+        np.testing.assert_array_equal(np.asarray(t_b), np.asarray(t_v))
+        np.testing.assert_array_equal(np.asarray(a_b), np.asarray(a_v))
+
+    def test_replay_leaf_matches_vmapped(self):
+        from tetris_mcts_tpu.search import tree as T
+
+        c, vtrees = self._grown(seed=5)
+        B = int(vtrees.base.root.shape[0])
+        keys = jax.random.split(jax.random.PRNGKey(9), B)
+        _, acts, lengths = VP.select_batched(vtrees, keys, c.tree)
+        st_b = T.replay_leaf_batched(vtrees.base, acts, lengths, c.tree)
+        st_v = jax.vmap(T.replay_leaf, in_axes=(0, 0, 0, None))(
+            vtrees.base, acts, lengths, c.tree
+        )
+        for f in st_b._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_b, f)), np.asarray(getattr(st_v, f)),
+                err_msg=f,
+            )
+
+    def test_backup_matches_vmapped(self):
+        c, vtrees = self._grown(seed=8)
+        B = int(vtrees.base.root.shape[0])
+        keys = jax.random.split(jax.random.PRNGKey(11), B)
+        traces, _, lengths = VP.select_batched(vtrees, keys, c.tree)
+        values = jnp.linspace(3.0, 40.0, B)
+        got = VP.backup_value_policy_batched(
+            vtrees, traces, lengths, values, c.tree
+        )
+        want = jax.vmap(VP.backup_value_policy, in_axes=(0, 0, 0, 0, None))(
+            vtrees, traces, lengths, values, c.tree
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.base.visits), np.asarray(want.base.visits)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.base.values), np.asarray(want.base.values)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.pol_new), np.asarray(want.pol_new)
+        )

@@ -22,12 +22,13 @@ Deviation (documented): distributions and stats live on obs slots
 core predates its own projection layer. Distributions are stored (atoms, M)
 pool-minor.
 
-KNOWN PERF LIMITATION (CLAUDE.md rules 4-6): the walks here are vmapped
-while_loops and the backup's running-mean distribution update is a
-read-modify-write column scatter into the carried (atoms, M) store — both
-patterns the VV path eliminated (hand-batched walks, read-free scatters).
-Acceptable for the capability-parity role this legacy agent plays; rework
-the backup before using it at production scale.
+The select and replay walks run HAND-BATCHED in the driver
+(`select_batched`, `T.replay_leaf_batched`; CLAUDE.md rule 5), golden-
+tested bit-exact against their vmapped per-tree twins. KNOWN PERF
+LIMITATION (rules 4-6): the backup remains a vmapped while_loop whose
+running-mean distribution update is a read-modify-write column scatter
+into the carried (atoms, M) store. Acceptable for the capability-parity
+role this legacy agent plays; rework before production-scale use.
 """
 
 from __future__ import annotations
@@ -154,6 +155,96 @@ def select(dt: DistTree, key, cfg: TreeConfig, dcfg: DistConfig):
     return trace, acts, depth
 
 
+def select_batched(dts: DistTree, keys, cfg: TreeConfig, dcfg: DistConfig):
+    """Hand-batched `select` over B trees in ONE while_loop (CLAUDE.md rule
+    5 — vmap's while batching re-selects every carried array per level).
+    The per-level draws are the vmapped primitives, so draw streams and
+    trajectories are BIT-IDENTICAL to vmapping `select` (golden-tested).
+
+    dts: batched DistTree; keys (B, 2) uint32. Returns
+    (traces (B, D) i32, actions (B, D) i32, lengths (B,) i32)."""
+    tree = dts.base
+    B = tree.root.shape[0]
+    D = cfg.max_depth
+    bidx = jnp.arange(B)
+    eps = jnp.float32(1e-3)
+    a7 = jnp.arange(N_ACTIONS)
+    vsplit = jax.vmap(jax.random.split)
+    vgumbel = jax.vmap(lambda k: jax.random.gumbel(k, (N_ACTIONS,)))
+
+    def cond(c):
+        _, _, _, depth, done, _, _ = c
+        return (depth < D) & ~jnp.all(done)
+
+    def body(c):
+        trace, acts, idx, depth, done, keys, lengths = c
+        live = ~done
+        col = jnp.where(live, depth, D)          # dead lanes write nowhere
+        trace = trace.at[bidx, col].set(idx, mode="drop")
+
+        # unique-by-obs child set (tree._kids_stats, batched inline — the
+        # same form tree.select_batched golden-tests against the vmapped
+        # per-tree walk)
+        c_ = tree.cbase[bidx, idx]
+        valid = (c_ != 0)[:, None]
+        kids = jnp.where(valid, c_[:, None] + a7[None, :], 0)
+        ns = jnp.take_along_axis(tree.nstat, kids[:, None, :], axis=2)
+        sc = ns[:, 0, :]
+        obs = jnp.where(valid, ns[:, 1, :].astype(jnp.int32), -1)
+        same = obs[:, :, None] == obs[:, None, :]
+        beats = (sc[:, :, None] > sc[:, None, :]) | (
+            (sc[:, :, None] == sc[:, None, :])
+            & (a7[None, :, None] <= a7[None, None, :])
+        )
+        kept = valid & jnp.all(~same | beats, axis=2)
+        any_kid = jnp.any(kept, axis=1)
+
+        visits = jnp.where(
+            kept, jnp.take_along_axis(tree.visits, obs, 1), 0.0
+        )
+        low_mask = kept & (visits < dcfg.low)
+        any_low = jnp.any(low_mask, axis=1)
+        ks = vsplit(keys)
+        keys, sub = ks[:, 0], ks[:, 1]
+        gumbel = vgumbel(sub)
+        low_choice = jnp.argmax(
+            jnp.where(low_mask, gumbel, -jnp.inf), axis=1
+        )
+
+        n_total = jnp.sum(visits, axis=1, keepdims=True)
+        s_idx = tree.nstat[bidx, 0, idx][:, None]
+        q = (
+            jnp.take_along_axis(tree.values, obs, 1)
+            + sc
+            - s_idx
+            + norm_quantile(n_total)
+            * jnp.sqrt(jnp.maximum(
+                jnp.take_along_axis(dts.obs_m2, obs, 1)
+                / ((visits - 1.0 + eps) * (visits + eps)),
+                0.0,
+            ))
+        )
+        clt_choice = jnp.argmax(jnp.where(kept, q, -jnp.inf), axis=1)
+        choice = jnp.where(any_low, low_choice, clt_choice).astype(jnp.int32)
+
+        acts = acts.at[bidx, col].set(
+            jnp.where(any_kid, choice, 0), mode="drop"
+        )
+        kc = jnp.take_along_axis(kids, choice[:, None], 1)[:, 0]
+        idx = jnp.where(live & any_kid, kc, idx)
+        newly_done = live & ~any_kid
+        lengths = jnp.where(newly_done, depth + 1, lengths)
+        return trace, acts, idx, depth + 1, done | newly_done, keys, lengths
+
+    trace, acts, _, _, _, _, lengths = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((B, D), jnp.int32), jnp.zeros((B, D), jnp.int32),
+         tree.root, jnp.int32(0), jnp.zeros(B, bool), keys,
+         jnp.full(B, D, jnp.int32)),
+    )
+    return trace, acts, lengths
+
+
 def backup(dt: DistTree, trace, length, r, dist, cfg: TreeConfig,
            dcfg: DistConfig):
     """`backup_trace_distributional` (core_distributional.py:110-125): walk
@@ -277,8 +368,6 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
     tcfg = cfg.tree
     from tetris_mcts_tpu.search.mcts import bgather, bgather_col
 
-    vselect = jax.vmap(select, in_axes=(0, 0, None, None))
-    vreplay_leaf = jax.vmap(T.replay_leaf, in_axes=(0, 0, 0, None))
     vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, 0, None))
     vbackup = jax.vmap(backup, in_axes=(0, 0, 0, 0, 0, None, None))
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
@@ -293,11 +382,16 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
     def sim_once(params, dtrees, key):
         B = dtrees.base.root.shape[0]
         key, k_sel = jax.random.split(key)
-        traces, actions, lengths = vselect(
+        # hand-batched walks (CLAUDE.md rule 5) — bit-identical to the
+        # vmapped per-tree forms they are golden-tested against (the
+        # backup stays vmapped: see the module-docstring limitation)
+        traces, actions, lengths = select_batched(
             dtrees, jax.random.split(k_sel, B), tcfg, dcfg
         )
         leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
-        leaf_states = vreplay_leaf(dtrees.base, actions, lengths, tcfg)
+        leaf_states = T.replay_leaf_batched(
+            dtrees.base, actions, lengths, tcfg
+        )
 
         leaf_end = bgather(dtrees.base.end, leafs)
         childless = bgather(dtrees.base.cbase, leafs) == 0

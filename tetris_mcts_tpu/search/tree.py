@@ -893,6 +893,36 @@ def replay_leaf(tree: Tree, actions, length, cfg: TreeConfig) -> EnvState:
     return st
 
 
+def replay_leaf_batched(trees: Tree, actions, lengths,
+                        cfg: TreeConfig) -> EnvState:
+    """Hand-batched `replay_leaf` over B trees in ONE while_loop (CLAUDE.md
+    rule 5): iteration t steps every lane still inside its own path
+    (t < length-1), finished lanes self-mask via a per-field select on the
+    small EnvState. Bit-exact vs vmapping `replay_leaf` (engine.step is
+    deterministic; golden-tested)."""
+    B = lengths.shape[0]
+    bidx = jnp.arange(B)
+
+    def cond(c):
+        _, t = c
+        return t < jnp.max(lengths) - 1
+
+    def body(c):
+        st, t = c
+        st2 = engine.step_batch(st, actions[bidx, t], cfg.env)
+        do = t < lengths - 1
+        st = jax.tree.map(
+            lambda a, b: jnp.where(
+                do.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            st2, st,
+        )
+        return st, t + 1
+
+    st, _ = jax.lax.while_loop(cond, body, (trees.root_state, jnp.int32(0)))
+    return st
+
+
 # ---------------------------------------------------------------------------
 # expansion
 # ---------------------------------------------------------------------------

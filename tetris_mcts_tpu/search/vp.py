@@ -23,13 +23,12 @@ Deviations (documented):
 - policy arrays are laid out (7, M) with the pool axis minor and boards are
   stored bit-packed, for the same TPU tiling reasons as tree.py.
 
-Functions operate on ONE tree; the driver vmaps them.
-
-KNOWN PERF LIMITATION (CLAUDE.md rule 5): the walks here are vmapped
-while_loops, which re-select every carried array per level — the VV path's
-hand-batched/Pallas treatment (tree.select_batched, ops/tree_walk.py) was
-measured 1.5-2x faster and has not yet been applied to this secondary
-agent. Hand-batch these walks before using VP at production scale.
+Per-tree functions exist for tests/golden twins; the driver runs the
+HAND-BATCHED walks (`select_batched`, `T.replay_leaf_batched`,
+`backup_value_policy_batched`) — one while_loop for all B trees with
+self-masking via index redirection (CLAUDE.md rule 5; vmap's while
+batching re-selects every carried array per level). Each batched walk is
+golden-tested bit-exact against vmapping its per-tree twin.
 """
 
 from __future__ import annotations
@@ -106,6 +105,63 @@ def select(vt: VPTree, key, cfg: TreeConfig):
     return trace, acts, depth
 
 
+def select_batched(vts: VPTree, keys, cfg: TreeConfig):
+    """Hand-batched `select` over B trees in ONE while_loop (CLAUDE.md rule
+    5 — vmap's while batching re-selects every carried array per level).
+    Finished lanes self-mask via index redirection; the per-level draws are
+    the vmapped primitives, so trajectories are BIT-IDENTICAL to vmapping
+    `select` (golden-tested).
+
+    vts: batched VPTree; keys (B, 2) uint32. Returns
+    (traces (B, D) i32, actions (B, D) i32, lengths (B,) i32)."""
+    base = vts.base
+    B = base.root.shape[0]
+    D = cfg.max_depth
+    bidx = jnp.arange(B)
+    vsplit = jax.vmap(jax.random.split)
+    vchoice = jax.vmap(
+        lambda k, pr: jax.random.choice(k, N_ACTIONS, p=pr)
+    )
+
+    def cond(c):
+        _, _, _, depth, done, _, _ = c
+        return (depth < D) & ~jnp.all(done)
+
+    def body(c):
+        trace, acts, idx, depth, done, keys, lengths = c
+        live = ~done
+        col = jnp.where(live, depth, D)          # dead lanes write nowhere
+        trace = trace.at[bidx, col].set(idx, mode="drop")
+
+        o = base.nstat[bidx, 1, idx].astype(jnp.int32)          # (B,)
+        # per-lane gather from the loop-INVARIANT prior store (rule 6:
+        # fused gathers from invariant arrays are fine)
+        p = jnp.take_along_axis(vts.prior, o[:, None, None], 2)[:, :, 0]
+        total = jnp.sum(p, axis=1, keepdims=True)
+        probs = jnp.where(
+            total > 0, p / jnp.maximum(total, 1e-9), 1.0 / N_ACTIONS
+        )
+        ks = vsplit(keys)
+        keys, sub = ks[:, 0], ks[:, 1]
+        a = vchoice(sub, probs).astype(jnp.int32)
+        acts = acts.at[bidx, col].set(a, mode="drop")
+
+        cb = base.cbase[bidx, idx]
+        nxt = jnp.where(cb != 0, cb + a, 0)
+        newly_done = live & (nxt == 0)
+        lengths = jnp.where(newly_done, depth + 1, lengths)
+        idx = jnp.where(live & (nxt != 0), nxt, idx)
+        return trace, acts, idx, depth + 1, done | newly_done, keys, lengths
+
+    trace, acts, _, _, _, _, lengths = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((B, D), jnp.int32), jnp.zeros((B, D), jnp.int32),
+         base.root, jnp.int32(0), jnp.zeros(B, bool), keys,
+         jnp.full(B, D, jnp.int32)),
+    )
+    return trace, acts, lengths
+
+
 # ---------------------------------------------------------------------------
 # backup
 # ---------------------------------------------------------------------------
@@ -150,6 +206,70 @@ def backup_value_policy(vt: VPTree, trace, length, value, cfg: TreeConfig):
     )
     return vt._replace(
         base=tree._replace(visits=visit, values=val), pol_new=pol_new
+    )
+
+
+def backup_value_policy_batched(vts: VPTree, traces, lengths, values,
+                                cfg: TreeConfig):
+    """Hand-batched `backup_value_policy` over B trees in ONE while_loop
+    (same treatment as tree.backup_batched): iteration k processes level
+    length_b-1-k of each lane, dead lanes scatter out of range
+    (mode="drop"). Per-lane arithmetic is identical to the per-tree walk —
+    bit-exact, golden-tested against the vmapped form. The improvement
+    count is the one 3-index scalar scatter (CLAUDE.md rule 6: ~2x a flat
+    scalar scatter, still far below vmap's full-carry re-selects).
+
+    traces (B, D) i32, lengths (B,) i32, values (B,) f32."""
+    base = vts.base
+    B, M = base.visits.shape
+    bidx = jnp.arange(B)
+    score_row = base.nstat[:, 0, :]
+    obs_row = base.nstat[:, 1, :].astype(jnp.int32)
+    a7 = jnp.arange(N_ACTIONS)
+    values = values.astype(jnp.float32)
+    kmax = jnp.max(lengths)
+
+    def cond(c):
+        k, *_ = c
+        return k < kmax
+
+    def body(c):
+        k, visit, val, pol_new = c
+        t = lengths - 1 - k                  # per-lane level (reverse)
+        live = t >= 0
+        tt = jnp.maximum(t, 0)
+        idx = traces[bidx, tt]
+        s = score_row[bidx, idx]
+        o = jnp.where(live, obs_row[bidx, idx], M)   # dead lanes drop
+        oc = jnp.minimum(o, M - 1)
+
+        v_rel = values - s                   # undiscounted, as per-tree
+        n = visit[bidx, oc]
+        valo = val[bidx, oc]
+        new_visit = n + 1.0
+        val_new = valo + (v_rel - valo) / new_visit
+
+        # greedy child BEFORE this level's value write (per-tree order)
+        cb = base.cbase[bidx, idx]
+        kids = jnp.where((cb != 0)[:, None], cb[:, None] + a7[None, :], 0)
+        nsk = jnp.take_along_axis(base.nstat, kids[:, None, :], axis=2)
+        ksc = nsk[:, 0, :]
+        kobs = nsk[:, 1, :].astype(jnp.int32)
+        kval = jnp.take_along_axis(val, jnp.minimum(kobs, M - 1), axis=1)
+        q = jnp.where(kids != 0, kval + ksc - s[:, None], -jnp.inf)
+        amax = jnp.argmax(q, axis=1)
+
+        visit = visit.at[bidx, o].set(new_visit, mode="drop")
+        val = val.at[bidx, o].set(val_new, mode="drop")
+        pol_new = pol_new.at[bidx, amax, o].add(1.0, mode="drop")
+        return k + 1, visit, val, pol_new
+
+    _, visit, val, pol_new = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), base.visits, base.values, vts.pol_new),
+    )
+    return vts._replace(
+        base=base._replace(visits=visit, values=val), pol_new=pol_new
     )
 
 
@@ -269,10 +389,7 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         -> (vtrees, envs, replay, VPMoveStats).
     """
     tcfg = cfg.tree
-    vselect = jax.vmap(select, in_axes=(0, 0, None))
-    vreplay_leaf = jax.vmap(T.replay_leaf, in_axes=(0, 0, 0, None))
     vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, 0, None))
-    vbackup = jax.vmap(backup_value_policy, in_axes=(0, 0, 0, 0, None))
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vbest = jax.vmap(best_action)
     vrootpol = jax.vmap(root_policy)
@@ -286,11 +403,15 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
     def sim_once(params, vtrees, key):
         B = vtrees.base.root.shape[0]
         key, k_sel = jax.random.split(key)
-        traces, actions, lengths = vselect(
+        # hand-batched walks (CLAUDE.md rule 5) — bit-identical to the
+        # vmapped per-tree forms they are golden-tested against
+        traces, actions, lengths = select_batched(
             vtrees, jax.random.split(k_sel, B), tcfg
         )
         leafs = bgather(traces, jnp.maximum(lengths - 1, 0))
-        leaf_states = vreplay_leaf(vtrees.base, actions, lengths, tcfg)
+        leaf_states = T.replay_leaf_batched(
+            vtrees.base, actions, lengths, tcfg
+        )
 
         leaf_end = bgather(vtrees.base.end, leafs)
         childless = bgather(vtrees.base.cbase, leafs) == 0
@@ -318,7 +439,9 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
 
         leaf_score = leaf_ns[:, 0]
         value = jnp.where(can, leaf_score + v.reshape(-1), leaf_score)
-        vtrees = vbackup(vtrees, traces, lengths, value, tcfg)
+        vtrees = backup_value_policy_batched(
+            vtrees, traces, lengths, value, tcfg
+        )
         return vtrees, key
 
     def run_sims(params, vtrees, key):

@@ -58,12 +58,33 @@ def batch_spec(leaf_ndim: int) -> P:
 
 def shard_batch(mesh: Mesh, tree):
     """Place a pytree whose every leaf has a leading batch axis: batch over
-    `"data"`. Scalars (ndim 0) are replicated."""
+    `"data"`. Scalars (ndim 0) are replicated. Single-process form —
+    `device_put` of a full global value requires every process to hold the
+    identical value; on a multi-process mesh use `shard_batch_from_local`."""
 
     def put(leaf):
         leaf = jnp.asarray(leaf)
         spec = batch_spec(leaf.ndim) if leaf.ndim >= 1 else P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def shard_batch_from_local(mesh: Mesh, tree, global_batch: int):
+    """Assemble GLOBAL batch-sharded arrays from each process's LOCAL rows:
+    every process passes a pytree holding its own `global_batch /
+    process_count` rows (e.g. its own-seeded env/tree shard), and the result
+    is one global array per leaf, batch over `"data"`. This is the
+    multi-controller-correct form of `shard_batch` — hosts' rows may differ
+    by construction. Degenerates to a plain sharded placement on one
+    process."""
+
+    def put(leaf):
+        leaf = np.asarray(jnp.asarray(leaf))
+        sharding = NamedSharding(mesh, batch_spec(leaf.ndim))
+        return jax.make_array_from_process_local_data(
+            sharding, leaf, (global_batch,) + leaf.shape[1:]
+        )
 
     return jax.tree.map(put, tree)
 

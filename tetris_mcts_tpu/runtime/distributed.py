@@ -108,22 +108,32 @@ class DistributedSelfPlay:
         # mesh into unrelated later traces
         if tree_walk.on_tpu():
             tree_walk.set_kernel_mesh(self.mesh)
+        assert driver_kw.get("saver") is None and \
+            driver_kw.get("status") is None, (
+                "saver/status channels are single-process (every host "
+                "would write identical rows to the same file)"
+            )
         self.driver = SelfPlayDriver(cfg, model=model, **driver_kw)
         # Per-host game diversity comes from the env/tree INIT: each host
-        # seeds its own shard of the global batch. The driver's RNG key and
-        # params stay at the shared base seed — they are REPLICATED inputs
-        # to the global-mesh program, and multi-controller jit requires
-        # replicated inputs to be bit-identical on every process
-        # (host-divergent values are undefined behavior; per-lane draw
-        # streams inside the program already differ per game).
+        # seeds ITS OWN local_batch rows of the global batch and the global
+        # arrays are assembled from those local shards (device_put of a
+        # full host-divergent value is rejected by multi-controller JAX).
+        # The driver's RNG key and params stay at the shared base seed —
+        # they are REPLICATED inputs and must be bit-identical on every
+        # process; per-lane draw streams inside the program already differ
+        # per game.
         from tetris_mcts_tpu.search import mcts
+        local_b = local_batch(cfg.batch)
         local_seed = cfg.seed + 7919 * self.process_index
-        self.driver.trees, self.driver.envs = mcts.init_batch(
-            local_seed, cfg.batch, self.driver.search_cfg
+        ltrees, lenvs = mcts.init_batch(
+            local_seed, local_b, self.driver.search_cfg
         )
-        # shard the device state over the mesh's data axis
-        self.driver.trees = M.shard_batch(self.mesh, self.driver.trees)
-        self.driver.envs = M.shard_batch(self.mesh, self.driver.envs)
+        self.driver.trees = M.shard_batch_from_local(
+            self.mesh, ltrees, cfg.batch
+        )
+        self.driver.envs = M.shard_batch_from_local(
+            self.mesh, lenvs, cfg.batch
+        )
         self.driver.replay = M.replicate(self.mesh, self.driver.replay)
 
     def close(self):

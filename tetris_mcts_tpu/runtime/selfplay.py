@@ -44,6 +44,23 @@ _get_state_batch = jax.jit(engine.get_state_batch)
 _unpack = jax.jit(engine.unpack_obs)
 
 
+def _host_fetch(arrays):
+    """ONE device->host sync for a tuple of arrays. On a multi-process mesh
+    the jitted move program's batch-sharded outputs are not fully
+    addressable on any one host and must be allgathered (small per-move
+    arrays; every host then runs identical episode bookkeeping); replicated
+    leaves (e.g. the replay counters) read locally."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return tuple(
+            np.asarray(a) if getattr(a, "is_fully_addressable", True)
+            else multihost_utils.process_allgather(a, tiled=True)
+            for a in arrays
+        )
+    return jax.device_get(arrays)
+
+
 class SelfPlayConfig(NamedTuple):
     """Driver configuration (union of the reference's play.py flags and the
     agent kwargs, `play.py:46-70`, `agent.cpp:838-842`)."""
@@ -145,7 +162,7 @@ class _OnlineDriverBase:
         tunnel costs a ~25 ms round trip (CLAUDE.md)."""
         self.moves += 1
         self.last_stats = stats
-        done, score, lines, total = jax.device_get(
+        done, score, lines, total = _host_fetch(
             (stats.done, stats.score, stats.lines, self.replay.total)
         )
         self._publish(stats, envs_prev)

@@ -114,3 +114,19 @@ class TestTraceFlag:
         ])
         files = list(trace_dir.rglob("*"))
         assert any(f.is_file() for f in files), files
+
+
+def test_replay_gif_export(tmp_path):
+    """`replay --gif` renders saved boards to an animated GIF
+    (tools/capture.py capability: greyscale shading, scaled grid)."""
+    from PIL import Image
+
+    from tetris_mcts_tpu.cli.replay import write_gif
+
+    rng = np.random.RandomState(0)
+    boards = rng.choice([-1, 0, 1], size=(5, 20, 10)).astype(np.int8)
+    path = str(tmp_path / "ep.gif")
+    write_gif(boards, path, scale=4, duration_ms=50)
+    im = Image.open(path)
+    assert im.size == (40, 80)
+    assert im.n_frames == 5

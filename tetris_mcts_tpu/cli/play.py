@@ -26,6 +26,10 @@ AGENT_TYPES = {
     "ValueSimC": ("lp", True),
     "ApproxPolicyIter": ("vp", True),
     "DistValueSim": ("dist", True),
+    # ValueSimBayes (agents/ValueSimBayes.py): Bayes-UCB selection
+    # (select_index_bayes) on the VV net, NO online training — rebuilt as
+    # the leaf evaluator under --policy bayes (forced below)
+    "ValueSimBayes": ("leaf", False),
     "DQN": ("dqn", True),
     "DistDQN": ("dqn", True),
     "Random": ("rollout", False),
@@ -193,6 +197,8 @@ def main(argv=None):
         return driver
 
     sims = 1 if args.agent_type == "Random" else args.mcts_sims
+    if args.agent_type == "ValueSimBayes":
+        args.policy = "bayes"  # the agent IS the policy choice
     # reference-matching low/min_n defaults, overridable with --low
     if args.low is not None:
         low = args.low

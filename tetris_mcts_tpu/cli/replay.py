@@ -5,8 +5,9 @@ every frame and prints value/variance next to the stored search statistics
 (the reference's live re-inference panel, `tools/replay.py:126-143`).
 
 Keys: Enter/n = next, p = prev, j <n> = jump, q = quit. `--dump` writes the
-whole episode as text frames instead of stepping (the capture-tool
-capability, `tools/capture.py`).
+whole episode as text frames instead of stepping; `--gif PATH` renders the
+episode to an animated GIF via PIL (the capture-tool capability,
+`tools/capture.py:1-57` — greyscale cells on a scaled grid).
 """
 
 from __future__ import annotations
@@ -37,6 +38,24 @@ def render(board, score, lines, combo, value=None, variance=None,
     return "\n".join(out)
 
 
+def write_gif(boards, path, scale: int = 20, duration_ms: int = 80):
+    """Render int8 (T, 20, 10) getState boards to an animated GIF — the
+    reference's frame capturer (`tools/capture.py:1-57`: greyscale, white
+    background, dark locked cells, mid-grey falling piece) without its
+    memmap polling loop (frames come from the saved episode)."""
+    from PIL import Image
+
+    boards = np.asarray(boards)
+    # 0 empty -> white, 1 locked -> near-black, -1 piece -> mid grey
+    shade = np.where(boards == 1, 40, np.where(boards == -1, 128, 255))
+    big = np.kron(shade.astype(np.uint8), np.ones((scale, scale), np.uint8))
+    frames = [Image.fromarray(b, mode="L") for b in big]
+    frames[0].save(
+        path, save_all=True, append_images=frames[1:],
+        duration=duration_ms, loop=0,
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tetris-tpu replay")
     p.add_argument("data", help="DataSaver .h5 file (or glob)")
@@ -46,6 +65,13 @@ def main(argv=None):
                    help="VV checkpoint to re-run on each frame")
     p.add_argument("--dump", action="store_true",
                    help="print all frames non-interactively")
+    p.add_argument("--gif", default="",
+                   help="render the episode to this animated-GIF path "
+                        "(tools/capture.py capability)")
+    p.add_argument("--gif_scale", type=int, default=20,
+                   help="pixels per cell in --gif (capture.py scale)")
+    p.add_argument("--gif_ms", type=int, default=80,
+                   help="frame duration in ms for --gif")
     args = p.parse_args(argv)
 
     from tetris_mcts_tpu.utils.data import DataLoader
@@ -76,6 +102,12 @@ def main(argv=None):
             v, var = model.inference(loader.board[j][None])
             txt += f"\nmodel value {float(v[0, 0]):.2f}  variance {float(var[0, 0]):.2f}"
         return f"frame {i + 1}/{len(sel)} (episode {ep})\n" + txt
+
+    if args.gif:
+        write_gif(loader.board[sel], args.gif, scale=args.gif_scale,
+                  duration_ms=args.gif_ms)
+        print(f"wrote {len(sel)} frames to {args.gif}")
+        return 0
 
     if args.dump:
         for i in range(len(sel)):

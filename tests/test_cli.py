@@ -26,7 +26,8 @@ class TestPlayParser:
 
     def test_all_agent_types_mapped(self):
         for name, (ev, trains) in AGENT_TYPES.items():
-            assert ev in ("rollout", "leaf", "lp", "vp", "dist", "dqn"), name
+            assert ev in ("rollout", "leaf", "lp", "vp", "dist", "dqn",
+                          "hybrid", "finite", "full", "s2"), name
 
 
 class TestTrainTargets:

@@ -30,10 +30,24 @@ AGENT_TYPES = {
     # (select_index_bayes) on the VV net, NO online training — rebuilt as
     # the leaf evaluator under --policy bayes (forced below)
     "ValueSimBayes": ("leaf", False),
+    # legacy policy-guided-playout agents (SURVEY §2.3: HybridSim depth-30
+    # + value bootstrap, FiniteSim depth-50, FullSim to-game-end;
+    # agents/{Hybrid,Finite,Full}Sim.py) — rebuilt on the VP net, no
+    # training, playout depth overridable with --rollout_depth
+    "HybridSim": ("hybrid", False),
+    "FiniteSim": ("finite", False),
+    "FullSim": ("full", False),
+    # ValueSim2 (agents/ValueSim2.py, LEGACY/BROKEN in the reference):
+    # stochastic-transition edge statistics + select_index_2 UCB
+    # (search/stochastic.py), single-leaf VV evaluation, no training
+    "ValueSim2": ("s2", False),
     "DQN": ("dqn", True),
     "DistDQN": ("dqn", True),
     "Random": ("rollout", False),
 }
+
+# evaluators that run on the VP (value+policy) net
+_VP_EVALUATORS = ("vp", "hybrid", "finite", "full")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -79,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write data/dump.npz of each training session's set "
                         "(reference ValueSim.py:176-177; consumed by `tools "
                         "train_dump`). '' = off")
+    p.add_argument("--ensemble", type=int, default=0,
+                   help="K-member deep-ensemble VV net (the reference's "
+                        "broken model_vv.Ensemble rebuilt working; "
+                        "train/ensemble.py). 0 = single net. Applies to "
+                        "the VV-net agents (ValueSim*/Vanilla variants)")
+    p.add_argument("--rollout_depth", type=int, default=0,
+                   help="policy-playout depth for HybridSim/FiniteSim/"
+                        "FullSim (0 = reference defaults 30/50/to-end)")
     p.add_argument("--min_visits", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_model", action="store_true",
@@ -120,7 +142,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     from tetris_mcts_tpu.runtime.selfplay import (
-        DistSelfPlayDriver, SelfPlayConfig, SelfPlayDriver, VPSelfPlayDriver,
+        DistSelfPlayDriver, S2SelfPlayDriver, SelfPlayConfig, SelfPlayDriver,
+        VPSelfPlayDriver,
     )
     from tetris_mcts_tpu.train.trainer import DistModel, VPModel, VVModel
 
@@ -223,6 +246,7 @@ def main(argv=None):
         train_iters_per_val=args.train_iters_per_val,
         train_max_iters=args.train_max_iters,
         insert_kernel=args.insert_kernel, bf16=args.bf16,
+        rollout_depth=args.rollout_depth,
         # persist after every training session (crash/timeout resilience);
         # --trace is a profiling probe and must never clobber checkpoints
         checkpoint_each_train=trains and not benchmark and not args.trace,
@@ -232,10 +256,24 @@ def main(argv=None):
     )
     is_vp = evaluator == "vp"
     is_dist = evaluator == "dist"
-    if is_vp:
-        model = VPModel(checkpoint_path=args.checkpoint)
+    if evaluator in _VP_EVALUATORS:
+        # the shared --checkpoint default names the VV net; VP-net agents
+        # get their own default file (same pattern as DQN above)
+        ckpt = args.checkpoint
+        if ckpt == build_parser().get_default("checkpoint"):
+            ckpt = "./checkpoints/model_vp.msgpack"
+        model = VPModel(checkpoint_path=ckpt)
     elif is_dist:
         model = DistModel(checkpoint_path=args.checkpoint)
+    elif args.ensemble > 0:
+        from tetris_mcts_tpu.train.ensemble import EnsembleVVModel
+
+        # ensemble checkpoints stack K param trees — give them their own
+        # default file so single-net blobs never mix in
+        ckpt = args.checkpoint
+        if ckpt == build_parser().get_default("checkpoint"):
+            ckpt = "./checkpoints/model_vv_ens.msgpack"
+        model = EnsembleVVModel(n_models=args.ensemble, checkpoint_path=ckpt)
     else:
         model = VVModel(checkpoint_path=args.checkpoint)
     if args.load_model:
@@ -255,6 +293,7 @@ def main(argv=None):
     driver_cls = (
         VPSelfPlayDriver if is_vp
         else DistSelfPlayDriver if is_dist
+        else S2SelfPlayDriver if evaluator == "s2"
         else SelfPlayDriver
     )
     driver = driver_cls(

@@ -67,7 +67,13 @@ class SelfPlayConfig(NamedTuple):
 
     batch: int = 64                # games in lockstep (reference: 1)
     sims: int = 100                # MCTS simulations per move
-    evaluator: str = "lp"          # "lp" | "leaf" | "rollout" (Vanilla)
+    evaluator: str = "lp"          # "lp" | "leaf" | "rollout" (Vanilla) |
+                                   # "hybrid"/"finite"/"full" (policy-guided
+                                   # playouts, legacy *Sim agents)
+    rollout_depth: int = 0         # policy-playout depth cap; 0 = the
+                                   # reference default per agent (HybridSim
+                                   # depth=30, FiniteSim depth=50, FullSim
+                                   # to-game-end capped at 512)
     max_nodes: int = 4096
     max_obs: int = 4096
     table_size: int = 8192
@@ -329,14 +335,27 @@ class SelfPlayDriver(_OnlineDriverBase):
     jitted move program. `run(n_moves)` / `run_episodes(n)` advance self-play;
     training sessions fire automatically from the growth gate."""
 
+    POLICY_ROLLOUT_EVALUATORS = ("hybrid", "finite", "full")
+
     def __init__(self, cfg: SelfPlayConfig, model: Optional[VVModel] = None,
                  log=lambda s: print(s, file=sys.stderr, flush=True),
                  saver=None, metrics=None, status=None):
         """`saver`: utils.data.DataSaver — per-move rows (reference `--save`,
         play.py:127-137). `metrics`: obs.metrics.MetricsWriter. `status`:
-        obs.metrics.StatusPublisher (reference memmap protocol)."""
+        obs.metrics.StatusPublisher (reference memmap protocol).
+
+        The policy-playout evaluators (hybrid/finite/full) take a VPModel —
+        the legacy rollout agents ran on the (v, p) net (`HybridSim.py:38`
+        `evaluate_state` -> v, p)."""
         self._init_bookkeeping(cfg, log, saver, metrics, status)
-        self.model = model or VVModel()
+        if model is None:
+            if cfg.evaluator in self.POLICY_ROLLOUT_EVALUATORS:
+                from tetris_mcts_tpu.train.trainer import VPModel
+                model = VPModel()
+            else:
+                model = VVModel()
+        self.model = model
+        self._no_ubound = jnp.zeros(2, jnp.float32)
 
         tree_cfg = TreeConfig(
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
@@ -359,6 +378,18 @@ class SelfPlayDriver(_OnlineDriverBase):
             evaluator = mcts.nn_leaf_evaluator(apply_fn)
         elif cfg.evaluator == "rollout":
             evaluator = mcts.rollout_evaluator(self.search_cfg)
+        elif cfg.evaluator in self.POLICY_ROLLOUT_EVALUATORS:
+            # reference playout depths: HybridSim.py:10 depth=30,
+            # FiniteSim.py:9 depth=50, FullSim to game end (capped by the
+            # fixed-shape program at rollout_cap)
+            depth = cfg.rollout_depth or {
+                "hybrid": 30, "finite": 50,
+                "full": self.search_cfg.rollout_cap,
+            }[cfg.evaluator]
+            evaluator = mcts.policy_rollout_evaluator(
+                apply_fn, self.search_cfg, depth,
+                bootstrap=cfg.evaluator == "hybrid",
+            )
         else:
             raise ValueError(f"unknown evaluator {cfg.evaluator!r}")
 
@@ -380,8 +411,11 @@ class SelfPlayDriver(_OnlineDriverBase):
         """One batched move (B games advance one action each)."""
         self.key, sub = jax.random.split(self.key)
         envs_prev = self.envs
+        # VPModel (the policy-playout evaluators) has no output bounds; the
+        # move program's ubound slot is only read by the VV evaluators
+        ubound = getattr(self.model, "ubound", self._no_ubound)
         self.trees, self.envs, self.replay, stats = self._move(
-            self.model.params, self.model.ubound,
+            self.model.params, ubound,
             self.trees, self.envs, self.replay, sub,
         )
         return self._after_move(stats, envs_prev)
@@ -490,6 +524,65 @@ class VPSelfPlayDriver(_OnlineDriverBase):
             np.asarray(_unpack(self.replay.boards[jnp.asarray(order)])),
             np.asarray(self.replay.value)[order],
             np.asarray(self.replay.policy)[order],
+            np.asarray(self.replay.weight)[order],
+        ]
+
+
+class S2SelfPlayDriver(_OnlineDriverBase):
+    """ValueSim2-equivalent driver (the reference agent rebuilt in spirit —
+    SURVEY §2.3 marks it LEGACY/BROKEN): stochastic-transition edge
+    statistics + `select_index_2` UCB selection (`search/stochastic.py`),
+    single-leaf VV evaluation, no training (the reference agent never
+    trained)."""
+
+    def __init__(self, cfg: SelfPlayConfig, model=None,
+                 log=lambda s: print(s, file=sys.stderr, flush=True),
+                 saver=None, metrics=None, status=None):
+        from tetris_mcts_tpu.search import stochastic as S2
+
+        self._init_bookkeeping(cfg, log, saver, metrics, status)
+        self.model = model or VVModel()
+        self._S2 = S2
+
+        tree_cfg = TreeConfig(
+            max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,
+            table_size=cfg.table_size, max_depth=cfg.max_depth,
+            gamma=cfg.gamma, policy=cfg.policy, low=cfg.low,
+            insert_kernel=cfg.insert_kernel,
+            env=engine.EnvConfig(
+                actions_per_drop=cfg.actions_per_drop,
+                scoring=cfg.scoring, randomizer=cfg.randomizer,
+            ),
+        )
+        self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims)
+
+        move = S2.make_s2_move_fn(
+            self.model.apply_fn(jnp.bfloat16 if cfg.bf16 else None),
+            self.search_cfg,
+            min_visits_store=cfg.min_visits_store,
+            store=not cfg.benchmark,
+        )
+        self._move = jax.jit(move)
+        self.s2trees, self.envs = S2.init_s2_batch(
+            cfg.seed, cfg.batch, self.search_cfg
+        )
+        self.replay = mcts.init_replay(cfg.memory_size)
+
+    def step(self):
+        self.key, sub = jax.random.split(self.key)
+        envs_prev = self.envs
+        self.s2trees, self.envs, self.replay, stats = self._move(
+            self.model.params, self.model.ubound,
+            self.s2trees, self.envs, self.replay, sub,
+        )
+        return self._after_move(stats, envs_prev)
+
+    def _training_columns(self, order):
+        states = np.asarray(_unpack(self.replay.boards[jnp.asarray(order)]))
+        return [
+            states,
+            np.asarray(self.replay.value)[order],
+            np.asarray(self.replay.var)[order],
             np.asarray(self.replay.weight)[order],
         ]
 

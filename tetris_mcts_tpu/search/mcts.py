@@ -26,6 +26,10 @@ Evaluators:
              (`agents/ValueSim.py:76-94`).
 - "rollout": uniform random playout to game end from the leaf, variance 1e3
              (`agents/Vanilla.py:41-64`) — runs on-device, vmapped.
+- "hybrid" / "finite" / "full": NN-policy-guided playouts (the legacy
+             HybridSim/FiniteSim/FullSim agents, `agents/HybridSim.py:26-57`,
+             `FiniteSim.py:26-48`, `FullSim.py:24-43`) — all B playouts
+             advance in lockstep, one policy forward per playout level.
 """
 
 from __future__ import annotations
@@ -121,6 +125,58 @@ def rollout_evaluator(cfg: SearchConfig):
         keys = jax.random.split(key, B)
         v = jax.vmap(one)(leaf_states, keys)
         return v, jnp.full(B, cfg.rollout_variance, jnp.float32)
+
+    return ev
+
+
+def policy_rollout_evaluator(vp_apply, cfg: SearchConfig, depth: int,
+                             bootstrap: bool):
+    """NN-policy-guided playout from the leaf — the legacy rollout agents
+    (`agents/FiniteSim.py:26-48` depth-50, `agents/FullSim.py:24-43`
+    to-game-end, `agents/HybridSim.py:26-57` depth-30 with value bootstrap),
+    whose per-step loop was: sample a ~ softmax(policy(state)), play(a),
+    repeat; value = the playout's final score (+ NN value at the final
+    state when `bootstrap`, v=0 if the playout died — HybridSim.py:46-57;
+    the reference bootstraps off the *leaf* state there, a relic bug this
+    rebuild fixes by evaluating the playout end state).
+
+    TPU shape: where the reference rolls out ONE game serially with an NN
+    call per step, here all B playouts advance in lockstep — one batched
+    policy forward per playout level, `engine.step` self-masking finished
+    lanes (no-op on `end`). The loop exits early once every lane is done.
+
+    vp_apply: (params, states_nhwc) -> (v, logits) — the VP net
+    (`models/nets.VPNet`); `ubound` in the evaluator signature is the VV
+    bounds slot, unused here.
+    """
+    env_cfg = cfg.tree.env
+
+    def ev(params, ubound, child_imgs, leaf_states, key):
+        B = leaf_states.score.shape[0]
+
+        def forward(states):
+            imgs = jax.vmap(engine.get_state)(states)
+            return vp_apply(params, imgs[..., None].astype(jnp.float32))
+
+        def cond(c):
+            st, k, t = c
+            return (t < depth) & jnp.any(~st.end)
+
+        def body(c):
+            st, k, t = c
+            _, logits = forward(st)
+            k, sub = jax.random.split(k)
+            a = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+            return engine.step_batch(st, a, env_cfg), k, t + 1
+
+        final, _, _ = jax.lax.while_loop(
+            cond, body, (leaf_states, key, jnp.int32(0))
+        )
+        value = final.score.astype(jnp.float32)
+        if bootstrap:
+            v, _ = forward(final)
+            value = value + jnp.where(final.end, 0.0, v.reshape(-1))
+        return value, jnp.full(B, cfg.rollout_variance, jnp.float32)
 
     return ev
 

@@ -125,8 +125,32 @@ def bench_mcts(batch: int = 256, sims: int = 100, moves: int = 8,
     return batch * sims * moves / best
 
 
+def _device():
+    """First device, with a hang guard: initializing the axon TPU plugin can
+    block indefinitely while the tunnel is down. Probe device init in a
+    subprocess under a timeout; on failure force CPU so the bench always
+    prints its JSON line (the "device" field records the fallback)."""
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return jax.devices()[0]
+    try:
+        ok = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform == 'tpu'"],
+            timeout=180, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print("TPU unreachable; falling back to CPU", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+    return jax.devices()[0]
+
+
 def main():
-    dev = jax.devices()[0]
+    dev = _device()
     on_tpu = dev.platform == "tpu"
     # CPU fallback sizes keep local runs tractable; the driver runs on TPU.
     if on_tpu:

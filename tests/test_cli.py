@@ -102,6 +102,20 @@ class TestCycle:
         assert "cli.train" not in plan
         assert "--benchmark" in plan
 
+    def test_model_passthrough_follows_agent(self, tmp_path):
+        """VP-net agents train the VP net each cycle (cli.train --model)."""
+        d = tmp_path / "self0"
+        d.mkdir()
+        (d / "data0.h5").touch()  # data present -> train phase planned
+        out = subprocess.run(
+            [sys.executable, "-m", "tetris_mcts_tpu.cli.cycle",
+             "--iters", "1", "--data_dir", str(tmp_path), "--dry_run",
+             "--agent_type", "ApproxPolicyIter"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "--model vp" in out.stdout
+
 
 class TestTraceFlag:
     def test_trace_writes_profile(self, tmp_path):
@@ -115,6 +129,104 @@ class TestTraceFlag:
         ])
         files = list(trace_dir.rglob("*"))
         assert any(f.is_file() for f in files), files
+
+
+class TestTrainModels:
+    """Offline training of the VP / Dist / ensemble nets from the shared
+    HDF5 schema (`cli/train.py --model`, reference train.py pipeline era)."""
+
+    def _write_data(self, tmp_path):
+        from tetris_mcts_tpu.utils.data import DataSaver
+
+        rng = np.random.RandomState(1)
+        n = 60
+        saver = DataSaver(str(tmp_path), "data", cycle=0)
+        pol = rng.dirichlet(np.ones(7), n).astype(np.float32)
+        saver.add_batch(
+            episode=np.repeat(np.arange(6), 10),
+            board=rng.randint(-1, 2, (n, 20, 10)).astype(np.int8),
+            policy=pol,
+            action=rng.randint(0, 7, n),
+            combo=np.zeros(n, np.int32), lines=np.zeros(n, np.int32),
+            line_stats=np.zeros((n, 4), np.int32),
+            score=np.cumsum(rng.randint(0, 40, n)),
+            child_stats=rng.uniform(0, 5, (n, 3, 7)).astype(np.float32),
+            value=rng.uniform(0, 80, n).astype(np.float32),
+            variance=rng.uniform(1, 10, n).astype(np.float32),
+        )
+        saver.close()
+        return str(tmp_path / "data*.h5")
+
+    def test_gaussian_dist_targets(self):
+        from tetris_mcts_tpu.cli.train import gaussian_dist_targets
+
+        value = np.asarray([10.0, 500.0], np.float32)
+        var = np.asarray([4.0, 25.0], np.float32)
+        d = gaussian_dist_targets(value, var, atoms=50, vmax=1000.0)
+        assert d.shape == (2, 50)
+        np.testing.assert_allclose(d.sum(1), 1.0, rtol=1e-5)
+        centers = (np.arange(50) + 0.5) * 20.0
+        # mode lands on the atom nearest the target value
+        assert abs(centers[d[0].argmax()] - 10.0) <= 10.0
+        assert abs(centers[d[1].argmax()] - 500.0) <= 10.0
+
+    @pytest.mark.parametrize("model", ["vp", "dist"])
+    def test_offline_training_runs(self, tmp_path, model):
+        from tetris_mcts_tpu.cli.train import main
+
+        glob_ = self._write_data(tmp_path)
+        hist = main([
+            "--data", glob_, "--td", "--model", model,
+            "--batch_size", "16", "--iters_per_val", "4", "--max_iters", "8",
+            "--checkpoint", str(tmp_path / f"m_{model}.msgpack"),
+        ])
+        assert len(hist) == 2
+        assert np.isfinite(hist[-1][2])
+        assert (tmp_path / f"m_{model}.msgpack").exists()
+
+    def test_offline_ensemble_runs(self, tmp_path):
+        from tetris_mcts_tpu.cli.train import main
+
+        glob_ = self._write_data(tmp_path)
+        hist = main([
+            "--data", glob_, "--td", "--ensemble", "2", "--weighted",
+            "--batch_size", "16", "--iters_per_val", "4", "--max_iters", "8",
+            "--checkpoint", str(tmp_path / "ens.msgpack"),
+        ])
+        assert len(hist) == 2 and np.isfinite(hist[-1][2])
+        assert (tmp_path / "ens.msgpack").exists()
+
+
+def test_replay_vp_reinference(tmp_path, capsys):
+    """`replay --model_type vp` re-infers value+policy per frame (the
+    reference's (v, p) panel, tools/replay.py:126-143)."""
+    from tetris_mcts_tpu.cli.replay import main as replay_main
+    from tetris_mcts_tpu.train.trainer import VPModel
+    from tetris_mcts_tpu.utils.data import DataSaver
+
+    rng = np.random.RandomState(0)
+    n = 4
+    saver = DataSaver(str(tmp_path), "data", cycle=0)
+    saver.add_batch(
+        episode=np.zeros(n, np.int64),
+        board=rng.randint(-1, 2, (n, 20, 10)).astype(np.int8),
+        policy=np.full((n, 7), 1 / 7, np.float32),
+        action=np.zeros(n, np.int64), combo=np.zeros(n, np.int32),
+        lines=np.zeros(n, np.int32), line_stats=np.zeros((n, 4), np.int32),
+        score=np.zeros(n, np.int64),
+        child_stats=np.zeros((n, 3, 7), np.float32),
+        value=np.zeros(n, np.float32), variance=np.ones(n, np.float32),
+    )
+    saver.close()
+    ckpt = str(tmp_path / "vp.msgpack")
+    VPModel(checkpoint_path=ckpt).save()
+    rc = replay_main([
+        str(tmp_path / "data0.h5"), "--dump", "--model", ckpt,
+        "--model_type", "vp",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "model value" in out and "policy" in out
 
 
 def test_replay_gif_export(tmp_path):

@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--bench_games", type=int, default=4)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--agent_type", default="ValueSimLP")
+    p.add_argument("--model", default="",
+                   help="net trained each cycle (cli.train --model). "
+                        "Default: vp for the VP-net agents, else vv")
     p.add_argument("--clear", "-c", action="store_true")
     p.add_argument("--resume", "-r", action="store_true")
     p.add_argument("--checkpoint", default="./checkpoints/model_vv.msgpack")
@@ -67,6 +70,12 @@ def main(argv=None):
 
     start = last_cycle(args.data_dir) + 1 if args.resume else 0
 
+    if not args.model:
+        from tetris_mcts_tpu.cli.play import _VP_EVALUATORS, AGENT_TYPES
+
+        ev = AGENT_TYPES.get(args.agent_type, ("lp", True))[0]
+        args.model = "vp" if ev in _VP_EVALUATORS else "vv"
+
     for cycle in range(start, args.iters):
         print(f"=== cycle {cycle} ===", flush=True)
         have_data = bool(glob.glob(os.path.join(args.data_dir, "self*/data*.h5")))
@@ -75,6 +84,7 @@ def main(argv=None):
                 py, "-m", "tetris_mcts_tpu.cli.train",
                 "--data", os.path.join(args.data_dir, "self*/data*.h5"),
                 "--td", "--weighted", "--weighted_mode", "1",
+                "--model", args.model,
                 "--early_stopping", "--validation",
                 "--cycle", str(cycle),
                 "--save_loss", os.path.join(args.data_dir, "loss"),

@@ -62,7 +62,11 @@ def main(argv=None):
     p.add_argument("--episode", type=int, default=None,
                    help="episode id to view (default: first in file)")
     p.add_argument("--model", default="",
-                   help="VV checkpoint to re-run on each frame")
+                   help="checkpoint to re-run on each frame")
+    p.add_argument("--model_type", default="vv", choices=("vv", "vp"),
+                   help="net the checkpoint holds: vv prints re-inferred "
+                        "value/variance, vp value/policy (the reference's "
+                        "(v, p) re-inference panel, tools/replay.py:126-143)")
     p.add_argument("--dump", action="store_true",
                    help="print all frames non-interactively")
     p.add_argument("--gif", default="",
@@ -86,9 +90,10 @@ def main(argv=None):
 
     model = None
     if args.model:
-        from tetris_mcts_tpu.train.trainer import VVModel
+        from tetris_mcts_tpu.train.trainer import VPModel, VVModel
 
-        model = VVModel(checkpoint_path=args.model)
+        cls = VPModel if args.model_type == "vp" else VVModel
+        model = cls(checkpoint_path=args.model)
         model.load()
 
     def frame(i):
@@ -99,8 +104,16 @@ def main(argv=None):
             float(loader.variance[j]), loader.policy[j], loader.action[j],
         )
         if model is not None:
-            v, var = model.inference(loader.board[j][None])
-            txt += f"\nmodel value {float(v[0, 0]):.2f}  variance {float(var[0, 0]):.2f}"
+            if args.model_type == "vp":
+                v, pol = model.inference(loader.board[j][None])
+                txt += (
+                    f"\nmodel value {float(v[0, 0]):.2f}  policy "
+                    + " ".join(f"{q:.2f}" for q in np.asarray(pol)[0])
+                )
+            else:
+                v, var = model.inference(loader.board[j][None])
+                txt += (f"\nmodel value {float(v[0, 0]):.2f}  "
+                        f"variance {float(var[0, 0]):.2f}")
         return f"frame {i + 1}/{len(sel)} (episode {ep})\n" + txt
 
     if args.gif:

@@ -11,6 +11,17 @@ Target semantics (`/root/reference/train.py:81-131`):
   return to end of episode); variance = 1.
 Weighting (`--weighted_mode`): 0 = visit counts (child_stats visits summed),
 1 = inverse variance (`train.py:96-104`).
+
+`--model` picks the net (the reference's train.py targeted the
+(v, var[, policy])-head model era, `train.py:184`):
+- vv (default): value/variance targets as above; `--ensemble K` trains the
+  K-member deep ensemble instead of one net.
+- vp: value target as above + the stored visit-proportional policy column
+  (`util/Data.py:18` schema) as the KL target.
+- dist: the scalar (value, variance) targets projected onto the C51 atom
+  grid as a Gaussian — the offline analog of the online distributional
+  driver's tree-distribution targets (no reference counterpart; the
+  reference never trained its C51 net offline).
 """
 
 from __future__ import annotations
@@ -34,6 +45,14 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--iters_per_val", type=int, default=500)
     p.add_argument("--max_iters", type=int, default=100000)
+    p.add_argument("--model", default="vv", choices=("vv", "vp", "dist"))
+    p.add_argument("--ensemble", type=int, default=0,
+                   help="K-member VV deep ensemble (0 = single net; "
+                        "vv model only)")
+    p.add_argument("--atoms", type=int, default=50,
+                   help="C51 atom count (--model dist)")
+    p.add_argument("--vmax", type=float, default=1000.0,
+                   help="C51 value-grid upper bound (--model dist)")
     p.add_argument("--loss_type", default="kldiv")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--cycle", type=int, default=0)
@@ -74,6 +93,19 @@ def build_targets(loader, td: bool, weighted: bool, weighted_mode: int):
     return boards, value, variance, weight
 
 
+def gaussian_dist_targets(value, variance, atoms: int, vmax: float):
+    """Project scalar (value, variance) targets onto the C51 atom grid as a
+    normalized Gaussian pmf. Grid matches the online distributional search
+    (`search/distributional.DistConfig`): support [0, vmax], atom centers
+    (b + 0.5)·vmax/atoms."""
+    centers = (np.arange(atoms, dtype=np.float64) + 0.5) * (vmax / atoms)
+    sd = np.sqrt(np.maximum(variance.astype(np.float64), 1e-2))[:, None]
+    logits = -0.5 * ((centers[None, :] - value[:, None]) / sd) ** 2
+    logits -= logits.max(axis=1, keepdims=True)
+    p = np.exp(logits)
+    return (p / p.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
 def episodic_split(loader, frac: float, rng):
     """Hold out whole episodes for validation (`train.py:148-174`)."""
     eps = np.unique(loader.episode)
@@ -86,7 +118,7 @@ def episodic_split(loader, frac: float, rng):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from tetris_mcts_tpu.train.trainer import VVModel
+    from tetris_mcts_tpu.train.trainer import DistModel, VPModel, VVModel
     from tetris_mcts_tpu.utils.data import DataLoader, LossSaver
 
     loader = DataLoader(args.data)
@@ -95,15 +127,25 @@ def main(argv=None):
     states, value, variance, weight = build_targets(
         loader, args.td, args.weighted, args.weighted_mode
     )
+    if args.model == "vp":
+        pol = loader.policy.astype(np.float32)
+        pol = pol / np.maximum(pol.sum(axis=1, keepdims=True), 1e-9)
+        cols = [states, value, pol, weight]
+    elif args.model == "dist":
+        cols = [
+            states,
+            gaussian_dist_targets(value, variance, args.atoms, args.vmax),
+            weight,
+        ]
+    else:
+        cols = [states, value, variance, weight]
 
     rng = np.random.RandomState(args.seed)
     val_rows = None
     if args.validation:
         tr, va = episodic_split(loader, args.val_fraction, rng)
         order = np.concatenate([np.nonzero(tr)[0], np.nonzero(va)[0]])
-        states, value, variance, weight = (
-            d[order] for d in (states, value, variance, weight)
-        )
+        cols = [d[order] for d in cols]
         shuffle = False  # split already arranged: validation tail
         # pin the split to the exact episode boundary — a fraction-derived
         # tail count would slice through the held-out episodes and leak
@@ -112,15 +154,41 @@ def main(argv=None):
     else:
         shuffle = True
 
-    model = VVModel(
-        loss_type=args.loss_type, weighted=args.weighted, lr=args.lr,
-        seed=args.seed, checkpoint_path=args.checkpoint, ewc=args.ewc,
-    )
+    # the shared --checkpoint default names the VV net; give the other
+    # nets their own default files (same pattern as the play CLI)
+    ckpt = args.checkpoint
+    if ckpt == build_parser().get_default("checkpoint") and args.model != "vv":
+        ckpt = f"./checkpoints/model_{args.model}.msgpack"
+    if args.model == "vp":
+        model = VPModel(weighted=args.weighted, seed=args.seed,
+                        checkpoint_path=ckpt)
+        if args.ewc:
+            print("--ewc applies to the vv model only; ignored", flush=True)
+    elif args.model == "dist":
+        model = DistModel(atoms=args.atoms, weighted=args.weighted,
+                          lr=args.lr, seed=args.seed, checkpoint_path=ckpt)
+        if args.ewc:
+            print("--ewc applies to the vv model only; ignored", flush=True)
+    elif args.ensemble > 0:
+        from tetris_mcts_tpu.train.ensemble import EnsembleVVModel
+
+        if ckpt == build_parser().get_default("checkpoint"):
+            ckpt = "./checkpoints/model_vv_ens.msgpack"
+        model = EnsembleVVModel(
+            n_models=args.ensemble, loss_type=args.loss_type,
+            weighted=args.weighted, lr=args.lr, seed=args.seed,
+            checkpoint_path=ckpt, ewc=args.ewc,
+        )
+    else:
+        model = VVModel(
+            loss_type=args.loss_type, weighted=args.weighted, lr=args.lr,
+            seed=args.seed, checkpoint_path=ckpt, ewc=args.ewc,
+        )
     if args.load_model:
         model.load()
 
     history = model.train_data(
-        [states, value, variance, weight],
+        cols,
         batch_size=args.batch_size,
         iters_per_val=args.iters_per_val,
         validation_fraction=args.val_fraction,
@@ -129,8 +197,8 @@ def main(argv=None):
         shuffle=shuffle,
         max_iters=args.max_iters,
     )
-    if args.ewc:
-        model.compute_fisher([states, value, variance, weight])
+    if args.ewc and args.model == "vv" and args.ensemble == 0:
+        model.compute_fisher(cols)
     model.save(verbose=True)
 
     if args.save_loss:

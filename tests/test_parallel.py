@@ -58,6 +58,67 @@ def test_sharded_move_matches_single_device():
         )
 
 
+def test_sharded_vp_move_matches_single_device():
+    """The VP (ApproxPolicyIter) move program under batch sharding: same
+    numbers as single-device — covers the policy-prior gathers and the
+    improvement-count 3-index scatters under SPMD."""
+    from tetris_mcts_tpu.search import vp as VP
+    from tetris_mcts_tpu.train.trainer import VPModel
+
+    cfg = small_search_cfg()
+    model = VPModel(seed=0)
+    move = VP.make_vp_move_fn(model.apply_fn(), cfg, min_visits_store=1)
+    vts, envs = VP.init_vp_batch(3, 8, cfg)
+    rep = VP.init_vp_replay(256)
+    key = jax.random.PRNGKey(2)
+
+    ref = jax.jit(move)(model.params, vts, envs, rep, key)
+    m = M.make_mesh(8)
+    got = jax.jit(move)(
+        M.replicate(m, model.params), M.shard_batch(m, vts),
+        M.shard_batch(m, envs), M.replicate(m, rep), key,
+    )
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(ref), jax.tree.leaves(got)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+            err_msg=str(path),
+        )
+
+
+def test_sharded_s2_move_matches_single_device():
+    """The ValueSim2 move program under batch sharding: covers the
+    (B, 7, C, M) edge-table gathers/scatters under SPMD."""
+    from tetris_mcts_tpu.search import stochastic as S2
+
+    cfg = small_search_cfg()
+
+    def apply_fn(params, ubound, imgs):
+        n = imgs.shape[0]
+        v = jnp.sum(imgs.reshape(n, -1), 1) * 0.01 + 1.0
+        return v, jnp.ones(n)
+
+    move = S2.make_s2_move_fn(apply_fn, cfg, min_visits_store=1)
+    vts, envs = S2.init_s2_batch(5, 8, cfg)
+    rep = mcts.init_replay(256)
+    key = jax.random.PRNGKey(4)
+
+    ref = jax.jit(move)(None, None, vts, envs, rep, key)
+    m = M.make_mesh(8)
+    got = jax.jit(move)(
+        None, None, M.shard_batch(m, vts), M.shard_batch(m, envs),
+        M.replicate(m, rep), key,
+    )
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(ref), jax.tree.leaves(got)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+            err_msg=str(path),
+        )
+
+
 def test_dp_train_step_matches_single_device():
     model = VVModel(seed=1)
     n = 64

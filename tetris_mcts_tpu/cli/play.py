@@ -22,6 +22,13 @@ AGENT_TYPES = {
     "Vanilla": ("rollout", False),
     "VanillaC": ("rollout", False),
     "ValueSim": ("leaf", True),
+    # ValueSimOnline (agents/ValueSimOnline.py, the agent behind the
+    # reference's headline endless run): leaf NN evaluation with the
+    # (v, var) seeded at the leaf (backup's first-visit rule reproduces the
+    # node_stats seeding, ValueSimOnline.py:48-51), CLT selection, welford
+    # backup, online training. Its model's policy head is never read by the
+    # search (`mcts`, :32-63), so the live leaf evaluator IS the agent.
+    "ValueSimOnline": ("leaf", True),
     "ValueSimLP": ("lp", True),
     "ValueSimC": ("lp", True),
     "ApproxPolicyIter": ("vp", True),

@@ -197,6 +197,22 @@ class TestTrainModels:
         assert (tmp_path / "ens.msgpack").exists()
 
 
+@pytest.mark.parametrize("model", ["vp", "dist"])
+def test_tools_sanity_all_nets(tmp_path, capsys, model):
+    """`tools sanity --model {vp,dist}` — the reference's test_dist.py-style
+    entropy + flip-invariance panel for the non-VV nets."""
+    from tetris_mcts_tpu.cli.tools import main as tools_main
+
+    rc = tools_main([
+        "sanity", "--model", model,
+        "--checkpoint", str(tmp_path / "none.msgpack"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Parameters:" in out and "entropy" in out
+    assert "flip-invariance RMSE" in out
+
+
 def test_replay_vp_reinference(tmp_path, capsys):
     """`replay --model_type vp` re-infers value+policy per frame (the
     reference's (v, p) panel, tools/replay.py:126-143)."""

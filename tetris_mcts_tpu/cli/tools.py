@@ -37,23 +37,51 @@ def _synthetic_boards(n=5, seed=0):
 
 
 def cmd_sanity(args):
-    from tetris_mcts_tpu.train.trainer import VVModel
+    """Model sanity (reference tools/test.py for the VV net,
+    tools/test_dist.py:10-34 for the C51 net): parameter count, predictions
+    on synthetic boards, horizontal-flip invariance; the dist net also
+    prints per-board distribution entropy, the vp net policy entropy."""
+    from tetris_mcts_tpu.train.trainer import DistModel, VPModel, VVModel
 
-    model = VVModel(checkpoint_path=args.checkpoint)
+    cls = {"vv": VVModel, "vp": VPModel, "dist": DistModel}[args.model]
+    model = cls(checkpoint_path=args.checkpoint)
     model.load()
     n_params = sum(x.size for x in __import__("jax").tree.leaves(model.params))
     print(f"Parameters: {n_params}")
 
     boards = _synthetic_boards()
-    v, var = model.inference(boards)
-    for i in range(len(boards)):
-        print(f"board {i}: value {float(v[i, 0]):8.3f}   "
-              f"variance {float(var[i, 0]):8.3f}")
+    flipped = np.ascontiguousarray(boards[:, :, ::-1])
+
+    def entropy(p):
+        return float(-np.sum(p * np.log(np.maximum(p, 1e-12))))
+
+    if args.model == "dist":
+        d = model.inference(boards)
+        centers = (np.arange(d.shape[1]) + 0.5)
+        for i in range(len(boards)):
+            mean_bin = float((d[i] * centers).sum())
+            print(f"board {i}: mean atom {mean_bin:7.2f}   "
+                  f"entropy {entropy(d[i]):6.3f}")
+        d2 = model.inference(flipped)
+        rmse = float(np.sqrt(np.mean((d - d2) ** 2)))
+        print(f"flip-invariance RMSE (distribution): {rmse:.6f}")
+        return 0
+
+    if args.model == "vp":
+        v, pol = model.inference(boards)
+        for i in range(len(boards)):
+            print(f"board {i}: value {float(v[i, 0]):8.3f}   "
+                  f"policy entropy {entropy(pol[i]):6.3f}")
+        v2, _ = model.inference(flipped)
+    else:
+        v, var = model.inference(boards)
+        for i in range(len(boards)):
+            print(f"board {i}: value {float(v[i, 0]):8.3f}   "
+                  f"variance {float(var[i, 0]):8.3f}")
+        v2, _ = model.inference(flipped)
 
     # horizontal-flip invariance (reference tools/test.py:35-41): Tetris
     # values should be (approximately) mirror-invariant
-    flipped = boards[:, :, ::-1]
-    v2, _ = model.inference(np.ascontiguousarray(flipped))
     rmse = float(np.sqrt(np.mean((v - v2) ** 2)))
     print(f"flip-invariance RMSE: {rmse:.4f}")
     return 0
@@ -166,6 +194,9 @@ def main(argv=None):
 
     s = sub.add_parser("sanity")
     s.add_argument("--checkpoint", default="./checkpoints/model_vv.msgpack")
+    s.add_argument("--model", default="vv", choices=("vv", "vp", "dist"),
+                   help="net type (test.py checks the vv net, "
+                        "test_dist.py the C51 net)")
 
     s = sub.add_parser("inference_speed")
     s.add_argument("--iters", type=int, default=10000)

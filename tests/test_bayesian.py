@@ -25,6 +25,28 @@ def test_bbb_trains_and_loss_falls():
     assert v.shape == (4, 1) and np.isfinite(v).all()
 
 
+def test_bgd_method_trains_and_keeps_sigma_positive():
+    """The reference's closed-form BGD update (model/bgd_optimizer.py:
+    96-113): mu moves by -eta sigma^2 E[g], sigma contracts but stays
+    strictly positive."""
+    import jax
+    import jax.numpy as jnp
+
+    m = BBBVVModel(mc_iters=2, seed=3, method="bgd", mean_eta=1.0)
+    data = _data()
+    mu_before = jax.tree.leaves(m.params["mu"])[1].copy()
+    h = m.train_data(data, batch_size=32, iters=200, log=lambda s: None)
+    assert len(h) == 2 and np.isfinite(h[-1][1])
+    assert h[-1][1] < h[0][1] * 1.5  # not diverging
+    mu_after = jax.tree.leaves(m.params["mu"])[1]
+    assert not np.allclose(np.asarray(mu_before), np.asarray(mu_after))
+    for r in jax.tree.leaves(m.params["rho"]):
+        sig = np.asarray(jnp.logaddexp(r, 0.0))
+        assert (sig > 0).all() and np.isfinite(sig).all()
+    v, var = m.inference(data[0][:4])
+    assert np.isfinite(v).all() and np.isfinite(var).all()
+
+
 def test_bbb_stochastic_inference_varies():
     m = BBBVVModel(mc_iters=1, seed=2)
     boards = _data(4)[0][:4]

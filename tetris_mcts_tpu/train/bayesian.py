@@ -6,10 +6,17 @@ SURVEY.md §2.4, LEGACY) reproduced in spirit, working:
   sigma = softplus(rho) (`bbb.py:50-126`);
 - a training step reparameterization-samples weights, accumulates the
   gradient of the data loss over `mc_iters` Monte-Carlo draws
-  (`model_bayesian.py:197-213`), adds the KL-to-prior term, and updates
-  (mu, rho) jointly with Adam (replacing the reference's hand-rolled
-  BBB/BGD update rules — the variational objective is the capability;
-  the optimizer brand is not);
+  (`model_bayesian.py:197-213`), and updates the posterior by one of two
+  methods:
+  * `method="adam"` (default): Adam on (mu, rho) of the variational
+    objective (data loss + KL to prior) — the BBB capability with a
+    standard optimizer;
+  * `method="bgd"`: the reference's closed-form Bayesian-gradient-descent
+    update (`model/bgd_optimizer.py:96-113`, Zeno et al. '18):
+        mu    <- mu − eta·sigma²·E[g]
+        sigma <- sigma·sqrt(1 + (sigma·E[g·eps]/2)²) − sigma²·E[g·eps]/2
+    computed from the MC expectations E[g] and E[g·eps] — no KL term (the
+    implicit prior lives in the update itself), no optimizer state;
 - `inference` uses posterior means; `inference_stochastic` samples weights
   (Thompson exploration, the role the Bayesian net played in
   `ValueSimBayes`).
@@ -37,7 +44,8 @@ class BBBVVModel:
 
     def __init__(self, lr: float = 1e-3, mc_iters: int = 5,
                  prior_sigma: float = 0.1, kl_weight: float = 1e-4,
-                 seed: int = 0, compute_dtype: Any = jnp.float32):
+                 seed: int = 0, compute_dtype: Any = jnp.float32,
+                 method: str = "adam", mean_eta: float = 1.0):
         self.net = VVNet(compute_dtype=compute_dtype)
         self.mc_iters = mc_iters
         key = jax.random.PRNGKey(seed)
@@ -113,6 +121,47 @@ class BBBVVModel:
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss
 
+        def bgd_step(params, opt_state, ubound, data, key, bs):
+            """Closed-form BGD update (bgd_optimizer.py:96-113) from the MC
+            expectations E[g] and E[g·eps] over reparameterized draws."""
+            key, k_idx, k_mc = jax.random.split(key, 3)
+            idx = jax.random.randint(k_idx, (bs,), 0, data[0].shape[0])
+            batch = tuple(d[idx] for d in data)
+            mu_leaves, treedef = jax.tree.flatten(params["mu"])
+            sigma = [_softplus(r) for r in jax.tree.leaves(params["rho"])]
+
+            def one(k):
+                keys = jax.random.split(k, len(mu_leaves))
+                eps = [jax.random.normal(kk, m.shape)
+                       for kk, m in zip(keys, mu_leaves)]
+                w = jax.tree.unflatten(
+                    treedef,
+                    [m + s * e for m, s, e in zip(mu_leaves, sigma, eps)],
+                )
+                loss, g = jax.value_and_grad(data_loss)(w, ubound, *batch)
+                return loss, jax.tree.leaves(g), eps
+
+            losses, gs, epss = jax.vmap(one)(jax.random.split(k_mc, mc))
+            e_g = [jnp.mean(g, 0) for g in gs]
+            e_ge = [jnp.mean(g * e, 0) for g, e in zip(gs, epss)]
+            mu_new = [m - mean_eta * s**2 * g
+                      for m, s, g in zip(mu_leaves, sigma, e_g)]
+            sig_new = [
+                s * jnp.sqrt(1.0 + (s * ge / 2.0) ** 2) - s**2 * ge / 2.0
+                for s, ge in zip(sigma, e_ge)
+            ]
+            # back to the rho parametrization (inverse softplus; the BGD
+            # update keeps sigma strictly positive)
+            rho_new = [
+                jnp.maximum(s, 1e-12) + jnp.log1p(-jnp.exp(-jnp.maximum(s, 1e-12)))
+                for s in sig_new
+            ]
+            params = {
+                "mu": jax.tree.unflatten(treedef, mu_new),
+                "rho": jax.tree.unflatten(treedef, rho_new),
+            }
+            return params, opt_state, jnp.mean(losses)
+
         def infer_mean(params, ubound, states):
             out = net.apply(params["mu"], states, ubound, lbound)
             return out[:, 0], out[:, 1]
@@ -122,7 +171,12 @@ class BBBVVModel:
             out = net.apply(w, states, ubound, lbound)
             return out[:, 0], out[:, 1]
 
-        self._train_step = jax.jit(train_step, static_argnums=(5,))
+        if method not in ("adam", "bgd"):
+            raise ValueError(f"unknown method {method!r}")
+        self.method = method
+        self._train_step = jax.jit(
+            bgd_step if method == "bgd" else train_step, static_argnums=(5,)
+        )
         self._infer = jax.jit(infer_mean)
         self._infer_sampled = jax.jit(infer_sampled)
 

@@ -133,7 +133,10 @@ def _device():
     import subprocess
     import sys
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
+    plats = os.environ.get("JAX_PLATFORMS")
+    # a TPU is only in play when the platform is unset (plugins auto-load)
+    # or explicitly requests one; a plain-CPU box needs no probe
+    if plats is not None and "tpu" not in plats and "axon" not in plats:
         return jax.devices()[0]
     try:
         ok = subprocess.run(
@@ -144,7 +147,7 @@ def _device():
     except subprocess.TimeoutExpired:
         ok = False
     if not ok:
-        print("TPU unreachable; falling back to CPU", file=sys.stderr)
+        print("no reachable TPU; running the bench on CPU", file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
     return jax.devices()[0]
 

@@ -116,6 +116,33 @@ class TestCycle:
         assert out.returncode == 0, out.stderr
         assert "--model vp" in out.stdout
 
+    def test_model_passthrough_dist_agent(self, tmp_path):
+        """Dist-evaluator agents train the C51 net, into the dist default
+        checkpoint on both phases (train and play must agree)."""
+        d = tmp_path / "self0"
+        d.mkdir()
+        (d / "data0.h5").touch()
+        out = subprocess.run(
+            [sys.executable, "-m", "tetris_mcts_tpu.cli.cycle",
+             "--iters", "1", "--data_dir", str(tmp_path), "--dry_run",
+             "--agent_type", "DistValueSim"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "--model dist" in out.stdout
+
+    def test_train_and_play_agree_on_default_checkpoints(self):
+        """resolve_ckpt gives every net kind a distinct file; different
+        nets' blobs must never share one (from_bytes on a mismatched
+        structure raises)."""
+        from tetris_mcts_tpu.cli import _CKPT_BY_KIND, resolve_ckpt
+
+        paths = [resolve_ckpt("./checkpoints/model_vv.msgpack", k)
+                 for k in _CKPT_BY_KIND]
+        assert len(set(paths)) == len(paths)
+        # explicit --checkpoint always wins
+        assert resolve_ckpt("/x/custom.msgpack", "dist") == "/x/custom.msgpack"
+
 
 class TestTraceFlag:
     def test_trace_writes_profile(self, tmp_path):
@@ -192,6 +219,7 @@ class TestTrainModels:
             "--data", glob_, "--td", "--ensemble", "2", "--weighted",
             "--batch_size", "16", "--iters_per_val", "4", "--max_iters", "8",
             "--checkpoint", str(tmp_path / "ens.msgpack"),
+            "--dump_dir", str(tmp_path),
         ])
         assert len(hist) == 2 and np.isfinite(hist[-1][2])
         assert (tmp_path / "ens.msgpack").exists()

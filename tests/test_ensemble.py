@@ -44,7 +44,7 @@ def test_combination_is_law_of_total_variance(model):
     assert (var[:, 0] >= mvar.mean(0) - 1e-5).all()
 
 
-def test_train_data_session_runs_and_learns():
+def test_train_data_session_runs_and_learns(tmp_path):
     m = EnsembleVVModel(n_models=2, seed=1)
     rng = np.random.RandomState(3)
     n = 256
@@ -52,9 +52,12 @@ def test_train_data_session_runs_and_learns():
     value = boards.reshape(n, -1).sum(1).astype(np.float32) + 50.0
     var = np.full(n, 4.0, np.float32)
     w = np.ones(n, np.float32)
+    # dump_dir redirected: the grad watchdog fires on random-data sessions
+    # and must not overwrite the repo's tracked data/dump_grad.npz
     hist = m.train_data(
         [boards, value, var, w], batch_size=32, iters_per_val=20,
         max_iters=60, early_stopping=False, log=lambda s: None,
+        dump_dir=str(tmp_path),
     )
     assert len(hist) == 3
     assert np.isfinite(hist[-1][1]) and np.isfinite(hist[-1][2])

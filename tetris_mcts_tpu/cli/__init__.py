@@ -1,0 +1,22 @@
+"""Shared CLI helpers."""
+
+DEFAULT_CKPT = "./checkpoints/model_vv.msgpack"
+
+_CKPT_BY_KIND = {
+    "vv": DEFAULT_CKPT,
+    "vp": "./checkpoints/model_vp.msgpack",
+    "dist": "./checkpoints/model_dist.msgpack",
+    "dqn": "./checkpoints/model_dqn.msgpack",
+    "ens": "./checkpoints/model_vv_ens.msgpack",
+}
+
+
+def resolve_ckpt(args_ckpt: str, kind: str) -> str:
+    """Per-net default checkpoint path. Blobs of different nets must never
+    share a file — `flax.serialization.from_bytes` on a mismatched
+    structure raises, and a save would clobber the other net's weights. An
+    explicit --checkpoint always wins; only the shared default is
+    redirected."""
+    if args_ckpt != DEFAULT_CKPT:
+        return args_ckpt
+    return _CKPT_BY_KIND[kind]

@@ -74,7 +74,11 @@ def main(argv=None):
         from tetris_mcts_tpu.cli.play import _VP_EVALUATORS, AGENT_TYPES
 
         ev = AGENT_TYPES.get(args.agent_type, ("lp", True))[0]
-        args.model = "vp" if ev in _VP_EVALUATORS else "vv"
+        args.model = (
+            "vp" if ev in _VP_EVALUATORS
+            else "dist" if ev == "dist"
+            else "vv"
+        )
 
     for cycle in range(start, args.iters):
         print(f"=== cycle {cycle} ===", flush=True)

@@ -16,7 +16,10 @@ memory/tree capacities). Agent-type strings map reference classes (SURVEY.md
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+from tetris_mcts_tpu.cli import DEFAULT_CKPT
 
 AGENT_TYPES = {
     "Vanilla": ("rollout", False),
@@ -112,7 +115,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_model", action="store_true",
                    help="load checkpoint before playing")
-    p.add_argument("--checkpoint", default="./checkpoints/model_vv.msgpack")
+    p.add_argument("--checkpoint", default=DEFAULT_CKPT)
     # TPU-native knobs (no reference counterpart: reference runs 1 game)
     p.add_argument("--batch", type=int, default=64,
                    help="games in lockstep per chip")
@@ -181,11 +184,11 @@ def main(argv=None):
         if args.metrics:
             from tetris_mcts_tpu.obs.metrics import MetricsWriter
             metrics = MetricsWriter(args.metrics)
-        # the shared --checkpoint default names the VV net; give DQN blobs
-        # their own default file so the two never clobber each other
-        ckpt = args.checkpoint
-        if ckpt == build_parser().get_default("checkpoint"):
-            ckpt = "./checkpoints/model_dqn.msgpack"
+        # per-net default checkpoint (cli.resolve_ckpt): blobs of different
+        # nets must never share a file
+        from tetris_mcts_tpu.cli import resolve_ckpt
+
+        ckpt = resolve_ckpt(args.checkpoint, "dqn")
         driver = DQNDriver(
             DQNConfig(
                 batch=args.batch, memory_size=args.memory_size,
@@ -263,24 +266,33 @@ def main(argv=None):
     )
     is_vp = evaluator == "vp"
     is_dist = evaluator == "dist"
+    # per-net default checkpoints (cli.resolve_ckpt): different nets' blobs
+    # must never share a file
+    from tetris_mcts_tpu.cli import resolve_ckpt
+
     if evaluator in _VP_EVALUATORS:
-        # the shared --checkpoint default names the VV net; VP-net agents
-        # get their own default file (same pattern as DQN above)
-        ckpt = args.checkpoint
-        if ckpt == build_parser().get_default("checkpoint"):
-            ckpt = "./checkpoints/model_vp.msgpack"
+        ckpt = resolve_ckpt(args.checkpoint, "vp")
+        if (args.load_model and ckpt != args.checkpoint
+                and not os.path.isfile(ckpt)
+                and os.path.isfile(DEFAULT_CKPT)):
+            # pre-redirect runs saved VP blobs at the shared default path;
+            # the kind of blob there is ambiguous, so point instead of load
+            print(
+                f"note: {ckpt} not found but {DEFAULT_CKPT} exists — if that "
+                "file holds an older VP checkpoint, pass it explicitly with "
+                "--checkpoint", file=sys.stderr,
+            )
         model = VPModel(checkpoint_path=ckpt)
     elif is_dist:
-        model = DistModel(checkpoint_path=args.checkpoint)
+        model = DistModel(checkpoint_path=resolve_ckpt(args.checkpoint,
+                                                       "dist"))
     elif args.ensemble > 0:
         from tetris_mcts_tpu.train.ensemble import EnsembleVVModel
 
-        # ensemble checkpoints stack K param trees — give them their own
-        # default file so single-net blobs never mix in
-        ckpt = args.checkpoint
-        if ckpt == build_parser().get_default("checkpoint"):
-            ckpt = "./checkpoints/model_vv_ens.msgpack"
-        model = EnsembleVVModel(n_models=args.ensemble, checkpoint_path=ckpt)
+        model = EnsembleVVModel(
+            n_models=args.ensemble,
+            checkpoint_path=resolve_ckpt(args.checkpoint, "ens"),
+        )
     else:
         model = VVModel(checkpoint_path=args.checkpoint)
     if args.load_model:

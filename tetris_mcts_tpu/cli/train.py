@@ -53,13 +53,22 @@ def build_parser():
                    help="C51 atom count (--model dist)")
     p.add_argument("--vmax", type=float, default=1000.0,
                    help="C51 value-grid upper bound (--model dist)")
-    p.add_argument("--loss_type", default="kldiv")
-    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--loss_type", default="kldiv",
+                   help="vv loss (models/losses.py); vp/dist have fixed "
+                        "reference losses")
+    p.add_argument("--lr", type=float, default=None,
+                   help="learning rate (default: 1e-3 for vv/dist, the "
+                        "reference's 1e-4 for vp)")
     p.add_argument("--cycle", type=int, default=0)
     p.add_argument("--save_loss", default="",
                    help="loss-history dir ('' = off)")
-    p.add_argument("--checkpoint", default="./checkpoints/model_vv.msgpack")
+    from tetris_mcts_tpu.cli import DEFAULT_CKPT
+
+    p.add_argument("--checkpoint", default=DEFAULT_CKPT)
     p.add_argument("--load_model", action="store_true")
+    p.add_argument("--dump_dir", default="./data",
+                   help="grad-norm watchdog dump directory "
+                        "(model/model.py:105-109)")
     p.add_argument("--ewc", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -154,39 +163,48 @@ def main(argv=None):
     else:
         shuffle = True
 
-    # the shared --checkpoint default names the VV net; give the other
-    # nets their own default files (same pattern as the play CLI)
-    ckpt = args.checkpoint
-    if ckpt == build_parser().get_default("checkpoint") and args.model != "vv":
-        ckpt = f"./checkpoints/model_{args.model}.msgpack"
+    # per-net default checkpoints (cli.resolve_ckpt — same mapping the play
+    # CLI uses, so a cycle's train and play phases agree on the file)
+    from tetris_mcts_tpu.cli import resolve_ckpt
+
+    # reference learning rates: vv/dist yogi 1e-3, vp adam-amsgrad 1e-4
+    lr = args.lr if args.lr is not None else (
+        1e-4 if args.model == "vp" else 1e-3
+    )
+    if args.model != "vv":
+        for flag, off in (("--ewc", args.ewc),
+                          ("--loss_type", args.loss_type != "kldiv"),
+                          ("--ensemble", args.ensemble > 0)):
+            if off:
+                print(f"{flag} applies to the vv model only; ignored",
+                      flush=True)
     if args.model == "vp":
-        model = VPModel(weighted=args.weighted, seed=args.seed,
-                        checkpoint_path=ckpt)
-        if args.ewc:
-            print("--ewc applies to the vv model only; ignored", flush=True)
+        model = VPModel(lr=lr, weighted=args.weighted, seed=args.seed,
+                        checkpoint_path=resolve_ckpt(args.checkpoint, "vp"))
     elif args.model == "dist":
         model = DistModel(atoms=args.atoms, weighted=args.weighted,
-                          lr=args.lr, seed=args.seed, checkpoint_path=ckpt)
-        if args.ewc:
-            print("--ewc applies to the vv model only; ignored", flush=True)
+                          lr=lr, seed=args.seed,
+                          checkpoint_path=resolve_ckpt(args.checkpoint,
+                                                       "dist"))
     elif args.ensemble > 0:
         from tetris_mcts_tpu.train.ensemble import EnsembleVVModel
 
-        if ckpt == build_parser().get_default("checkpoint"):
-            ckpt = "./checkpoints/model_vv_ens.msgpack"
         model = EnsembleVVModel(
             n_models=args.ensemble, loss_type=args.loss_type,
-            weighted=args.weighted, lr=args.lr, seed=args.seed,
-            checkpoint_path=ckpt, ewc=args.ewc,
+            weighted=args.weighted, lr=lr, seed=args.seed,
+            checkpoint_path=resolve_ckpt(args.checkpoint, "ens"),
+            ewc=args.ewc,
         )
     else:
         model = VVModel(
-            loss_type=args.loss_type, weighted=args.weighted, lr=args.lr,
-            seed=args.seed, checkpoint_path=ckpt, ewc=args.ewc,
+            loss_type=args.loss_type, weighted=args.weighted, lr=lr,
+            seed=args.seed, checkpoint_path=args.checkpoint, ewc=args.ewc,
         )
     if args.load_model:
         model.load()
 
+    # only the VV family runs the grad-norm watchdog (model/model.py:105-109)
+    extra = {"dump_dir": args.dump_dir} if args.model == "vv" else {}
     history = model.train_data(
         cols,
         batch_size=args.batch_size,
@@ -196,6 +214,7 @@ def main(argv=None):
         early_stopping=args.early_stopping,
         shuffle=shuffle,
         max_iters=args.max_iters,
+        **extra,
     )
     if args.ewc and args.model == "vv" and args.ensemble == 0:
         model.compute_fisher(cols)

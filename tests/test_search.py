@@ -338,6 +338,42 @@ class TestSelect:
         trace, acts, length, _ = T.select(tree, jax.random.PRNGKey(0), cfg)
         assert int(trace[1]) == int(want_next)
 
+    def test_select_ucbv_argmax_when_all_visited(self):
+        """Golden check of the ucbv branch (`select_index_3`,
+        core.py:223-272): value + sqrt(var · log N_total)."""
+        cfg = CFG._replace(policy="ucbv", low=0)
+        tree, s = small_tree()
+        tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), cfg)
+        kids, obs, kept = T.unique_children(tree, tree.root)
+        kids_np, obs_np, kept_np = map(np.asarray, (kids, obs, kept))
+
+        rnd = np.random.RandomState(7)
+        visit = np.asarray(tree.obs_visit).copy()
+        value = np.asarray(tree.obs_value).copy()
+        var = np.asarray(tree.obs_var).copy()
+        for o in obs_np[kept_np]:
+            visit[o] = rnd.randint(1, 10)
+            value[o] = rnd.rand() * 50
+            var[o] = rnd.rand() * 5
+        tree = tree.with_fields(
+            obs_visit=jnp.asarray(visit),
+            obs_value=jnp.asarray(value),
+            obs_var=jnp.asarray(var),
+        )
+
+        score = np.asarray(tree.score)
+        ks = kids_np[kept_np]
+        os_ = obs_np[kept_np]
+        n = visit[os_].sum()
+        q = (
+            value[os_] + score[ks] - score[1]
+            + np.sqrt(var[os_] * np.log(max(n, 2.0)))
+        )
+        want_next = ks[np.argmax(q)]
+
+        trace, acts, length, _ = T.select(tree, jax.random.PRNGKey(0), cfg)
+        assert int(trace[1]) == int(want_next)
+
 
 class TestBatchedSimsAndMoves:
     def _const_apply(self, v=10.0, var=4.0):
@@ -656,8 +692,8 @@ class TestBayesQuantileRegime:
 
 class TestSelectionPolicies:
     def test_all_policies_select_valid_children(self):
-        for policy in ("clt", "bayes", "gauss", "max", "mc", "random",
-                       "greedy"):
+        for policy in ("clt", "bayes", "gauss", "ucbv", "max", "mc",
+                       "random", "greedy"):
             cfg = CFG._replace(policy=policy, low=0)
             tree, s = small_tree()
             tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), cfg)
@@ -799,6 +835,10 @@ class TestPallasSelectWalk:
                         bound = float(bayes_quantile(nv - 1.0, n)) * np.sqrt(
                             max(vars_np[o], 0.0) / max(nv - 1.0, 1.0)
                         )
+                    elif policy == "ucbv":
+                        bound = np.sqrt(
+                            max(vars_np[o], 0.0) * np.log(max(n, 2.0))
+                        )
                     else:
                         bound = float(norm_quantile(n)) * np.sqrt(
                             max(vars_np[o], 0.0) / nv
@@ -874,6 +914,42 @@ class TestPallasSelectWalk:
                 np.asarray(trees.values[b]), np.asarray(trees.vars_[b]),
                 int(trees.root[b]), np.asarray(gumbels[b]), CFG.low, D,
                 policy="bayes",
+            )
+            L = int(lengths[b])
+            assert L == len(want), (b, L, want)
+            np.testing.assert_array_equal(
+                np.asarray(traces[b])[:L], np.asarray(want, np.int32)
+            )
+            assert int(leafs[b]) == want[-1]
+
+    def test_kernel_matches_numpy_oracle_ucbv(self):
+        """Same parity check under the ucbv policy (`select_index_3`,
+        core.py:223-272): sqrt(var · log N_total) bound."""
+        from tetris_mcts_tpu.ops import tree_walk
+
+        trees = self._grown_trees()
+        B = int(trees.root.shape[0])
+        D = CFG.max_depth
+        gumbels = jax.random.gumbel(jax.random.PRNGKey(23), (B, D, 7))
+        rnd = jnp.zeros((B, D, 7), jnp.float32)
+
+        score = trees.nstat[:, 0, :]
+        obs = trees.nstat[:, 1, :].astype(jnp.int32)
+        rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
+        env0 = engine.pack_state(trees.root_state)
+        traces, lengths, leafs, _, _, _, _ = tree_walk.select_walk(
+            trees.cbase, score, obs, trees.visits, trees.values,
+            trees.vars_, trees.root, rootsc, env0, gumbels, rnd,
+            policy="ucbv", low=CFG.low, interpret=True, block=B,
+        )
+
+        for b in range(B):
+            want = self._np_select(
+                np.asarray(trees.cbase[b]), np.asarray(score[b]),
+                np.asarray(obs[b]), np.asarray(trees.visits[b]),
+                np.asarray(trees.values[b]), np.asarray(trees.vars_[b]),
+                int(trees.root[b]), np.asarray(gumbels[b]), CFG.low, D,
+                policy="ucbv",
             )
             L = int(lengths[b])
             assert L == len(want), (b, L, want)

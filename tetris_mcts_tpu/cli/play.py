@@ -88,10 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 seven-bag, 1 uniform")
     p.add_argument("--gamma", type=float, default=0.999)
     p.add_argument("--policy", default="clt",
-                   choices=("clt", "bayes", "gauss", "max", "mc", "random",
-                            "greedy"),
+                   choices=("clt", "bayes", "gauss", "ucbv", "max", "mc",
+                            "random", "greedy"),
                    help="leaf-selection rule (reference agents/policy.py; "
-                        "bayes = Bayes-UCB t-quantile, core.py:290-351)")
+                        "bayes = Bayes-UCB t-quantile, core.py:290-351; "
+                        "ucbv = select_index_3's sqrt(var*logN) bound, "
+                        "core.py:223-272)")
     p.add_argument("--low", type=int, default=None,
                    help="visit threshold below which children are chosen "
                         "uniformly before any policy runs (reference "

@@ -372,6 +372,9 @@ def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
                 ) * jnp.sqrt(var / jnp.maximum(nv - 1.0, 1.0))
             elif policy == "gauss":
                 explore = _norm_quantile(n_total) * jnp.sqrt(var)
+            elif policy == "ucbv":
+                # select_index_3's sqrt(var·log N) bound (core.py:223-272)
+                explore = jnp.sqrt(var * jnp.log(jnp.maximum(n_total, 2.0)))
             elif policy == "max":
                 q_max = jnp.max(jnp.where(kept, q_base, neg_inf), 1,
                                 keepdims=True)

@@ -692,6 +692,10 @@ def select(tree: Tree, key, cfg: TreeConfig):
             )
         elif cfg.policy == "gauss":
             explore = norm_quantile(n_total) * jnp.sqrt(var)
+        elif cfg.policy == "ucbv":
+            # UCB-V style bound of `select_index_3` (core.py:223-272):
+            # sqrt(var · log N_total), no quantile scaling
+            explore = jnp.sqrt(var * jnp.log(jnp.maximum(n_total, 2.0)))
         elif cfg.policy == "max":
             # UCB1 scaled by the best child Q (the reference scales by the
             # max return statistic of the legacy node layout)
@@ -813,6 +817,9 @@ def select_batched(trees: Tree, keys, cfg: TreeConfig):
             )
         elif cfg.policy == "gauss":
             explore = norm_quantile(n_total) * jnp.sqrt(var)
+        elif cfg.policy == "ucbv":
+            # select_index_3's sqrt(var · log N_total) bound (core.py:223-272)
+            explore = jnp.sqrt(var * jnp.log(jnp.maximum(n_total, 2.0)))
         elif cfg.policy == "max":
             q_max = jnp.max(
                 jnp.where(kept, q_base, -jnp.inf), axis=1, keepdims=True

@@ -241,6 +241,55 @@ def test_tools_sanity_all_nets(tmp_path, capsys, model):
     assert "flip-invariance RMSE" in out
 
 
+def test_tools_plot_entropy_dump_response(tmp_path, capsys):
+    """`tools plot --what {entropy,dump,response}` — the reference's
+    tools/plot_entropy.py (mean visit entropy vs cycle), plot_dump.py
+    (log-count hists of a training dump), and plot_response.py (truth-vs-
+    prediction heatmaps from model re-inference) as static SVG exports."""
+    from tetris_mcts_tpu.cli.tools import main as tools_main
+    from tetris_mcts_tpu.train.trainer import VVModel
+    from tetris_mcts_tpu.utils.data import DataSaver
+
+    rng = np.random.RandomState(3)
+    for c in (0, 1):
+        s = DataSaver(str(tmp_path), "data", cycle=c)
+        n = 6
+        s.add_batch(
+            episode=np.zeros(n, np.int64),
+            board=rng.randint(-1, 2, (n, 20, 10)).astype(np.int8),
+            policy=np.full((n, 7), 1 / 7, np.float32),
+            action=np.zeros(n, np.int64), combo=np.zeros(n, np.int32),
+            lines=np.zeros(n, np.int32),
+            line_stats=np.zeros((n, 4), np.int32),
+            score=np.zeros(n, np.int64),
+            child_stats=np.abs(rng.rand(n, 3, 7)).astype(np.float32),
+            value=np.zeros(n, np.float32), variance=np.ones(n, np.float32),
+        )
+        s.close()
+    out = str(tmp_path / "entropy.svg")
+    rc = tools_main(["plot", "--what", "entropy",
+                     "--data", str(tmp_path / "data*.h5"), "--out", out])
+    assert rc == 0 and "<svg" in open(out).read()
+
+    m = 30
+    dump = str(tmp_path / "dump.npz")
+    np.savez(dump, states=rng.randint(-1, 2, (m, 20, 10)).astype(np.int8),
+             values=rng.rand(m, 1) * 100, variance=rng.rand(m, 1) * 10 + 1,
+             weights=np.ones((m, 1)))
+    out = str(tmp_path / "dump.svg")
+    rc = tools_main(["plot", "--what", "dump", "--dump", dump, "--out", out])
+    assert rc == 0 and "<svg" in open(out).read()
+
+    ckpt = str(tmp_path / "vv.msgpack")
+    VVModel(checkpoint_path=ckpt).save()
+    out = str(tmp_path / "response.svg")
+    rc = tools_main(["plot", "--what", "response", "--dump", dump,
+                     "--checkpoint", ckpt, "--out", out])
+    assert rc == 0
+    svg = open(out).read()
+    assert "<svg" in svg and "truth vs pred" in svg
+
+
 def test_replay_vp_reinference(tmp_path, capsys):
     """`replay --model_type vp` re-infers value+policy per frame (the
     reference's (v, p) panel, tools/replay.py:126-143)."""

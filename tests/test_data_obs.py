@@ -112,6 +112,58 @@ def test_dashboard_state_snapshot(tmp_path):
     assert [e["lines"] for e in snap2["episodes"]] == [3, 5, 7]
 
 
+def test_dashboard_weight_histograms(tmp_path):
+    """The checkpoint-watching weight-histogram panel (reference
+    web/parseLog.py ModelParser + web_dash.py histograms): one histogram per
+    kernel leaf, re-parsed when the checkpoint mtime advances."""
+    import os
+
+    from tetris_mcts_tpu.obs.dashboard import DashboardState, weight_histograms
+    from tetris_mcts_tpu.train.trainer import VVModel
+
+    ckpt = str(tmp_path / "model.msgpack")
+    model = VVModel(checkpoint_path=ckpt)
+    model.save()
+
+    hists = weight_histograms(ckpt)
+    assert len(hists) >= 4  # 3 convs + FC + heads
+    import jax
+
+    n_kernel = sum(
+        leaf.size for path, leaf in
+        __import__("flax").traverse_util.flatten_dict(
+            jax.tree.map(lambda x: x, model.params)).items()
+        if path[-1] == "kernel"
+    )
+    assert sum(sum(h["counts"]) for h in hists) == n_kernel
+    assert all(h["lo"] <= h["hi"] for h in hists)
+
+    path = str(tmp_path / "m.jsonl")
+    MetricsWriter(path).close()
+    state = DashboardState(path, checkpoint=ckpt)
+    snap = state.snapshot()
+    assert len(snap["weights"]) == len(hists)
+    # unchanged file → cached; touched file → re-parsed
+    mtime = state._ckpt_mtime
+    state.snapshot()
+    assert state._ckpt_mtime == mtime
+    os.utime(ckpt, (mtime + 10, mtime + 10))
+    state.snapshot()
+    assert state._ckpt_mtime > mtime
+
+
+def test_dashboard_train_session_grad_norm(tmp_path):
+    from tetris_mcts_tpu.obs.dashboard import DashboardState
+
+    path = str(tmp_path / "m.jsonl")
+    w = MetricsWriter(path)
+    w.write("train_session", n=1, rows=64, loss_train=1.5, loss_val=1.2,
+            grad_norm=0.7)
+    w.close()
+    snap = DashboardState(path).snapshot()
+    assert snap["trains"][0]["grad_norm"] == 0.7
+
+
 def test_loader_offsets_episode_ids_across_files(tmp_path):
     """Per-file episode ids restart at 0; the loader must offset them so MC
     targets and episodic validation never merge two files' distinct games."""

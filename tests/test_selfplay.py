@@ -49,8 +49,8 @@ def test_replay_fills_and_training_fires(driver):
     assert driver.total_rows > 0
     assert driver.n_trains >= 1
     assert len(driver.train_history) == driver.n_trains
-    # training history rows: (iter, train_loss, val_loss, val_std)
-    it, tr, va, vs = driver.train_history[0][0]
+    # training history rows: (iter, train_loss, val_loss, val_std, grad_norm)
+    it, tr, va, vs, gn = driver.train_history[0][0]
     assert np.isfinite(tr) and np.isfinite(va)
 
 

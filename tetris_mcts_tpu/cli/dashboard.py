@@ -13,11 +13,15 @@ def main(argv=None):
                    help="live-state memmap dir ('' = no board panel)")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--port", type=int, default=8050)
+    p.add_argument("--checkpoint", default="",
+                   help="checkpoint to watch for the weight-histogram panel "
+                        "(reference web/parseLog.py:176-186 polls mtime)")
     args = p.parse_args(argv)
 
     from tetris_mcts_tpu.obs.dashboard import serve
 
-    serve(args.metrics, args.status_dir, args.batch, args.port)
+    serve(args.metrics, args.status_dir, args.batch, args.port,
+          checkpoint=args.checkpoint)
 
 
 if __name__ == "__main__":

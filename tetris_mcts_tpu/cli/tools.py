@@ -160,9 +160,163 @@ def _svg_line(series, w=640, h=240, pad=36, colors=("#2a78d6", "#eb6834")):
     return "".join(parts)
 
 
+def _svg_hists(panels, w=260, h=160, pad=28):
+    """Grid of histogram/heatmap panels in one SVG. Each panel is either
+    ("hist", title, counts, lo, hi) drawn with log-scaled bar heights (the
+    reference's `plt.yscale('log')` hists, tools/plot_dump.py:27-43) or
+    ("hist2d", title, counts2d, (xlo,xhi), (ylo,yhi)) drawn as a LogNorm
+    heatmap (tools/plot_response.py:52-55)."""
+    cols = min(len(panels), 2)
+    rows = (len(panels) + cols - 1) // cols
+    W, H = cols * w, rows * h
+    parts = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" '
+             f'height="{H}" style="background:#fcfcfb">']
+    for k, panel in enumerate(panels):
+        x0 = (k % cols) * w
+        y0 = (k // cols) * h
+        kind, title = panel[0], panel[1]
+        parts.append(f'<text x="{x0 + pad}" y="{y0 + 12}" font-size="11" '
+                     f'fill="#0b0b0b">{title}</text>')
+        if kind == "hist":
+            counts, lo, hi = panel[2], panel[3], panel[4]
+            lc = np.log1p(np.asarray(counts, np.float64))
+            top = lc.max() or 1.0
+            bw = (w - 2 * pad) / len(counts)
+            for i, v in enumerate(lc):
+                if not v:
+                    continue
+                bh = (h - 2 * pad) * v / top
+                parts.append(
+                    f'<rect x="{x0 + pad + i * bw:.1f}" '
+                    f'y="{y0 + h - pad - bh:.1f}" width="{max(bw - .5, .5):.1f}" '
+                    f'height="{bh:.1f}" fill="#2a78d6"/>')
+            lab = [(x0 + pad, lo, "start"), (x0 + w - pad, hi, "end")]
+            for x, v, anchor in lab:
+                parts.append(f'<text x="{x}" y="{y0 + h - pad + 12}" '
+                             f'font-size="10" text-anchor="{anchor}" '
+                             f'fill="#52514e">{v:.3g}</text>')
+        else:  # hist2d
+            c2, (xlo, xhi), (ylo, yhi) = panel[2], panel[3], panel[4]
+            lc = np.log1p(np.asarray(c2, np.float64))
+            top = lc.max() or 1.0
+            nx, ny = lc.shape
+            cw, ch = (w - 2 * pad) / nx, (h - 2 * pad) / ny
+            for i in range(nx):
+                for j in range(ny):
+                    if not lc[i, j]:
+                        continue
+                    op = 0.15 + 0.85 * lc[i, j] / top
+                    parts.append(
+                        f'<rect x="{x0 + pad + i * cw:.1f}" '
+                        f'y="{y0 + h - pad - (j + 1) * ch:.1f}" '
+                        f'width="{cw + .3:.1f}" height="{ch + .3:.1f}" '
+                        f'fill="#2a78d6" fill-opacity="{op:.2f}"/>')
+            # y = x guide: truth == prediction
+            parts.append(f'<line x1="{x0 + pad}" y1="{y0 + h - pad}" '
+                         f'x2="{x0 + w - pad}" y2="{y0 + pad}" '
+                         f'stroke="#eb6834" stroke-width="1"/>')
+            for x, v, anchor in ((x0 + pad, xlo, "start"),
+                                 (x0 + w - pad, xhi, "end")):
+                parts.append(f'<text x="{x}" y="{y0 + h - pad + 12}" '
+                             f'font-size="10" text-anchor="{anchor}" '
+                             f'fill="#52514e">{v:.3g}</text>')
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _plot_entropy(data_glob):
+    """Mean search-policy entropy per data file vs training cycle plus the
+    ln(7) uniform ceiling (reference tools/plot_entropy.py:27-44: p =
+    child visit fractions, mean of -sum p log p)."""
+    import glob as _glob
+
+    from tetris_mcts_tpu.utils.data import DataLoader
+
+    xs, ys = [], []
+    for f in sorted(_glob.glob(data_glob)):
+        d = DataLoader([f])
+        n = d.child_stats[:, 0, :].astype(np.float64)
+        n_sum = n.sum(axis=1, keepdims=True)
+        ok = n_sum[:, 0] > 0
+        p = n[ok] / n_sum[ok]
+        ent = -np.sum(np.where(p > 0, p * np.log(np.maximum(p, 1e-30)), 0.0),
+                      axis=1)
+        xs.append(int(d.cycle[0]))
+        ys.append(float(ent.mean()) if len(ent) else 0.0)
+    order = np.argsort(xs)
+    ent_series = [ys[i] for i in order]
+    uniform = [float(np.log(7))] * len(ent_series)
+    return [ent_series, uniform]
+
+
+def _plot_dump(dump_path, out, bins=60):
+    """Value/variance/weight histograms of a training-set dump (reference
+    tools/plot_dump.py:20-60, log-count y-axis)."""
+    blob = np.load(dump_path)
+    panels = []
+    for name in ("values", "variance", "weights"):
+        v = np.squeeze(blob[name]).astype(np.float64)
+        lo, hi = float(v.min()), float(v.max())
+        counts, _ = np.histogram(v, bins=bins, range=(lo, hi or 1.0))
+        panels.append(("hist", name, counts, lo, hi))
+    with open(out, "w") as f:
+        f.write(_svg_hists(panels))
+
+
+def _plot_response(dump_path, checkpoint, out, bins=50, pclip=1.0):
+    """Model response vs training targets: re-infer the dumped states and
+    heatmap truth vs prediction for value and variance, split 90/10 into
+    train/valid like the dump was (reference tools/plot_response.py:28-64)."""
+    from tetris_mcts_tpu.train.trainer import VVModel
+
+    blob = np.load(dump_path)
+    states = blob["states"]
+    value_t = np.squeeze(blob["values"]).astype(np.float64)
+    var_t = np.squeeze(blob["variance"]).astype(np.float64)
+
+    model = VVModel(checkpoint_path=checkpoint)
+    model.load()
+    vp, varp = [], []
+    for i in range(0, len(states), 256):
+        v, var = model.inference(states[i:i + 256])
+        vp.append(np.squeeze(v, -1))
+        varp.append(np.squeeze(var, -1))
+    value_p = np.concatenate(vp).astype(np.float64)
+    var_p = np.concatenate(varp).astype(np.float64)
+
+    v_size = max(int(len(states) * 0.1), 1)
+    panels = []
+    for name, t, p_ in (("value", value_t, value_p),
+                        ("variance", var_t, var_p)):
+        for split, sl in (("train", slice(None, -v_size)),
+                          ("valid", slice(-v_size, None))):
+            ts, ps = t[sl], p_[sl]
+            lo = min(np.percentile(ts, pclip), np.percentile(ps, pclip))
+            hi = max(np.percentile(ts, 100 - pclip),
+                     np.percentile(ps, 100 - pclip))
+            if hi <= lo:
+                hi = lo + 1.0
+            c2, _, _ = np.histogram2d(ts, ps, bins=bins,
+                                      range=((lo, hi), (lo, hi)))
+            panels.append(("hist2d", f"{name} truth vs pred ({split})",
+                           c2, (lo, hi), (lo, hi)))
+    with open(out, "w") as f:
+        f.write(_svg_hists(panels))
+
+
 def cmd_plot(args):
+    if args.what == "dump":
+        _plot_dump(args.dump, args.out)
+        print(f"wrote {args.out}")
+        return 0
+    if args.what == "response":
+        _plot_response(args.dump, args.checkpoint, args.out)
+        print(f"wrote {args.out}")
+        return 0
     series = []
-    if args.metrics:
+    if args.what == "entropy":
+        series = _plot_entropy(args.data)
+    elif args.metrics:
         from tetris_mcts_tpu.obs.metrics import MetricsReader
 
         r = MetricsReader(args.metrics)
@@ -220,7 +374,16 @@ def main(argv=None):
     s = sub.add_parser("plot")
     s.add_argument("--metrics", default="")
     s.add_argument("--loss", default="", help="loss*.h5 glob")
-    s.add_argument("--what", default="lines", choices=("lines", "score", "loss"))
+    s.add_argument("--data", default="data/data*.h5",
+                   help="self-play HDF5 glob (entropy mode; "
+                        "tools/plot_entropy.py)")
+    s.add_argument("--dump", default="./data/dump.npz",
+                   help="training-set dump (dump/response modes)")
+    s.add_argument("--checkpoint", default="./checkpoints/model_vv.msgpack",
+                   help="model for response mode (tools/plot_response.py)")
+    s.add_argument("--what", default="lines",
+                   choices=("lines", "score", "loss", "entropy", "dump",
+                            "response"))
     s.add_argument("--out", default="plot.svg")
 
     args = p.parse_args(argv)

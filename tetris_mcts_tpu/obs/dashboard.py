@@ -17,8 +17,12 @@ Run: `python -m tetris_mcts_tpu.cli.dashboard --metrics runs/m.jsonl
 from __future__ import annotations
 
 import json
+import os
+import pickle
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
 
 from tetris_mcts_tpu.obs.metrics import MetricsReader, StatusReader
 
@@ -73,11 +77,16 @@ svg .axis { stroke: var(--grid); stroke-width: 1; }
 <div class="grid2">
   <div class="card"><h2>Lines cleared per episode</h2><svg id="c_lines" width="100%" height="180"></svg></div>
   <div class="card"><h2>Score per episode</h2><svg id="c_score" width="100%" height="180"></svg></div>
+  <div class="card"><h2>Mean lines per 50 episodes</h2><svg id="c_lines50" width="100%" height="180"></svg></div>
   <div class="card"><h2>Training loss</h2>
     <div class="legend"><span><span class="sw" style="background:var(--series-1)"></span>train</span>
     <span><span class="sw" style="background:var(--series-2)"></span>validation</span></div>
     <svg id="c_loss" width="100%" height="180"></svg></div>
+  <div class="card"><h2>Gradient norm per session</h2><svg id="c_gnorm" width="100%" height="180"></svg></div>
+  <div class="card"><h2>Training data size per session</h2><svg id="c_rows" width="100%" height="180"></svg></div>
   <div class="card"><h2>Live board (game 0)</h2><svg id="c_board" width="200" height="400"></svg></div>
+  <div class="card" id="card_w" style="display:none"><h2>Weight histograms (checkpoint)</h2>
+    <div id="c_weights" style="display:grid;grid-template-columns:repeat(auto-fit,minmax(150px,1fr));gap:8px"></div></div>
 </div>
 <div id="tip"></div>
 <script>
@@ -146,6 +155,45 @@ function board(svg, cells) {
 function tile(k, v) {
   return `<div class="tile"><div class="v">${v}</div><div class="k">${k}</div></div>`;
 }
+function histChart(svg, counts, lo, hi, color) {
+  const W = 150, H = 60;
+  svg.setAttribute('viewBox', `0 0 ${W} ${H}`);
+  svg.innerHTML = '';
+  const ns = 'http://www.w3.org/2000/svg';
+  const cmax = counts.reduce((a, v) => Math.max(a, v), 1);
+  const bw = (W - 2) / counts.length;
+  counts.forEach((c, i) => {
+    if (!c) return;
+    const r = document.createElementNS(ns, 'rect');
+    const h = Math.max(1, (H - 14) * c / cmax);
+    r.setAttribute('x', 1 + i * bw); r.setAttribute('y', H - 12 - h);
+    r.setAttribute('width', Math.max(bw - 0.5, 0.5)); r.setAttribute('height', h);
+    r.setAttribute('fill', color); svg.appendChild(r);
+  });
+  for (const [x, v, anchor] of [[1, lo, 'start'], [W - 1, hi, 'end']]) {
+    const t = document.createElementNS(ns, 'text');
+    t.setAttribute('x', x); t.setAttribute('y', H - 2);
+    t.setAttribute('text-anchor', anchor);
+    t.textContent = (+v.toPrecision(2)).toLocaleString(); svg.appendChild(t);
+  }
+}
+function weightPanels(box, weights, color) {
+  document.getElementById('card_w').style.display = weights.length ? '' : 'none';
+  box.innerHTML = '';
+  for (const w of weights) {
+    const d = document.createElement('div');
+    d.innerHTML = `<div style="font-size:10px;color:var(--text-secondary)">${w.name}</div>` +
+                  `<svg width="100%" height="60"></svg>`;
+    box.appendChild(d);
+    histChart(d.querySelector('svg'), w.counts, w.lo, w.hi, color);
+  }
+}
+function per50(eps) {
+  const out = [];
+  for (let i = 0; i + 50 <= eps.length; i += 50)
+    out.push(eps.slice(i, i + 50).reduce((a, e) => a + e.lines, 0) / 50);
+  return out;
+}
 const css = s => getComputedStyle(document.querySelector('.viz-root')).getPropertyValue(s).trim();
 async function tick() {
   try {
@@ -157,13 +205,19 @@ async function tick() {
       tile('mean lines (last 50)', eps.length ? (eps.slice(-50).reduce((a, e) => a + e.lines, 0) / Math.min(eps.length, 50)).toFixed(1) : '—') +
       tile('best score', eps.length ? eps.reduce((a, e) => Math.max(a, e.score), 0).toLocaleString() : '—') +
       tile('training sessions', d.trains.length.toLocaleString());
-    const c1 = css('--series-1'), c2 = css('--series-2');
+    const c1 = css('--series-1'), c2 = css('--series-2'), c3 = css('--series-3');
     lineChart(document.getElementById('c_lines'), [eps.map(e => e.lines)], [c1]);
     lineChart(document.getElementById('c_score'), [eps.map(e => e.score)], [c1]);
+    lineChart(document.getElementById('c_lines50'), [per50(eps)], [c3]);
     lineChart(document.getElementById('c_loss'),
               [d.trains.map(t => t.loss_train), d.trains.map(t => t.loss_val)],
               [c1, c2]);
+    lineChart(document.getElementById('c_gnorm'),
+              [d.trains.map(t => t.grad_norm).filter(v => v != null)], [c2]);
+    lineChart(document.getElementById('c_rows'),
+              [d.trains.map(t => t.rows || 0)], [c3]);
     board(document.getElementById('c_board'), d.board);
+    weightPanels(document.getElementById('c_weights'), d.weights || [], c1);
   } catch (e) { /* server restarting */ }
   setTimeout(tick, 2000);
 }
@@ -173,11 +227,54 @@ tick();
 """
 
 
+def weight_histograms(checkpoint_path: str, bins: int = 32) -> list:
+    """Per-layer weight histograms from a saved checkpoint — the reference's
+    `ModelParser` panel (web/parseLog.py:166-197 filters `weight` keys from
+    the torch state dict and web_dash.py plots one histogram per layer).
+    Here: flatten the flax param tree and histogram every `kernel` leaf."""
+    import flax.serialization
+    import flax.traverse_util
+
+    with open(checkpoint_path, "rb") as f:
+        blob = pickle.load(f)
+    params = flax.serialization.msgpack_restore(blob["params"])
+    flat = flax.traverse_util.flatten_dict(params)
+    out = []
+    for path, leaf in sorted(flat.items(), key=lambda kv: "/".join(kv[0])):
+        if path[-1] != "kernel":
+            continue
+        w = np.asarray(leaf, np.float32).ravel()
+        lo, hi = float(w.min()), float(w.max())
+        counts, _ = np.histogram(w, bins=bins, range=(lo, hi or 1.0))
+        name = "/".join(p for p in path[:-1] if p != "params") or "kernel"
+        out.append({"name": name, "counts": counts.tolist(),
+                    "lo": lo, "hi": hi})
+    return out
+
+
 class DashboardState:
-    def __init__(self, metrics_path: str, status_dir: str = "", batch: int = 1):
+    def __init__(self, metrics_path: str, status_dir: str = "",
+                 batch: int = 1, checkpoint: str = ""):
         self.reader = MetricsReader(metrics_path)
         self.status = StatusReader(status_dir, batch=batch) if status_dir else None
+        self.checkpoint = checkpoint
+        self._ckpt_mtime = -1.0
+        self._weights: list = []
         self._lock = threading.Lock()
+
+    def _poll_checkpoint(self) -> list:
+        """Re-histogram the params when the checkpoint file changes (the
+        reference polls `./model_checkpoint` mtime, parseLog.py:176-186)."""
+        if not self.checkpoint or not os.path.isfile(self.checkpoint):
+            return self._weights
+        mtime = os.path.getmtime(self.checkpoint)
+        if mtime > self._ckpt_mtime:
+            try:
+                self._weights = weight_histograms(self.checkpoint)
+                self._ckpt_mtime = mtime
+            except Exception:
+                pass  # mid-write checkpoint; retry on the next poll
+        return self._weights
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -189,16 +286,19 @@ class DashboardState:
             ]
             trains = [
                 {"n": e.get("n"), "loss_train": e.get("loss_train"),
-                 "loss_val": e.get("loss_val"), "rows": e.get("rows")}
+                 "loss_val": e.get("loss_val"), "rows": e.get("rows"),
+                 "grad_norm": e.get("grad_norm")}
                 for e in self.reader.of_kind("train_session")
                 if e.get("loss_train") is not None
             ]
+            weights = self._poll_checkpoint()
         board = None
         if self.status is not None:
             st = self.status.read()
             if st is not None:
                 board = st["board"].tolist()
-        return {"episodes": episodes, "trains": trains, "board": board}
+        return {"episodes": episodes, "trains": trains, "board": board,
+                "weights": weights}
 
 
 def make_handler(state: DashboardState):
@@ -227,9 +327,9 @@ def make_handler(state: DashboardState):
 
 
 def serve(metrics_path: str, status_dir: str = "", batch: int = 1,
-          port: int = 8050, blocking: bool = True):
+          port: int = 8050, blocking: bool = True, checkpoint: str = ""):
     """Start the dashboard server (reference port 8050, web_dash.py:370)."""
-    state = DashboardState(metrics_path, status_dir, batch)
+    state = DashboardState(metrics_path, status_dir, batch, checkpoint)
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(state))
     if blocking:
         print(f"dashboard: http://localhost:{port}", flush=True)

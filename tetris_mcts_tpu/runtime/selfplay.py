@@ -312,6 +312,7 @@ class _OnlineDriverBase:
                 "train_session", n=self.n_trains, rows=use,
                 seconds=time.time() - t0, iters=last[0],
                 loss_train=last[1], loss_val=last[2],
+                grad_norm=last[4] if len(last) > 4 else None,
             )
         return True
 

@@ -307,7 +307,8 @@ class VVModel:
                     f"validation loss:{vmean:6.4f}±{vstd:6.4f}  "
                     f"gradient norm:{gnorm_avg / iters_per_val:6.3f}    {suffix}"
                 )
-                history.append((it + 1, loss_avg / iters_per_val, vmean, vstd))
+                history.append((it + 1, loss_avg / iters_per_val, vmean, vstd,
+                                gnorm_avg / iters_per_val))
                 loss_avg = gnorm_avg = 0.0
                 if stop:
                     break

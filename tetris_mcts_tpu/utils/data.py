@@ -176,10 +176,13 @@ class LossSaver:
         ))
 
     def add_history(self, history):
-        """Append a `VVModel.train_data` history list of
-        (iter, train_loss, val_loss, val_std)."""
-        for it, tr, va, vs in history:
-            self.add(it, tr, va, vs)
+        """Append a `train_data` history list of (iter, train_loss,
+        val_loss, val_std[, grad_norm]) rows — the VV trainer also records
+        the mean gradient norm per validation window (`Loss.grad_norm`,
+        util/Data.py:29-39)."""
+        for row in history:
+            self.add(row[0], row[1], row[2], row[3],
+                     grad_norm=row[4] if len(row) > 4 else 0.0)
 
     def close(self):
         self._w.close()

@@ -21,6 +21,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+# A/B knobs, parsed ONCE so the printed JSON always describes the measured
+# configuration (the round driver parses the one output line):
+# TMT_INSERT_KERNEL=1 runs the obs-table probe loop as a Pallas kernel;
+# TMT_TABLE_SIZE A/Bs the obs-table load factor — a larger table shortens
+# the linear-probe clusters (fewer probe rounds ~130 us each in the XLA
+# while_loop) at the cost of a bigger carried (B, T) table triple.
+INSERT_KERNEL = os.environ.get("TMT_INSERT_KERNEL") == "1"
+TABLE_SIZE = int(os.environ.get("TMT_TABLE_SIZE", "4096"))
+
 
 def bench_env(batch: int = 8192, steps: int = 512, reps: int = 3, seed: int = 0):
     """Random-action env stepping with auto-reset, one fused scan program."""
@@ -72,14 +81,12 @@ def bench_mcts(batch: int = 256, sims: int = 100, moves: int = 8,
     # Pool sizes: one 100-sim move allocates <= 709 nodes; 2048 keeps a few
     # moves of persistent subtree while keeping the carried tree arrays small
     # (tree-array size is a first-order throughput term: XLA's copy insertion
-    # scales with the carry).
-    # TMT_INSERT_KERNEL=1 A/Bs the Pallas obs-insert kernel; the choice is
-    # recorded in the output JSON so measurements are self-describing.
-    insert_kernel = os.environ.get("TMT_INSERT_KERNEL") == "1"
+    # scales with the carry). The INSERT_KERNEL/TABLE_SIZE A/B knobs are
+    # module-level so the output JSON always records what was measured.
     cfg = mcts.SearchConfig(
         tree=TreeConfig(
-            max_nodes=2048, max_obs=2048, table_size=4096, max_depth=64,
-            insert_kernel=insert_kernel,
+            max_nodes=2048, max_obs=2048, table_size=TABLE_SIZE, max_depth=64,
+            insert_kernel=INSERT_KERNEL,
         ),
         sims=sims,
         evaluator="lp",
@@ -135,8 +142,11 @@ def _device():
 
     plats = os.environ.get("JAX_PLATFORMS")
     # a TPU is only in play when the platform is unset (plugins auto-load)
-    # or explicitly requests one; a plain-CPU box needs no probe
+    # or explicitly requests one; a plain-CPU box needs no probe. The env
+    # var alone is IGNORED once the axon plugin loads — re-assert it through
+    # jax.config so `JAX_PLATFORMS=cpu python bench.py` really runs on CPU.
     if plats is not None and "tpu" not in plats and "axon" not in plats:
+        jax.config.update("jax_platforms", plats)
         return jax.devices()[0]
     try:
         ok = subprocess.run(
@@ -171,7 +181,8 @@ def main():
         "env_steps_per_s": round(env_rate, 1),
         "env_vs_target": round(env_rate / 1_000_000.0, 4),
         "device": str(dev.device_kind if on_tpu else dev.platform),
-        "insert_kernel": os.environ.get("TMT_INSERT_KERNEL") == "1",
+        "insert_kernel": INSERT_KERNEL,
+        "table_size": TABLE_SIZE,
         "nn_dtype": "float32" if os.environ.get("TMT_NN_F32") == "1"
         else "bfloat16",
     }))

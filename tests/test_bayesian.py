@@ -47,6 +47,32 @@ def test_bgd_method_trains_and_keeps_sigma_positive():
     assert np.isfinite(v).all() and np.isfinite(var).all()
 
 
+def test_bgd_survives_huge_gradients():
+    """One large-gradient minibatch must not zero a sigma: the subtractive
+    s·sqrt(1+x²) - s·x form cancels to exactly 0 in float32 at x ≳ 4096,
+    then the inverse softplus maps it to -inf and the weight freezes.
+    Targets far outside the output bound force huge value-loss gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(9)
+    n = 64
+    data = [
+        rng.randint(0, 2, (n, 20, 10)).astype(np.int8),
+        np.full(n, 1e7, np.float32),   # absurd targets -> huge E[g·eps]
+        np.full(n, 1e-3, np.float32),  # tiny variance target sharpens it
+        np.ones(n, np.float32),
+    ]
+    m = BBBVVModel(mc_iters=2, seed=5, method="bgd", mean_eta=1.0)
+    m.train_data(data, batch_size=64, iters=50, log=lambda s: None)
+    for r in jax.tree.leaves(m.params["rho"]):
+        sig = np.asarray(jnp.logaddexp(r, 0.0))
+        assert np.isfinite(np.asarray(r)).all()
+        assert (sig > 0).all() and np.isfinite(sig).all()
+    for mu in jax.tree.leaves(m.params["mu"]):
+        assert np.isfinite(np.asarray(mu)).all()
+
+
 def test_bbb_stochastic_inference_varies():
     m = BBBVVModel(mc_iters=1, seed=2)
     boards = _data(4)[0][:4]

@@ -241,6 +241,32 @@ def test_tools_sanity_all_nets(tmp_path, capsys, model):
     assert "flip-invariance RMSE" in out
 
 
+def test_cycle_rejects_dqn_agents(tmp_path, capsys):
+    """DQN agents train per env step and save no HDF5 — a cycle would
+    self-play forever without ever training; rejected up front."""
+    from tetris_mcts_tpu.cli.cycle import main as cycle_main
+
+    rc = cycle_main(["--agent_type", "DQN", "--iters", "1",
+                     "--data_dir", str(tmp_path), "--dry_run"])
+    assert rc == 2
+
+
+def test_tools_sanity_redirects_default_checkpoint(tmp_path, capsys,
+                                                   monkeypatch):
+    """`tools sanity --model vp` with the shared default --checkpoint must
+    resolve to the VP net's own path, not load the VV blob (structure
+    mismatch raises in flax.serialization.from_bytes)."""
+    from tetris_mcts_tpu.cli.tools import main as tools_main
+    from tetris_mcts_tpu.train.trainer import VVModel
+
+    monkeypatch.chdir(tmp_path)
+    VVModel(checkpoint_path="./checkpoints/model_vv.msgpack").save()
+    rc = tools_main(["sanity", "--model", "vp"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "flip-invariance RMSE" in out
+
+
 def test_tools_plot_entropy_dump_response(tmp_path, capsys):
     """`tools plot --what {entropy,dump,response}` — the reference's
     tools/plot_entropy.py (mean visit entropy vs cycle), plot_dump.py

@@ -139,6 +139,9 @@ def test_dist_driver_trains():
     assert d.moves == 25
     assert d.total_rows > 0
     assert d.n_trains >= 1
+    # --low must reach the distributional select (it reads dcfg.low, not
+    # TreeConfig.low; SelfPlayConfig's default low is what the CLI computed)
+    assert d.dcfg.low == d.cfg.low
     # stored target distributions are normalized
     cnt = int(d.replay.count)
     sums = np.asarray(d.replay.dist)[:cnt].sum(axis=1)

@@ -149,6 +149,33 @@ def test_dp_train_step_matches_single_device():
         )
 
 
+def test_scaling_bench_script_runs():
+    """scripts/scaling_bench.py (the BASELINE scaling-row measurement
+    harness) produces per-mesh-size rate rows plus a weak-scaling summary
+    on virtual CPU devices."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(root / "scripts" / "scaling_bench.py"),
+         "--virtual", "2", "--sizes", "1,2", "--reps", "1",
+         "--batch_per_device", "8", "--env_batch_per_device", "64",
+         "--sims", "3", "--moves", "1"],
+        capture_output=True, text=True, timeout=900, cwd=str(root),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    assert [r.get("devices") for r in rows[:-1]] == [1, 2]
+    assert all(r["sims_per_s"] > 0 and r["env_steps_per_s"] > 0
+               for r in rows[:-1])
+    summary = rows[-1]
+    assert summary["metric"] == "weak_scaling_efficiency"
+    assert summary["sims_efficiency"][0] == 1.0
+
+
 def test_tp_train_step_runs():
     """2D (data x model) mesh: megatron-split FC block compiles and matches."""
     model = VVModel(seed=1)

@@ -1,6 +1,9 @@
 """Shared CLI helpers."""
 
-DEFAULT_CKPT = "./checkpoints/model_vv.msgpack"
+# Single source of truth for the shared-default sentinel: VVModel's own
+# default checkpoint path. resolve_ckpt's "explicit --checkpoint always
+# wins" comparison breaks silently if the two strings ever diverge.
+from tetris_mcts_tpu.train.trainer import DEFAULT_CKPT
 
 _CKPT_BY_KIND = {
     "vv": DEFAULT_CKPT,

@@ -70,10 +70,18 @@ def main(argv=None):
 
     start = last_cycle(args.data_dir) + 1 if args.resume else 0
 
-    if not args.model:
-        from tetris_mcts_tpu.cli.play import _VP_EVALUATORS, AGENT_TYPES
+    from tetris_mcts_tpu.cli.play import _VP_EVALUATORS, AGENT_TYPES
 
-        ev = AGENT_TYPES.get(args.agent_type, ("lp", True))[0]
+    ev = AGENT_TYPES.get(args.agent_type, ("lp", True))[0]
+    if ev == "dqn":
+        # DQN trains per env step inside its own driver and play.py's
+        # DQN branch saves no HDF5 — a cycle would self-play forever
+        # while the offline-train phase never fires
+        print("cycle: DQN agents train online per step and produce no "
+              "self-play HDF5; use `play --agent_type DQN --online` "
+              "instead", file=sys.stderr)
+        return 2
+    if not args.model:
         args.model = (
             "vp" if ev in _VP_EVALUATORS
             else "dist" if ev == "dist"

@@ -99,7 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "uniformly before any policy runs (reference "
                         "check_low/min_n). Default: 10 for --policy bayes "
                         "(select_index_bayes min_n, core.py:290), 5 for "
-                        "Vanilla/VanillaC (Vanilla.py low=5), else 1 "
+                        "Vanilla/VanillaC (Vanilla.py low=5) and DistValueSim "
+                        "(select_trace_distributional low=5), else 1 "
                         "(unvisited-first)")
     p.add_argument("--dump_dir", default="",
                    help="write data/dump.npz of each training session's set "
@@ -241,6 +242,8 @@ def main(argv=None):
         low = 10   # select_index_bayes min_n (core.py:290)
     elif args.agent_type in ("Vanilla", "VanillaC"):
         low = 5    # Vanilla.py low=5 (SURVEY §2.3)
+    elif args.agent_type == "DistValueSim":
+        low = 5    # select_trace_distributional low=5 (core_distributional.py:83)
     else:
         low = 1
     # online training runs iff the agent trains, --online is set, and we are

@@ -41,10 +41,13 @@ def cmd_sanity(args):
     tools/test_dist.py:10-34 for the C51 net): parameter count, predictions
     on synthetic boards, horizontal-flip invariance; the dist net also
     prints per-board distribution entropy, the vp net policy entropy."""
+    from tetris_mcts_tpu.cli import resolve_ckpt
     from tetris_mcts_tpu.train.trainer import DistModel, VPModel, VVModel
 
     cls = {"vv": VVModel, "vp": VPModel, "dist": DistModel}[args.model]
-    model = cls(checkpoint_path=args.checkpoint)
+    # per-net default checkpoint: loading the shared VV default into a
+    # VP/dist net raises on the structure mismatch
+    model = cls(checkpoint_path=resolve_ckpt(args.checkpoint, args.model))
     model.load()
     n_params = sum(x.size for x in __import__("jax").tree.leaves(model.params))
     print(f"Parameters: {n_params}")
@@ -235,10 +238,20 @@ def _plot_entropy(data_glob):
     xs, ys = [], []
     for f in sorted(_glob.glob(data_glob)):
         d = DataLoader([f])
+        if len(d) == 0:  # a run killed before its first move leaves one
+            continue
         n = d.child_stats[:, 0, :].astype(np.float64)
         n_sum = n.sum(axis=1, keepdims=True)
         ok = n_sum[:, 0] > 0
-        p = n[ok] / n_sum[ok]
+        if not ok.any():
+            # VP/dist/S2 drivers store zero child_stats; their search
+            # distribution lives in the policy column instead
+            p = d.policy.astype(np.float64)
+            p_sum = p.sum(axis=1, keepdims=True)
+            ok = p_sum[:, 0] > 0
+            p = p[ok] / p_sum[ok]
+        else:
+            p = n[ok] / n_sum[ok]
         ent = -np.sum(np.where(p > 0, p * np.log(np.maximum(p, 1e-30)), 0.0),
                       axis=1)
         xs.append(int(d.cycle[0]))
@@ -346,8 +359,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="tetris-tpu tools")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    from tetris_mcts_tpu.cli import DEFAULT_CKPT
+
     s = sub.add_parser("sanity")
-    s.add_argument("--checkpoint", default="./checkpoints/model_vv.msgpack")
+    s.add_argument("--checkpoint", default=DEFAULT_CKPT,
+                   help="defaults to the chosen net's own checkpoint path")
     s.add_argument("--model", default="vv", choices=("vv", "vp", "dist"),
                    help="net type (test.py checks the vv net, "
                         "test_dist.py the C51 net)")

@@ -212,8 +212,10 @@ async function tick() {
     lineChart(document.getElementById('c_loss'),
               [d.trains.map(t => t.loss_train), d.trains.map(t => t.loss_val)],
               [c1, c2]);
+    // keep x aligned with the loss/rows charts: sessions without a grad
+    // norm (non-VV trainers) plot as 0 rather than compacting the series
     lineChart(document.getElementById('c_gnorm'),
-              [d.trains.map(t => t.grad_norm).filter(v => v != null)], [c2]);
+              [d.trains.map(t => t.grad_norm ?? 0)], [c2]);
     lineChart(document.getElementById('c_rows'),
               [d.trains.map(t => t.rows || 0)], [c3]);
     board(document.getElementById('c_board'), d.board);

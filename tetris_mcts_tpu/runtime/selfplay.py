@@ -604,7 +604,7 @@ class DistSelfPlayDriver(_OnlineDriverBase):
         self._init_bookkeeping(cfg, log, saver, metrics, status)
         self.model = model or DistModel(atoms=atoms)
         self._DD = DD
-        self.dcfg = DD.DistConfig(atoms=atoms, vmax=vmax)
+        self.dcfg = DD.DistConfig(atoms=atoms, vmax=vmax, low=cfg.low)
 
         tree_cfg = TreeConfig(
             max_nodes=cfg.max_nodes, max_obs=cfg.max_obs,

@@ -142,18 +142,33 @@ class BBBVVModel:
                 return loss, jax.tree.leaves(g), eps
 
             losses, gs, epss = jax.vmap(one)(jax.random.split(k_mc, mc))
-            e_g = [jnp.mean(g, 0) for g in gs]
-            e_ge = [jnp.mean(g * e, 0) for g, e in zip(gs, epss)]
+            # Non-finite guard (the BGD analog of the VV trainer's grad-norm
+            # watchdog): one overflowed f32 gradient would write NaN into mu
+            # AND rho and corrupt those weights permanently — skip the update
+            # for the affected entries instead.
+            fin = lambda a: jnp.where(jnp.isfinite(a), a, 0.0)
+            e_g = [fin(jnp.mean(g, 0)) for g in gs]
+            e_ge = [fin(jnp.mean(g * e, 0)) for g, e in zip(gs, epss)]
             mu_new = [m - mean_eta * s**2 * g
                       for m, s, g in zip(mu_leaves, sigma, e_g)]
-            sig_new = [
-                s * jnp.sqrt(1.0 + (s * ge / 2.0) ** 2) - s**2 * ge / 2.0
-                for s, ge in zip(sigma, e_ge)
-            ]
+            # s·(sqrt(1+x²) - x) with x = s·ge/2. The subtractive form
+            # cancels to exactly 0 in float32 once x ≳ 4096 (one
+            # large-gradient minibatch) and a zero sigma would freeze the
+            # weight permanently below — for x > 0 use the equivalent
+            # s/(sqrt(1+x²)+x); for x ≤ 0 both terms add and the direct
+            # form is exact.
+            def _sig(s, ge):
+                x = s * ge / 2.0
+                r = jnp.sqrt(1.0 + x * x)
+                return jnp.where(x > 0, s / (r + x), s * (r - x))
+
+            sig_new = [_sig(s, ge) for s, ge in zip(sigma, e_ge)]
             # back to the rho parametrization (inverse softplus; the BGD
-            # update keeps sigma strictly positive)
+            # update keeps sigma strictly positive). The floor must sit
+            # above f32 resolution: exp(-s) rounds to 1.0 for s ≲ 6e-8 and
+            # log1p(-1) = -inf would zero sigma for good.
             rho_new = [
-                jnp.maximum(s, 1e-12) + jnp.log1p(-jnp.exp(-jnp.maximum(s, 1e-12)))
+                jnp.maximum(s, 1e-6) + jnp.log1p(-jnp.exp(-jnp.maximum(s, 1e-6)))
                 for s in sig_new
             ]
             params = {

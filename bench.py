@@ -173,7 +173,7 @@ def main():
         env_rate = bench_env(batch=512, steps=64, reps=2)
         sims_rate = bench_mcts(batch=16, sims=16, moves=2, reps=2)
 
-    print(json.dumps({
+    out = {
         "metric": "mcts_sims_per_s",
         "value": round(sims_rate, 1),
         "unit": "sims/s/chip",
@@ -185,7 +185,19 @@ def main():
         "table_size": TABLE_SIZE,
         "nn_dtype": "float32" if os.environ.get("TMT_NN_F32") == "1"
         else "bfloat16",
-    }))
+    }
+    if not on_tpu:
+        # a CPU run is a tunnel-down fallback, not the per-chip headline —
+        # attach the last clean real-chip measurement so the one JSON line
+        # stays self-describing for whoever parses it
+        out["tpu_fallback"] = True
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "runs", "bench_tpu_last.json")) as f:
+                out["last_tpu"] = json.load(f)
+        except OSError:
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

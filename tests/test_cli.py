@@ -241,6 +241,99 @@ def test_tools_sanity_all_nets(tmp_path, capsys, model):
     assert "flip-invariance RMSE" in out
 
 
+def test_train_last_nfiles_numeric_order(tmp_path, capsys):
+    """--last_nfiles must take the newest cycles by NUMBER (reference
+    util/Data.py keyFile): data10.h5 sorts before data2.h5 lexically."""
+    from tetris_mcts_tpu.cli.train import main as train_main
+    from tetris_mcts_tpu.utils.data import DataSaver
+
+    rng = np.random.RandomState(0)
+    for c in (2, 10):
+        s = DataSaver(str(tmp_path), "data", cycle=c)
+        n = 4 if c == 2 else 8  # row count tags which file got used
+        s.add_batch(
+            episode=np.zeros(n, np.int64),
+            board=rng.randint(-1, 2, (n, 20, 10)).astype(np.int8),
+            policy=np.full((n, 7), 1 / 7, np.float32),
+            action=np.zeros(n, np.int64), combo=np.zeros(n, np.int32),
+            lines=np.zeros(n, np.int32),
+            line_stats=np.zeros((n, 4), np.int32),
+            score=np.full(n, 100 * c, np.int64),
+            child_stats=np.ones((n, 3, 7), np.float32),
+            value=np.full(n, float(c), np.float32),
+            variance=np.ones(n, np.float32),
+        )
+        s.close()
+    hist = train_main([
+        "--data", str(tmp_path / "data*.h5"), "--td", "--last_nfiles", "1",
+        "--max_iters", "2", "--iters_per_val", "2", "--batch_size", "4",
+        "--checkpoint", str(tmp_path / "m.msgpack"),
+    ])
+    assert len(hist) == 1
+    out = capsys.readouterr().out
+    # the 8-row cycle-10 file is numerically last (lexically data10 < data2)
+    assert "Loaded 8 rows from 1 file(s)" in out
+
+
+def test_min_iters_blocks_early_stop():
+    """--min_iters: early stopping may not fire before the floor
+    (reference train.py:25)."""
+    from tetris_mcts_tpu.train.trainer import VVModel
+
+    rng = np.random.RandomState(1)
+    n = 64
+    data = [
+        rng.randint(0, 2, (n, 20, 10)).astype(np.int8),
+        rng.uniform(0, 50, n).astype(np.float32),
+        rng.uniform(1, 10, n).astype(np.float32),
+        np.ones(n, np.float32),
+    ]
+    m = VVModel(seed=2)
+    # patience 1 with a huge threshold => wants to stop at the 2nd window;
+    # min_iters forces it to at least 8 iterations (4 windows)
+    hist = m.train_data(
+        data, batch_size=16, iters_per_val=2, max_iters=20,
+        early_stopping=True, early_stopping_patience=1,
+        early_stopping_threshold=-1e9, min_iters=8, shuffle=True,
+        log=lambda s: None,
+    )
+    assert hist[-1][0] >= 8
+
+
+def test_printboard_wrapper_prints_and_forwards(capsys):
+    from tetris_mcts_tpu.cli.play import _PrintBoard
+
+    seen = {}
+
+    class Inner:
+        def publish(self, board, combo, score, lines, line_stats):
+            seen["board"] = board
+
+    board = np.zeros((20, 10), np.int8)
+    board[19, :4] = 1
+    _PrintBoard(Inner()).publish(
+        board, np.zeros(2, np.int32), np.asarray([120, 0]),
+        np.asarray([3, 0]), np.zeros((2, 4), np.int32),
+    )
+    out = capsys.readouterr().out
+    assert "score 120" in out and "lines 3" in out
+    assert seen["board"] is board
+
+
+def test_interactive_loop_plays_from_stdin(monkeypatch, capsys):
+    """--interactive (reference play.py:119-160): actions come from stdin,
+    the board is printed, 'Play more?' on game end."""
+    from tetris_mcts_tpu.cli.play import build_parser, interactive_loop
+
+    args = build_parser().parse_args(["--interactive", "--seed", "3"])
+    moves = iter(["6"] * 60 + [""])  # hard drops until game over, then EOF
+    monkeypatch.setattr("builtins.input", lambda *a: next(moves))
+    rc = interactive_loop(args)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "score" in out
+
+
 def test_cycle_rejects_dqn_agents(tmp_path, capsys):
     """DQN agents train per env step and save no HDF5 — a cycle would
     self-play forever without ever training; rejected up front."""

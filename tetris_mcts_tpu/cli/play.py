@@ -77,6 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="online training (implied by ValueSim* agents)")
     p.add_argument("--save", action="store_true",
                    help="save per-move rows to HDF5")
+    p.add_argument("--save_tree", action="store_true",
+                   help="dump searched tree nodes (board/value/variance/"
+                        "visits) to save_dir/tree<cycle>.h5 at run end "
+                        "(reference --save_tree, agent.py:259-289)")
+    p.add_argument("--printboard", action="store_true",
+                   help="print game 0's board each move (reference "
+                        "--printboard)")
+    p.add_argument("--interactive", action="store_true",
+                   help="text-interactive play: you type actions 0-6 "
+                        "(reference --interactive; no agent)")
     p.add_argument("--save_dir", default="./data")
     p.add_argument("--save_file", default="data")
     p.add_argument("--cycle", type=int, default=0)
@@ -151,8 +161,69 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def interactive_loop(args) -> int:
+    """Text-interactive play (reference play.py:119-160: printState, read an
+    action from stdin, step; 'Play more?' on game end). No agent, one game."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tetris_mcts_tpu.cli.replay import render
+    from tetris_mcts_tpu.env import engine
+
+    cfg = engine.EnvConfig(actions_per_drop=args.app, scoring=args.scoring,
+                           randomizer=args.randomizer)
+    envs = engine.reset_batch(args.seed, 1, cfg)
+    names = "0 noop  1 left  2 right  3 soft  4 ccw  5 cw  6 hard"
+    games = 0
+    while True:
+        st = jax.tree.map(lambda a: a[0], envs)
+        print(render(np.asarray(engine.get_state(st)), int(st.score),
+                     int(st.lines), int(st.combo)))
+        try:
+            action = int(input(f"Play ({names}): "))
+        except (ValueError, EOFError):
+            return 0
+        if not 0 <= action <= 6:
+            continue
+        envs = engine.step_batch(envs, jnp.full((1,), action), cfg)
+        if bool(envs.end[0]):
+            st = jax.tree.map(lambda a: a[0], envs)
+            print(render(np.asarray(engine.get_state(st)), int(st.score),
+                         int(st.lines), int(st.combo)))
+            print(f"Game over — score {int(st.score)}, "
+                  f"lines {int(st.lines)}")
+            try:
+                if input("Play more? (y/n): ").strip() != "y":
+                    return 0
+            except EOFError:
+                return 0
+            games += 1
+            envs = engine.reset_batch(args.seed + games, 1, cfg)
+
+
+class _PrintBoard:
+    """--printboard: wraps the (optional) StatusPublisher slot so the driver
+    publishes to both; prints game 0's pre-move board like the reference's
+    `game.printState()` (play.py:126-127)."""
+
+    def __init__(self, inner=None):
+        self.inner = inner
+
+    def publish(self, board, combo, score, lines, line_stats):
+        if self.inner is not None:
+            self.inner.publish(board, combo, score, lines, line_stats)
+        from tetris_mcts_tpu.cli.replay import render
+
+        print(render(board, int(score[0]), int(lines[0]), int(combo[0])),
+              flush=True)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.interactive:
+        return interactive_loop(args)
 
     from tetris_mcts_tpu.runtime.selfplay import (
         DistSelfPlayDriver, S2SelfPlayDriver, SelfPlayConfig, SelfPlayDriver,
@@ -313,6 +384,8 @@ def main(argv=None):
     if args.status_dir:
         from tetris_mcts_tpu.obs.metrics import StatusPublisher
         status = StatusPublisher(args.status_dir, batch=args.batch)
+    if args.printboard:
+        status = _PrintBoard(status)
 
     driver_cls = (
         VPSelfPlayDriver if is_vp
@@ -345,6 +418,20 @@ def main(argv=None):
     except KeyboardInterrupt:
         print("interrupted", file=sys.stderr)
     finally:
+        if args.save_tree:
+            # node-saver channel (reference --save_tree -> agent.saver,
+            # play.py:98-99): dump the searched observations at run end
+            if not hasattr(driver, "save_nodes"):
+                print("--save_tree: only VV-tree agents store (value, "
+                      "variance) per observation; ignored", file=sys.stderr)
+            else:
+                try:
+                    os.makedirs(args.save_dir, exist_ok=True)
+                    driver.save_nodes(
+                        os.path.join(args.save_dir, f"tree{args.cycle}.h5")
+                    )
+                except Exception as e:  # noqa: BLE001 — device may be gone
+                    print(f"save_tree failed ({e!r})", file=sys.stderr)
         # a --trace session is a profiling probe: never clobber checkpoints.
         # The save itself may fail when the device died mid-run (params are
         # unreachable) — the per-session checkpoints already on disk are the

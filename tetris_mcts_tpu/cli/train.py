@@ -39,12 +39,24 @@ def build_parser():
     p.add_argument("--weighted", action="store_true")
     p.add_argument("--weighted_mode", type=int, default=1, choices=(0, 1))
     p.add_argument("--early_stopping", action="store_true")
+    p.add_argument("--early_stopping_patience", type=int, default=10,
+                   help="validation windows without improvement before "
+                        "stopping (reference train.py:20)")
     p.add_argument("--validation", action="store_true",
                    help="episodic validation split (else random tail)")
     p.add_argument("--val_fraction", type=float, default=0.1)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--iters_per_val", type=int, default=500)
+    p.add_argument("--min_iters", type=int, default=-1,
+                   help="never early-stop before this many iterations "
+                        "(reference train.py:25; -1 = no floor)")
     p.add_argument("--max_iters", type=int, default=100000)
+    p.add_argument("--last_nfiles", type=int, default=-1,
+                   help="train on only the last n data files by cycle "
+                        "number (reference train.py:24; -1 = all)")
+    p.add_argument("--new", action="store_true",
+                   help="train a fresh model even if --load_model was "
+                        "given (reference train.py:27)")
     p.add_argument("--model", default="vv", choices=("vv", "vp", "dist"))
     p.add_argument("--ensemble", type=int, default=0,
                    help="K-member VV deep ensemble (0 = single net; "
@@ -70,6 +82,8 @@ def build_parser():
                    help="grad-norm watchdog dump directory "
                         "(model/model.py:105-109)")
     p.add_argument("--ewc", action="store_true")
+    p.add_argument("--ewc_lambda", type=float, default=1.0,
+                   help="EWC importance weight (reference train.py:23)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -130,8 +144,22 @@ def main(argv=None):
     from tetris_mcts_tpu.train.trainer import DistModel, VPModel, VVModel
     from tetris_mcts_tpu.utils.data import DataLoader, LossSaver
 
-    loader = DataLoader(args.data)
-    print(f"Loaded {len(loader)} rows from {args.data}", flush=True)
+    import glob
+    import re
+
+    # numeric-suffix file order (the reference's keyFile sort,
+    # util/Data.py) so --last_nfiles takes the newest cycles, not the
+    # lexically-last names (data10.h5 sorts before data2.h5 otherwise)
+    def cycle_no(path):
+        m = re.search(r"(\d+)\.h5$", path)
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(glob.glob(args.data), key=cycle_no)
+    if args.last_nfiles > 0:
+        paths = paths[-args.last_nfiles:]
+    loader = DataLoader(paths)
+    print(f"Loaded {len(loader)} rows from {len(paths)} file(s) "
+          f"({args.data})", flush=True)
 
     states, value, variance, weight = build_targets(
         loader, args.td, args.weighted, args.weighted_mode
@@ -193,14 +221,15 @@ def main(argv=None):
             n_models=args.ensemble, loss_type=args.loss_type,
             weighted=args.weighted, lr=lr, seed=args.seed,
             checkpoint_path=resolve_ckpt(args.checkpoint, "ens"),
-            ewc=args.ewc,
+            ewc=args.ewc, ewc_lambda=args.ewc_lambda,
         )
     else:
         model = VVModel(
             loss_type=args.loss_type, weighted=args.weighted, lr=lr,
             seed=args.seed, checkpoint_path=args.checkpoint, ewc=args.ewc,
+            ewc_lambda=args.ewc_lambda,
         )
-    if args.load_model:
+    if args.load_model and not args.new:
         model.load()
 
     # only the VV family runs the grad-norm watchdog (model/model.py:105-109)
@@ -212,7 +241,9 @@ def main(argv=None):
         validation_fraction=args.val_fraction,
         validation_rows=val_rows,
         early_stopping=args.early_stopping,
+        early_stopping_patience=args.early_stopping_patience,
         shuffle=shuffle,
+        min_iters=max(args.min_iters, 0),
         max_iters=args.max_iters,
         **extra,
     )

@@ -223,6 +223,7 @@ class VVModel:
         early_stopping_patience: int = 10,
         early_stopping_threshold: float = 1.0,
         shuffle: bool = False,
+        min_iters: int = 0,
         max_iters: int = 100000,
         grad_norm_warn: float = 1e3,
         dump_dir: str = "./data",
@@ -301,7 +302,10 @@ class VVModel:
                             best_params = self.params
                     else:
                         fails += 1
-                        stop = fails >= early_stopping_patience
+                        # --min_iters (reference train.py:25): never stop
+                        # before the floor
+                        stop = (fails >= early_stopping_patience
+                                and it + 1 >= min_iters)
                 log(
                     f"Iteration:{it + 1:7d}  training loss:{loss_avg / iters_per_val:6.4f}  "
                     f"validation loss:{vmean:6.4f}±{vstd:6.4f}  "
@@ -386,7 +390,8 @@ class VVModel:
 def _early_stop_fit(model, data_cols, batch_size, iters_per_val,
                     validation_fraction, early_stopping,
                     early_stopping_patience, early_stopping_threshold,
-                    shuffle, max_iters, log, validation_rows=None):
+                    shuffle, max_iters, log, validation_rows=None,
+                    min_iters=0):
     """Shared minibatch-SGD session with tail-validation early stopping (the
     reference `Model.train_data` loop, model/model.py:176-249) for models
     whose jitted step is (params, opt_state, data, key, bs) -> (params,
@@ -423,7 +428,10 @@ def _early_stop_fit(model, data_cols, batch_size, iters_per_val,
                         best_val, best_params = vmean, model.params
                 else:
                     fails += 1
-                    stop = fails >= early_stopping_patience
+                    # --min_iters (reference train.py:25): never stop early
+                    # before the floor
+                    stop = (fails >= early_stopping_patience
+                            and it + 1 >= min_iters)
             log(
                 f"Iteration:{it + 1:7d}  training loss:"
                 f"{loss_avg / iters_per_val:6.4f}  validation loss:"
@@ -518,7 +526,8 @@ class VPModel:
                    validation_fraction: float = 0.1, early_stopping: bool = True,
                    early_stopping_patience: int = 10,
                    early_stopping_threshold: float = 1.0,
-                   shuffle: bool = False, max_iters: int = 100000, log=print,
+                   shuffle: bool = False, min_iters: int = 0,
+                   max_iters: int = 100000, log=print,
                    validation_rows: int | None = None):
         """data = [states, values, policy(7), weights]."""
         weight = _col(data[3])
@@ -531,6 +540,7 @@ class VPModel:
             self, cols, batch_size, iters_per_val, validation_fraction,
             early_stopping, early_stopping_patience, early_stopping_threshold,
             shuffle, max_iters, log, validation_rows=validation_rows,
+            min_iters=min_iters,
         )
 
     def save(self, path: str | None = None, verbose: bool = False):
@@ -628,7 +638,8 @@ class DistModel:
                    validation_fraction: float = 0.1, early_stopping: bool = True,
                    early_stopping_patience: int = 10,
                    early_stopping_threshold: float = 1.0,
-                   shuffle: bool = False, max_iters: int = 100000, log=print,
+                   shuffle: bool = False, min_iters: int = 0,
+                   max_iters: int = 100000, log=print,
                    validation_rows: int | None = None):
         """data = [states, target_dists (N, atoms), weights]."""
         weight = _col(data[2])
@@ -638,6 +649,7 @@ class DistModel:
             self, cols, batch_size, iters_per_val, validation_fraction,
             early_stopping, early_stopping_patience, early_stopping_threshold,
             shuffle, max_iters, log, validation_rows=validation_rows,
+            min_iters=min_iters,
         )
 
     def save(self, path: str | None = None, verbose: bool = False):

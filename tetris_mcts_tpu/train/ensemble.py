@@ -32,7 +32,6 @@ watchdog reports the WORST member (max norm) and dumps that member's batch.
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -24,6 +24,17 @@ non-zero.
 CPU fallback: `interpret=True` runs the kernel in the Pallas interpreter,
 used automatically off-TPU so the full test suite and the multichip dryrun
 exercise the same code path.
+
+Design note — why the obs-table insert is NOT fused into the selection
+kernel (considered and rejected without burning chip time): the insert's
+(BG, T) table triple must be VMEM-resident, and Mosaic's scoped stack peaks
+at ~7x the resident bytes (measured, `insert7_walk`), which caps the insert
+at bg≈32 lanes for T=4096. The selection walk runs at bg=128; one fused
+kernel would drag the walk down to the insert's block size — ~4x the grid
+steps, and the walk phase dominates the move program. What fusion would
+save (one kernel launch, the (B, 140) packed7 HBM round trip, the XLA-side
+hash) is tens of microseconds per sim; what it risks is the core of the
+127.2k sims/s number. The two kernels compose better than they fuse.
 """
 
 from __future__ import annotations

@@ -159,6 +159,61 @@ def bench_mcts_sharded(mesh, batch: int, sims: int, moves: int, reps: int,
     return batch * sims * moves / best
 
 
+def bench_train_sharded(mesh, rows: int, batch_size: int, steps: int,
+                        reps: int, seed: int = 0):
+    """Data-parallel SGD throughput (training rows/s): the learner half of
+    the actor-learner design (SURVEY.md §2.7) — params replicated (or TP
+    via vv_param_shardings on a 2D mesh), training arrays sharded over
+    "data", gradient psum compiled in by XLA."""
+    import numpy as np
+
+    from tetris_mcts_tpu.parallel import mesh as M
+    from tetris_mcts_tpu.train.trainer import VVModel
+
+    model = VVModel(seed=seed)
+    rng = np.random.RandomState(seed)
+    data = (
+        jnp.asarray(rng.randint(0, 2, (rows, 20, 10, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 50, rows), jnp.float32),
+        jnp.asarray(rng.uniform(1, 10, rows), jnp.float32),
+        jnp.ones(rows, jnp.float32),
+    )
+    data = M.shard_batch(mesh, data)
+    params = M.vv_param_shardings(mesh, model.params)
+    opt_state = M.replicate(mesh, model.opt_state)
+    fisher = M.replicate(mesh, model.fisher)
+    p0 = M.replicate(mesh, model.p0)
+    lam = jnp.float32(0.0)
+    step = jax.jit(model.train_step_fn, static_argnums=(8,))
+
+    def body(carry, _):
+        params, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        params, opt_state, m, _ = step(
+            params, opt_state, model.ubound, data, sub, fisher, p0, lam,
+            batch_size,
+        )
+        return (params, opt_state, key), m["loss"]
+
+    @jax.jit
+    def run(params, opt_state, key):
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, key), length=steps
+        )
+        return params, opt_state, losses
+
+    key = jax.random.PRNGKey(seed)
+    params, opt_state, losses = run(params, opt_state, key)
+    jax.block_until_ready(losses)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        params, opt_state, losses = run(params, opt_state, key)
+        jax.block_until_ready(losses)
+        best = min(best, time.perf_counter() - t0)
+    return batch_size * steps / best
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from tetris_mcts_tpu.parallel import mesh as M
@@ -178,11 +233,18 @@ def main():
                           "devices": len(devs)}))
         return 1
 
+    train_bs = 512 if on_tpu else 64
+    train_steps = 64 if on_tpu else 8
+
     rows = []
     for n in sizes:
         mesh = M.make_mesh(n)
         env_rate = bench_env_sharded(mesh, n * ebpd, env_steps, ARGS.reps)
         sims_rate = bench_mcts_sharded(mesh, n * bpd, sims, moves, ARGS.reps)
+        train_rate = bench_train_sharded(
+            mesh, rows=max(4 * train_bs, n * train_bs),
+            batch_size=n * train_bs, steps=train_steps, reps=ARGS.reps,
+        )
         row = {
             "devices": n,
             "platform": devs[0].platform,
@@ -193,6 +255,8 @@ def main():
             "sims_per_s_per_device": round(sims_rate / n, 1),
             "env_steps_per_s": round(env_rate, 1),
             "env_steps_per_s_per_device": round(env_rate / n, 1),
+            "train_rows_per_s": round(train_rate, 1),
+            "train_rows_per_s_per_device": round(train_rate / n, 1),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -210,6 +274,11 @@ def main():
         "env_efficiency": [
             round(r["env_steps_per_s"] * scale
                   / (base["env_steps_per_s"] * r["devices"]), 3)
+            for r in rows
+        ],
+        "train_efficiency": [
+            round(r["train_rows_per_s"] * scale
+                  / (base["train_rows_per_s"] * r["devices"]), 3)
             for r in rows
         ],
     }

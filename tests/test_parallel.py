@@ -170,7 +170,7 @@ def test_scaling_bench_script_runs():
     rows = [json.loads(l) for l in proc.stdout.strip().splitlines()]
     assert [r.get("devices") for r in rows[:-1]] == [1, 2]
     assert all(r["sims_per_s"] > 0 and r["env_steps_per_s"] > 0
-               for r in rows[:-1])
+               and r["train_rows_per_s"] > 0 for r in rows[:-1])
     summary = rows[-1]
     assert summary["metric"] == "weak_scaling_efficiency"
     assert summary["sims_efficiency"][0] == 1.0

@@ -437,6 +437,33 @@ class TestBatchedSimsAndMoves:
         ws = np.asarray(replay.weight)[:cnt]
         assert np.all(ws >= 1)
 
+    def test_replay_add_overflow_is_latest_wins(self):
+        """One replay_add call with more masked rows than capacity must keep
+        exactly the NEWEST R rows: past the mod-R wrap, duplicate scatter
+        indices would otherwise have an XLA-unspecified surviving writer."""
+        R, n = 8, 21
+        rep = M.init_replay(R)
+        rep = rep._replace(idx=jnp.int32(3), count=jnp.int32(3),
+                           total=jnp.int32(3))
+        packed = (jnp.arange(n, dtype=jnp.uint32)[:, None]
+                  * jnp.ones((1, 20), jnp.uint32))
+        value = jnp.arange(n, dtype=jnp.float32)
+        mask = jnp.ones(n, bool).at[5].set(False)  # one masked-out row
+        rep = M.replay_add(rep, packed, value, value + 100.0, value, mask)
+        kept = n - 1
+        assert int(rep.count) == R and int(rep.total) == 3 + kept
+        assert int(rep.idx) == (3 + kept) % R
+        got = np.sort(np.asarray(rep.value))
+        # the newest R surviving rows are values {20..13} minus the masked 5
+        want = np.sort(np.asarray(
+            [v for v in range(n - 1, -1, -1) if v != 5][:R], np.float32
+        ))
+        np.testing.assert_array_equal(got, want)
+        # var column moved with the same rows
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(rep.var)), want + 100.0
+        )
+
     def test_rollout_evaluator_runs(self):
         scfg = M.SearchConfig(tree=CFG, sims=4, evaluator="rollout",
                               rollout_cap=64)

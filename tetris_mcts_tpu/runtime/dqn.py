@@ -190,7 +190,9 @@ class DQNDriver:
 
             loss = jnp.float32(0.0)
             if not benchmark:  # static: eval builds a play-only program
-                # write B transitions at the ring head
+                # write B transitions at the ring head (B > R would scatter
+                # duplicate mod-R indices with an unspecified winner)
+                assert B <= R, f"batch {B} exceeds replay capacity {R}"
                 dst = (replay.idx + jnp.arange(B)) % R
                 replay = DQNReplay(
                     si=replay.si.at[dst].set(packed_i),

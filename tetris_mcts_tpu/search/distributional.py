@@ -323,9 +323,12 @@ def dist_replay_add(rep: DistReplay, packed, dist, weight, mask) -> DistReplay:
     weight = weight.reshape(-1)
     mask = mask.reshape(-1)
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    dst = (rep.idx + pos) % R
-    dst = jnp.where(mask, dst, R)
     n = jnp.sum(mask.astype(jnp.int32))
+    # latest-wins past capacity (see mcts.replay_add): duplicate mod-R
+    # scatter indices have an unspecified winner
+    keep = mask & (pos >= n - R)
+    dst = (rep.idx + pos) % R
+    dst = jnp.where(keep, dst, R)
     return DistReplay(
         boards=rep.boards.at[dst].set(packed, mode="drop"),
         dist=rep.dist.at[dst].set(dist, mode="drop"),
@@ -368,7 +371,12 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
     tcfg = cfg.tree
     from tetris_mcts_tpu.search.mcts import bgather, bgather_col
 
-    vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, 0, None))
+    # three-phase expansion (see vp.make_vp_move_fn): vmapping T.expand
+    # would vmap the `_insert_obs7` probe while_loop (CLAUDE.md rule 5)
+    vexpand_ch = jax.vmap(T.expand_children, in_axes=(0, 0, None))
+    vexpand_commit = jax.vmap(
+        T.expand_commit, in_axes=(0, 0, 0, 0, 0, 0, None)
+    )
     vbackup = jax.vmap(backup, in_axes=(0, 0, 0, 0, 0, None, None))
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vstats = jax.vmap(T.compute_stats, in_axes=(0, None))
@@ -403,7 +411,14 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
         point0 = jnp.zeros_like(dist).at[:, 0].set(1.0)
         dist = jnp.where(can[:, None], dist, point0)
 
-        base, _ = vexpand(dtrees.base, leaf_states, leafs, can, tcfg)
+        child_states, packed7 = vexpand_ch(dtrees.base, leaf_states, tcfg)
+        base, obs7 = T.insert_obs7_batched(
+            dtrees.base, packed7, child_states.end, can, tcfg
+        )
+        base = vexpand_commit(
+            base, child_states.score, child_states.end, obs7, leafs, can,
+            tcfg,
+        )
         dtrees = dtrees._replace(base=base)
 
         r = bgather_col(dtrees.base.nstat, leafs)[:, 0]  # absolute value = leaf score

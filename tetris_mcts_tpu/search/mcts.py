@@ -100,30 +100,35 @@ def nn_leaf_evaluator(apply_fn):
 
 
 def rollout_evaluator(cfg: SearchConfig):
-    """Uniform-random playout to game end (bounded), on-device and vmapped —
-    the Vanilla agent's evaluator (`agents/Vanilla.py:47-55`)."""
+    """Uniform-random playout to game end (bounded) — the Vanilla agent's
+    evaluator (`agents/Vanilla.py:47-55`).
+
+    All B playouts advance in lockstep through ONE hand-batched while_loop
+    (`engine.step` self-masks ended lanes), never a vmapped per-lane loop:
+    vmap's while batching re-selects every carried EnvState field per step
+    (CLAUDE.md rule 5). Action draws are one batched uniform per level —
+    the same i.i.d. law as per-lane key streams."""
 
     env_cfg = cfg.tree.env
     cap = cfg.rollout_cap
 
-    def one(st: EnvState, key):
-        def cond(c):
-            s, k, t = c
-            return (~s.end) & (t < cap)
-
-        def body(c):
-            s, k, t = c
-            k, sub = jax.random.split(k)
-            a = jax.random.randint(sub, (), 0, N_ACTIONS)
-            return engine.step(s, a, env_cfg), k, t + 1
-
-        final, _, _ = jax.lax.while_loop(cond, body, (st, key, jnp.int32(0)))
-        return final.score.astype(jnp.float32)
-
     def ev(params, ubound, child_imgs, leaf_states, key):
         B = leaf_states.score.shape[0]
-        keys = jax.random.split(key, B)
-        v = jax.vmap(one)(leaf_states, keys)
+
+        def cond(c):
+            st, k, t = c
+            return (t < cap) & jnp.any(~st.end)
+
+        def body(c):
+            st, k, t = c
+            k, sub = jax.random.split(k)
+            a = jax.random.randint(sub, (B,), 0, N_ACTIONS)
+            return engine.step_batch(st, a, env_cfg), k, t + 1
+
+        final, _, _ = jax.lax.while_loop(
+            cond, body, (leaf_states, key, jnp.int32(0))
+        )
+        v = final.score.astype(jnp.float32)
         return v, jnp.full(B, cfg.rollout_variance, jnp.float32)
 
     return ev
@@ -339,9 +344,13 @@ def replay_add(rep: Replay, packed, value, var, weight, mask) -> Replay:
     mask = mask.reshape(-1)
 
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    dst = (rep.idx + pos) % R
-    dst = jnp.where(mask, dst, R)  # out-of-range rows drop
     n = jnp.sum(mask.astype(jnp.int32))
+    # Latest-wins when ONE call exceeds capacity: beyond R rows the mod-R
+    # wrap would scatter duplicate indices, whose surviving writer XLA
+    # leaves unspecified — keep only the newest R rows instead.
+    keep = mask & (pos >= n - R)
+    dst = (rep.idx + pos) % R
+    dst = jnp.where(keep, dst, R)  # dropped rows redirect out of range
     return Replay(
         boards=rep.boards.at[dst].set(packed, mode="drop"),
         value=rep.value.at[dst].set(value, mode="drop"),
@@ -378,7 +387,10 @@ def capacity_guard_for(sims: int, tcfg) -> int:
     expand nothing (ok=False backups with leaf score / zero variance), so
     warn loudly about the misconfiguration."""
     need = N_ACTIONS * (sims + 1) + 2
-    guard = min(need, tcfg.max_nodes - N_ACTIONS - 1)
+    # headroom is gated on BOTH pools (make_run_sims checks n_nodes AND
+    # n_obs) — an undersized max_obs fails mid-move exactly like max_nodes
+    guard = min(need, tcfg.max_nodes - N_ACTIONS - 1,
+                tcfg.max_obs - N_ACTIONS - 1)
     if need > guard:
         import sys as _sys
         print(

@@ -294,8 +294,11 @@ def backup(vt: S2Tree, trace, acts, length, value, cfg: TreeConfig):
         slots = ech[a, :, o]
         j = jnp.where(has_child, _edge_slot(slots, oc), EDGE_CAP)
         jc = jnp.minimum(j, EDGE_CAP - 1)
-        c_old = jnp.where(j < EDGE_CAP, ecn[a, jc, o], 0.0)
-        d_old = jnp.where(j < EDGE_CAP, eds[a, jc, o], 0.0)
+        # a freshly-claimed (no-match) slot starts from zero — same rule as
+        # the batched walk below, which must stay bit-exact with this one
+        live = (j < EDGE_CAP) & jnp.any(slots == oc)
+        c_old = jnp.where(live, ecn[a, jc, o], 0.0)
+        d_old = jnp.where(live, eds[a, jc, o], 0.0)
         c_new = c_old + 1.0
         d_new = d_old + (ds - d_old) / c_new
         ech = ech.at[a, j, o].set(oc, mode="drop")
@@ -441,7 +444,12 @@ def make_s2_move_fn(apply_fn, cfg, min_visits_store: int = 10,
     Signature: (params, ubound, vtrees, envs, replay, key)
         -> (vtrees, envs, replay, S2MoveStats)."""
     tcfg = cfg.tree
-    vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, 0, None))
+    # three-phase expansion (see vp.make_vp_move_fn): vmapping T.expand
+    # would vmap the `_insert_obs7` probe while_loop (CLAUDE.md rule 5)
+    vexpand_ch = jax.vmap(T.expand_children, in_axes=(0, 0, None))
+    vexpand_commit = jax.vmap(
+        T.expand_commit, in_axes=(0, 0, 0, 0, 0, 0, None)
+    )
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vbest = jax.vmap(best_action)
     vprobs = jax.vmap(visit_probs)
@@ -463,7 +471,14 @@ def make_s2_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         imgs = jax.vmap(engine.get_state)(leaf_states)
         v, _ = apply_fn(params, ubound, imgs[..., None].astype(jnp.float32))
 
-        base, _ = vexpand(vtrees.base, leaf_states, leafs, can, tcfg)
+        child_states, packed7 = vexpand_ch(vtrees.base, leaf_states, tcfg)
+        base, obs7 = T.insert_obs7_batched(
+            vtrees.base, packed7, child_states.end, can, tcfg
+        )
+        base = vexpand_commit(
+            base, child_states.score, child_states.end, obs7, leafs, can,
+            tcfg,
+        )
         vtrees = vtrees._replace(base=base)
 
         leaf_score = bgather_col(vtrees.base.nstat, leafs)[:, 0]

@@ -87,8 +87,9 @@ class TreeConfig(NamedTuple):
     gamma: float = 0.999   # backup discount (`agent.cpp:841` default)
     projection: bool = True
     policy: str = "clt"    # selection rule (agents/policy.py + Bayes-UCB,
-                           # core.py:290-351): clt | bayes | gauss | max |
-                           # mc | random | greedy
+                           # core.py:290-351, + select_index_3's UCB-V bound,
+                           # core.py:223-272): clt | bayes | gauss | ucbv |
+                           # max | mc | random | greedy
     select_kernel: bool = True  # use the fused Pallas selection kernel:
                            # the walk AND the inline env stepping run in ONE
                            # kernel (ops/tree_walk.py + ops/env_packed.py),
@@ -641,6 +642,51 @@ def unique_children(tree: Tree, idx):
 # selection
 # ---------------------------------------------------------------------------
 
+def explore_bonus(policy: str, visits, var, n_total, q_base, kept, rnd):
+    """Exploration term of the configured selection rule (agents/policy.py:
+    8-55 + Bayes-UCB core.py:290-351 + select_index_3 core.py:223-272) —
+    ONE definition shared by `select` (shapes (7,)) and `select_batched`
+    (shapes (B, 7)); the Pallas kernel keeps its Mosaic-legal twin
+    (golden-tested against these walks). `rnd` is the caller-drawn
+    per-child randomness for the mc/random rules (None otherwise) —
+    callers keep their original key-split order, so trajectories are
+    bit-identical to the pre-refactor per-caller copies.
+
+    Rule notes:
+    - bayes (Kaufmann'12): Student-t quantile bound on the posterior mean;
+      the reference uses the unbiased variance M2/(n-1) and vars_ holds
+      M2/n, so sqrt(var·n/(n-1) / n) = sqrt(var/(n-1)). Pair with low >=
+      the reference's min_n (the CLI defaults --low to 10 here);
+      bayes_quantile clips the approximation's small-nu pole.
+    - ucbv: select_index_3's sqrt(var · log N_total), no quantile scaling.
+    - max: UCB1 scaled by the best child Q (the reference scales by the
+      legacy node layout's max-return statistic, which has no slot here).
+    """
+    nv = jnp.maximum(visits, 1.0)
+    if policy == "clt":
+        return norm_quantile(n_total) * jnp.sqrt(var / nv)
+    if policy == "bayes":
+        return bayes_quantile(nv - 1.0, n_total) * jnp.sqrt(
+            var / jnp.maximum(nv - 1.0, 1.0)
+        )
+    if policy == "gauss":
+        return norm_quantile(n_total) * jnp.sqrt(var)
+    if policy == "ucbv":
+        return jnp.sqrt(var * jnp.log(jnp.maximum(n_total, 2.0)))
+    if policy == "max":
+        q_max = jnp.max(jnp.where(kept, q_base, -jnp.inf), axis=-1,
+                        keepdims=True)
+        return q_max * jnp.sqrt(jnp.log(jnp.maximum(n_total, 2.0)) / nv)
+    if policy == "mc":
+        # Thompson-style: one gaussian draw per child
+        return rnd * jnp.sqrt(var)
+    if policy == "random":
+        return rnd * 1e9 - q_base
+    if policy == "greedy":
+        return jnp.zeros_like(q_base)
+    raise ValueError(f"unknown selection policy {policy!r}")
+
+
 def select(tree: Tree, key, cfg: TreeConfig):
     """`select_trace_obs` (C++ core.h:167-224). Returns (trace int32[D],
     actions int32[D], length int32, leaf_state EnvState). trace[length-1] is
@@ -675,46 +721,17 @@ def select(tree: Tree, key, cfg: TreeConfig):
         q_base = tree.values[obs] + sc - sc_idx
         # clamp: float Welford updates can leave tiny negative variances
         var = jnp.maximum(tree.vars_[obs], 0.0)
-        nv = jnp.maximum(visits, 1.0)
-        # exploration term per the configured rule (agents/policy.py:8-55)
-        if cfg.policy == "clt":
-            explore = norm_quantile(n_total) * jnp.sqrt(var / nv)
-        elif cfg.policy == "bayes":
-            # Bayes-UCB (Kaufmann'12): Student-t quantile bound on the
-            # posterior mean (`select_index_bayes`, core.py:290-351) —
-            # the reference uses the unbiased variance M2/(n-1); vars_
-            # holds M2/n, so sqrt(var·n/(n-1) / n) = sqrt(var/(n-1)).
-            # Pair with low >= the reference's min_n (the CLI defaults
-            # --low to 10 for this policy); bayes_quantile additionally
-            # clips the approximation's small-nu pole.
-            explore = bayes_quantile(nv - 1.0, n_total) * jnp.sqrt(
-                var / jnp.maximum(nv - 1.0, 1.0)
-            )
-        elif cfg.policy == "gauss":
-            explore = norm_quantile(n_total) * jnp.sqrt(var)
-        elif cfg.policy == "ucbv":
-            # UCB-V style bound of `select_index_3` (core.py:223-272):
-            # sqrt(var · log N_total), no quantile scaling
-            explore = jnp.sqrt(var * jnp.log(jnp.maximum(n_total, 2.0)))
-        elif cfg.policy == "max":
-            # UCB1 scaled by the best child Q (the reference scales by the
-            # max return statistic of the legacy node layout)
-            q_max = jnp.max(jnp.where(kept, q_base, -jnp.inf))
-            explore = q_max * jnp.sqrt(
-                jnp.log(jnp.maximum(n_total, 2.0)) / nv
-            )
-        elif cfg.policy == "mc":
-            # Thompson-style: one gaussian draw per child
+        if cfg.policy == "mc":
             key, sub_mc = jax.random.split(key)
-            explore = jax.random.normal(sub_mc, (N_ACTIONS,)) * jnp.sqrt(var)
+            rnd = jax.random.normal(sub_mc, (N_ACTIONS,))
         elif cfg.policy == "random":
             key, sub_r = jax.random.split(key)
-            explore = jax.random.gumbel(sub_r, (N_ACTIONS,)) * 1e9 - q_base
-        elif cfg.policy == "greedy":
-            explore = 0.0
+            rnd = jax.random.gumbel(sub_r, (N_ACTIONS,))
         else:
-            raise ValueError(f"unknown selection policy {cfg.policy!r}")
-        q = q_base + explore
+            rnd = None
+        q = q_base + explore_bonus(
+            cfg.policy, visits, var, n_total, q_base, kept, rnd
+        )
 
         # one argmax: unvisited-first (gumbel tie-break) overrides the policy
         key, sub = jax.random.split(key)
@@ -807,39 +824,19 @@ def select_batched(trees: Tree, keys, cfg: TreeConfig):
             jnp.take_along_axis(trees.values, obs, 1) + sc - sc_idx[:, None]
         )
         var = jnp.maximum(jnp.take_along_axis(trees.vars_, obs, 1), 0.0)
-        nv = jnp.maximum(visits, 1.0)
-        if cfg.policy == "clt":
-            explore = norm_quantile(n_total) * jnp.sqrt(var / nv)
-        elif cfg.policy == "bayes":
-            # Bayes-UCB t-quantile bound (see `select` for the derivation)
-            explore = bayes_quantile(nv - 1.0, n_total) * jnp.sqrt(
-                var / jnp.maximum(nv - 1.0, 1.0)
-            )
-        elif cfg.policy == "gauss":
-            explore = norm_quantile(n_total) * jnp.sqrt(var)
-        elif cfg.policy == "ucbv":
-            # select_index_3's sqrt(var · log N_total) bound (core.py:223-272)
-            explore = jnp.sqrt(var * jnp.log(jnp.maximum(n_total, 2.0)))
-        elif cfg.policy == "max":
-            q_max = jnp.max(
-                jnp.where(kept, q_base, -jnp.inf), axis=1, keepdims=True
-            )
-            explore = q_max * jnp.sqrt(
-                jnp.log(jnp.maximum(n_total, 2.0)) / nv
-            )
-        elif cfg.policy == "mc":
+        if cfg.policy == "mc":
             ks = vsplit(keys)
             keys, sub_mc = ks[:, 0], ks[:, 1]
-            explore = vnormal(sub_mc) * jnp.sqrt(var)
+            rnd = vnormal(sub_mc)
         elif cfg.policy == "random":
             ks = vsplit(keys)
             keys, sub_r = ks[:, 0], ks[:, 1]
-            explore = vgumbel(sub_r) * 1e9 - q_base
-        elif cfg.policy == "greedy":
-            explore = 0.0
+            rnd = vgumbel(sub_r)
         else:
-            raise ValueError(f"unknown selection policy {cfg.policy!r}")
-        q = q_base + explore
+            rnd = None
+        q = q_base + explore_bonus(
+            cfg.policy, visits, var, n_total, q_base, kept, rnd
+        )
 
         ks = vsplit(keys)
         keys, sub = ks[:, 0], ks[:, 1]

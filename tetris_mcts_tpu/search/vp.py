@@ -355,9 +355,12 @@ def vp_replay_add(rep: VPReplay, packed, value, policy, weight, mask) -> VPRepla
     weight = weight.reshape(-1)
     mask = mask.reshape(-1)
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    dst = (rep.idx + pos) % R
-    dst = jnp.where(mask, dst, R)
     n = jnp.sum(mask.astype(jnp.int32))
+    # latest-wins past capacity (see mcts.replay_add): duplicate mod-R
+    # scatter indices have an unspecified winner
+    keep = mask & (pos >= n - R)
+    dst = (rep.idx + pos) % R
+    dst = jnp.where(keep, dst, R)
     return VPReplay(
         boards=rep.boards.at[dst].set(packed, mode="drop"),
         value=rep.value.at[dst].set(value, mode="drop"),
@@ -389,7 +392,16 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         -> (vtrees, envs, replay, VPMoveStats).
     """
     tcfg = cfg.tree
-    vexpand = jax.vmap(T.expand, in_axes=(0, 0, 0, 0, None))
+    # expansion in three phases like mcts.make_run_sims: per-tree child
+    # stepping (vmapped, loop-free), ONE hand-batched obs-table insert
+    # (vmapping T.expand would vmap `_insert_obs7`'s probe while_loop —
+    # CLAUDE.md rule 5: vmap's while batching re-selects the carried (B, T)
+    # tables every round), then per-tree node-row commits (vmapped,
+    # loop-free). Bit-exact vs vmapped T.expand (insert golden-tested).
+    vexpand_ch = jax.vmap(T.expand_children, in_axes=(0, 0, None))
+    vexpand_commit = jax.vmap(
+        T.expand_commit, in_axes=(0, 0, 0, 0, 0, 0, None)
+    )
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vbest = jax.vmap(best_action)
     vrootpol = jax.vmap(root_policy)
@@ -434,7 +446,14 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         )(vtrees.prior, leaf_obs, p, can)
         vtrees = vtrees._replace(prior=prior)
 
-        base, _ = vexpand(vtrees.base, leaf_states, leafs, can, tcfg)
+        child_states, packed7 = vexpand_ch(vtrees.base, leaf_states, tcfg)
+        base, obs7 = T.insert_obs7_batched(
+            vtrees.base, packed7, child_states.end, can, tcfg
+        )
+        base = vexpand_commit(
+            base, child_states.score, child_states.end, obs7, leafs, can,
+            tcfg,
+        )
         vtrees = vtrees._replace(base=base)
 
         leaf_score = leaf_ns[:, 0]

@@ -377,6 +377,14 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
     vexpand_commit = jax.vmap(
         T.expand_commit, in_axes=(0, 0, 0, 0, 0, 0, None)
     )
+    from tetris_mcts_tpu.ops import tree_walk as _tw
+
+    # opt-in Pallas probe-loop kernel, same gating as mcts.make_run_sims
+    insert_fn = (
+        _tw.insert_obs7_batched_pallas
+        if _tw.use_walk_kernels() and tcfg.projection and tcfg.insert_kernel
+        else T.insert_obs7_batched
+    )
     vbackup = jax.vmap(backup, in_axes=(0, 0, 0, 0, 0, None, None))
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vstats = jax.vmap(T.compute_stats, in_axes=(0, None))
@@ -412,7 +420,7 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
         dist = jnp.where(can[:, None], dist, point0)
 
         child_states, packed7 = vexpand_ch(dtrees.base, leaf_states, tcfg)
-        base, obs7 = T.insert_obs7_batched(
+        base, obs7 = insert_fn(
             dtrees.base, packed7, child_states.end, can, tcfg
         )
         base = vexpand_commit(

@@ -450,6 +450,14 @@ def make_s2_move_fn(apply_fn, cfg, min_visits_store: int = 10,
     vexpand_commit = jax.vmap(
         T.expand_commit, in_axes=(0, 0, 0, 0, 0, 0, None)
     )
+    from tetris_mcts_tpu.ops import tree_walk as _tw
+
+    # opt-in Pallas probe-loop kernel, same gating as mcts.make_run_sims
+    insert_fn = (
+        _tw.insert_obs7_batched_pallas
+        if _tw.use_walk_kernels() and tcfg.projection and tcfg.insert_kernel
+        else T.insert_obs7_batched
+    )
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vbest = jax.vmap(best_action)
     vprobs = jax.vmap(visit_probs)
@@ -472,7 +480,7 @@ def make_s2_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         v, _ = apply_fn(params, ubound, imgs[..., None].astype(jnp.float32))
 
         child_states, packed7 = vexpand_ch(vtrees.base, leaf_states, tcfg)
-        base, obs7 = T.insert_obs7_batched(
+        base, obs7 = insert_fn(
             vtrees.base, packed7, child_states.end, can, tcfg
         )
         base = vexpand_commit(

@@ -402,6 +402,14 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
     vexpand_commit = jax.vmap(
         T.expand_commit, in_axes=(0, 0, 0, 0, 0, 0, None)
     )
+    from tetris_mcts_tpu.ops import tree_walk as _tw
+
+    # opt-in Pallas probe-loop kernel, same gating as mcts.make_run_sims
+    insert_fn = (
+        _tw.insert_obs7_batched_pallas
+        if _tw.use_walk_kernels() and tcfg.projection and tcfg.insert_kernel
+        else T.insert_obs7_batched
+    )
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vbest = jax.vmap(best_action)
     vrootpol = jax.vmap(root_policy)
@@ -447,7 +455,7 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         vtrees = vtrees._replace(prior=prior)
 
         child_states, packed7 = vexpand_ch(vtrees.base, leaf_states, tcfg)
-        base, obs7 = T.insert_obs7_batched(
+        base, obs7 = insert_fn(
             vtrees.base, packed7, child_states.end, can, tcfg
         )
         base = vexpand_commit(

@@ -233,3 +233,31 @@ class TestBatchedDistSelect:
         np.testing.assert_array_equal(np.asarray(l_b), np.asarray(l_v))
         np.testing.assert_array_equal(np.asarray(t_b), np.asarray(t_v))
         np.testing.assert_array_equal(np.asarray(a_b), np.asarray(a_v))
+
+    def test_backup_matches_vmapped(self):
+        """The hand-batched dist backup (visit/value/M2 scalars AND the
+        running-mean distribution columns) must be bit-exact vs vmapping
+        the per-tree walk, including lanes of different trace lengths."""
+        c, dtrees = self._grown()
+        B = int(dtrees.base.root.shape[0])
+        keys = jax.random.split(jax.random.PRNGKey(29), B)
+        traces, acts, lengths = DD.select_batched(dtrees, keys, c.tree, DCFG)
+        rng = np.random.RandomState(5)
+        r = jnp.asarray(rng.uniform(0, 200, B), jnp.float32)
+        d = rng.rand(B, DCFG.atoms).astype(np.float32)
+        dist = jnp.asarray(d / d.sum(axis=1, keepdims=True))
+
+        got = DD.backup_batched(dtrees, traces, lengths, r, dist,
+                                c.tree, DCFG)
+        want = jax.vmap(
+            DD.backup, in_axes=(0, 0, 0, 0, 0, None, None)
+        )(dtrees, traces, lengths, r, dist, c.tree, DCFG)
+
+        np.testing.assert_array_equal(np.asarray(got.base.visits),
+                                      np.asarray(want.base.visits))
+        np.testing.assert_array_equal(np.asarray(got.base.values),
+                                      np.asarray(want.base.values))
+        np.testing.assert_array_equal(np.asarray(got.obs_m2),
+                                      np.asarray(want.obs_m2))
+        np.testing.assert_array_equal(np.asarray(got.obs_dist),
+                                      np.asarray(want.obs_dist))

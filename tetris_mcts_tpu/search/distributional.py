@@ -22,13 +22,12 @@ Deviation (documented): distributions and stats live on obs slots
 core predates its own projection layer. Distributions are stored (atoms, M)
 pool-minor.
 
-The select and replay walks run HAND-BATCHED in the driver
-(`select_batched`, `T.replay_leaf_batched`; CLAUDE.md rule 5), golden-
-tested bit-exact against their vmapped per-tree twins. KNOWN PERF
-LIMITATION (rules 4-6): the backup remains a vmapped while_loop whose
-running-mean distribution update is a read-modify-write column scatter
-into the carried (atoms, M) store. Acceptable for the capability-parity
-role this legacy agent plays; rework before production-scale use.
+Every walk runs HAND-BATCHED in the driver (`select_batched`,
+`T.replay_leaf_batched`, `backup_batched`; CLAUDE.md rule 5), golden-
+tested bit-exact against its vmapped per-tree twin. Residual rule-6 cost:
+the backup's running-mean distribution update is inherently a column
+scatter into the carried (B, atoms, M) store — acceptable for the
+capability-parity role this legacy agent plays.
 """
 
 from __future__ import annotations
@@ -77,6 +76,25 @@ def mean_dist(dist, dcfg: DistConfig):
     """E[dist] over bin centers (`mean_dist`, core_distributional.py:40-45).
     dist: (..., atoms)."""
     return jnp.sum(dist * centers(dcfg), axis=-1)
+
+
+def shift_distribution_batched(dist, x, dcfg: DistConfig):
+    """`shift_distribution` with a leading batch axis: dist (B, atoms),
+    x (B,). Same op order per lane as the scalar form (golden-tested
+    bit-exact via `backup_batched`)."""
+    atoms = dcfg.atoms
+    delta = dcfg.vmax / atoms
+    bin_shift = x / delta
+    fl = jnp.floor(bin_shift)
+    fraction = (bin_shift - fl)[:, None]
+    b = jnp.arange(atoms)[None, :]
+    b_lb = jnp.clip((b + fl[:, None]).astype(jnp.int32), 0, atoms - 1)
+    b_ub = jnp.clip(b_lb + 1, 0, atoms - 1)
+    bidx = jnp.arange(dist.shape[0])[:, None]
+    out = jnp.zeros_like(dist)
+    out = out.at[bidx, b_lb].add(dist * (1.0 - fraction))
+    out = out.at[bidx, b_ub].add(dist * fraction)
+    return out
 
 
 def shift_distribution(dist, x, dcfg: DistConfig):
@@ -289,6 +307,70 @@ def backup(dt: DistTree, trace, length, r, dist, cfg: TreeConfig,
     )
 
 
+def backup_batched(dts: DistTree, traces, lengths, r, dist,
+                   cfg: TreeConfig, dcfg: DistConfig):
+    """Hand-batched `backup` over B trees in ONE while_loop (CLAUDE.md rule
+    5; same index-redirection pattern as `tree.backup_batched`) — iteration
+    k processes level length_b-1-k of every lane, so per-lane arithmetic is
+    identical to the vmapped per-tree walk (golden-tested bit-exact).
+
+    The running-mean distribution update remains a column scatter into the
+    carried (B, atoms, M) store (rule 6's slow class — inherent to this
+    legacy agent's data model), but the carried arrays are no longer
+    re-selected per level by vmap's while batching.
+
+    traces (B, D), lengths (B,), r (B,), dist (B, atoms)."""
+    base = dts.base
+    B, M = base.visits.shape
+    bidx = jnp.arange(B)
+    score_row = base.nstat[:, 0, :]
+    obs_row = base.nstat[:, 1, :].astype(jnp.int32)
+    mean0 = mean_dist(dist, dcfg)                       # (B,)
+    r = jnp.asarray(r, jnp.float32)
+    kmax = jnp.max(lengths)
+
+    def cond(c):
+        k, *_ = c
+        return k < kmax
+
+    def body(c):
+        k, visit, val, m2, dists = c
+        t = lengths - 1 - k
+        live = t >= 0
+        tt = jnp.maximum(t, 0)
+        idx = traces[bidx, tt]
+        s_idx = score_row[bidx, idx]
+        o = jnp.where(live, obs_row[bidx, idx], M)      # dead lanes drop
+        oc = jnp.minimum(o, M - 1)
+
+        delta_r = r - s_idx
+        new_dist = shift_distribution_batched(dist, delta_r, dcfg)
+
+        n = visit[bidx, oc]
+        cur = dists[bidx, :, oc]                        # (B, atoms)
+        merged = (cur * n[:, None] + new_dist) / (n[:, None] + 1.0)
+        dists = dists.at[bidx, :, o].set(merged, mode="drop")
+
+        x = mean0 + delta_r
+        valo = val[bidx, oc]
+        delta = x - valo
+        val_new = valo + delta / (n + 1.0)
+        delta2 = x - val_new
+        m2 = m2.at[bidx, o].add(delta * delta2, mode="drop")
+        visit = visit.at[bidx, o].set(n + 1.0, mode="drop")
+        val = val.at[bidx, o].set(val_new, mode="drop")
+        return k + 1, visit, val, m2, dists
+
+    _, visit, val, m2, dists = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), base.visits, base.values, dts.obs_m2, dts.obs_dist),
+    )
+    return dts._replace(
+        base=base._replace(visits=visit, values=val),
+        obs_m2=m2, obs_dist=dists,
+    )
+
+
 # ---------------------------------------------------------------------------
 # replay / move
 # ---------------------------------------------------------------------------
@@ -385,7 +467,6 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
         if _tw.use_walk_kernels() and tcfg.projection and tcfg.insert_kernel
         else T.insert_obs7_batched
     )
-    vbackup = jax.vmap(backup, in_axes=(0, 0, 0, 0, 0, None, None))
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vstats = jax.vmap(T.compute_stats, in_axes=(0, None))
     vbest = jax.vmap(T.best_action, in_axes=(0, None))
@@ -430,7 +511,8 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
         dtrees = dtrees._replace(base=base)
 
         r = bgather_col(dtrees.base.nstat, leafs)[:, 0]  # absolute value = leaf score
-        dtrees = vbackup(dtrees, traces, lengths, r, dist, tcfg, dcfg)
+        dtrees = backup_batched(dtrees, traces, lengths, r, dist, tcfg,
+                                dcfg)
         return dtrees, key
 
     def run_sims(params, dtrees, key):

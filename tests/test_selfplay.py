@@ -60,6 +60,31 @@ def test_probs_are_distributions(driver):
     np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-5)
 
 
+def test_same_seed_runs_are_bit_identical():
+    """The repo invariant CLAUDE.md states as a manual procedure, automated:
+    two drivers built from the same SelfPlayConfig must produce identical
+    replay contents, episode counts, and training losses — this is what
+    makes layout/optimization changes verifiable as numerically
+    transparent."""
+    runs = []
+    for _ in range(2):
+        d = SelfPlayDriver(tiny_cfg(), log=lambda s: None)
+        d.run(18)
+        runs.append(d)
+    a, b = runs
+    assert a.episodes == b.episodes and a.n_trains == b.n_trains
+    assert int(a.replay.count) == int(b.replay.count)
+    cnt = int(a.replay.count)
+    np.testing.assert_array_equal(
+        np.asarray(a.replay.boards)[:cnt], np.asarray(b.replay.boards)[:cnt]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.replay.value)[:cnt], np.asarray(b.replay.value)[:cnt]
+    )
+    for ha, hb in zip(a.train_history, b.train_history):
+        np.testing.assert_array_equal(np.asarray(ha), np.asarray(hb))
+
+
 def test_benchmark_mode_stores_nothing():
     d = SelfPlayDriver(tiny_cfg(benchmark=True), log=lambda s: None)
     d.run(12)

@@ -83,6 +83,8 @@ def bench_mcts(batch: int = 256, sims: int = 100, moves: int = 8,
     # (tree-array size is a first-order throughput term: XLA's copy insertion
     # scales with the carry). The INSERT_KERNEL/TABLE_SIZE A/B knobs are
     # module-level so the output JSON always records what was measured.
+    # batch=256 is measured near-optimal on v5e (runs/ab1: 127.8k sims/s vs
+    # 117.0k at B=512; B=1024 exceeds the select kernel's scoped-VMEM limit).
     cfg = mcts.SearchConfig(
         tree=TreeConfig(
             max_nodes=2048, max_obs=2048, table_size=TABLE_SIZE, max_depth=64,

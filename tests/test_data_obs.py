@@ -96,6 +96,7 @@ def test_dashboard_state_snapshot(tmp_path):
     w.write("episode", n=1, lines=3, score=300)
     w.write("train_session", n=1, rows=64, loss_train=1.5, loss_val=1.2)
     w.write("episode", n=2, lines=5, score=700)
+    w.write("throughput", moves=50, moves_per_s=5.0, sims_per_s=128000.0)
     w.close()
 
     state = DashboardState(path)
@@ -103,6 +104,7 @@ def test_dashboard_state_snapshot(tmp_path):
     assert [e["lines"] for e in snap["episodes"]] == [3, 5]
     assert snap["trains"][0]["loss_val"] == 1.2
     assert snap["board"] is None  # no status dir configured
+    assert snap["tp"] == [128000.0]
 
     # incremental: events appended after the first poll show up in the next
     w = MetricsWriter(path)

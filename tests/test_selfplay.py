@@ -111,6 +111,33 @@ def test_episodes_eventually_finish():
     assert d.line_tracker.n == d.episodes
 
 
+def test_throughput_reporting(monkeypatch):
+    # SURVEY §5: the actor loop reports sims/s per chip. Shrink the window
+    # so the event fires within a short benchmark run.
+    monkeypatch.setattr(SelfPlayDriver, "_TP_REPORT_EVERY", 4)
+    events = []
+    logs = []
+
+    class FakeMetrics:
+        def write(self, kind, **kw):
+            events.append((kind, kw))
+
+    d = SelfPlayDriver(
+        tiny_cfg(benchmark=True), log=logs.append, metrics=FakeMetrics()
+    )
+    d.run(9)
+    tp = [kw for kind, kw in events if kind == "throughput"]
+    assert len(tp) == 2  # windows of 4 moves at moves 4 and 8
+    for kw in tp:
+        assert kw["moves_per_s"] > 0
+        # bench.py's definition: moves/s * batch * sims (both fields are
+        # rounded independently — 1 decimal covers the tiny CPU rates here)
+        np.testing.assert_allclose(
+            kw["sims_per_s"], kw["moves_per_s"] * 4 * 4, atol=0.06
+        )
+    assert any(line.startswith("Throughput:") for line in logs)
+
+
 def test_save_nodes(tmp_path, driver):
     import h5py
 

@@ -84,6 +84,7 @@ svg .axis { stroke: var(--grid); stroke-width: 1; }
     <svg id="c_loss" width="100%" height="180"></svg></div>
   <div class="card"><h2>Gradient norm per session</h2><svg id="c_gnorm" width="100%" height="180"></svg></div>
   <div class="card"><h2>Training data size per session</h2><svg id="c_rows" width="100%" height="180"></svg></div>
+  <div class="card"><h2>Search throughput (sims/s per window)</h2><svg id="c_tp" width="100%" height="180"></svg></div>
   <div class="card"><h2>Live board (game 0)</h2><svg id="c_board" width="200" height="400"></svg></div>
   <div class="card" id="card_w" style="display:none"><h2>Weight histograms (checkpoint)</h2>
     <div id="c_weights" style="display:grid;grid-template-columns:repeat(auto-fit,minmax(150px,1fr));gap:8px"></div></div>
@@ -204,7 +205,8 @@ async function tick() {
       tile('best lines', eps.length ? eps.reduce((a, e) => Math.max(a, e.lines), 0).toLocaleString() : '—') +
       tile('mean lines (last 50)', eps.length ? (eps.slice(-50).reduce((a, e) => a + e.lines, 0) / Math.min(eps.length, 50)).toFixed(1) : '—') +
       tile('best score', eps.length ? eps.reduce((a, e) => Math.max(a, e.score), 0).toLocaleString() : '—') +
-      tile('training sessions', d.trains.length.toLocaleString());
+      tile('training sessions', d.trains.length.toLocaleString()) +
+      tile('sims/s (last window)', d.tp && d.tp.length ? (+d.tp[d.tp.length - 1].toPrecision(4)).toLocaleString() : '—');
     const c1 = css('--series-1'), c2 = css('--series-2'), c3 = css('--series-3');
     lineChart(document.getElementById('c_lines'), [eps.map(e => e.lines)], [c1]);
     lineChart(document.getElementById('c_score'), [eps.map(e => e.score)], [c1]);
@@ -218,6 +220,7 @@ async function tick() {
               [d.trains.map(t => t.grad_norm ?? 0)], [c2]);
     lineChart(document.getElementById('c_rows'),
               [d.trains.map(t => t.rows || 0)], [c3]);
+    lineChart(document.getElementById('c_tp'), [d.tp || []], [c2]);
     board(document.getElementById('c_board'), d.board);
     weightPanels(document.getElementById('c_weights'), d.weights || [], c1);
   } catch (e) { /* server restarting */ }
@@ -293,6 +296,10 @@ class DashboardState:
                 for e in self.reader.of_kind("train_session")
                 if e.get("loss_train") is not None
             ]
+            tp = [
+                e.get("sims_per_s", 0.0)
+                for e in self.reader.of_kind("throughput")
+            ]
             weights = self._poll_checkpoint()
         board = None
         if self.status is not None:
@@ -300,7 +307,7 @@ class DashboardState:
             if st is not None:
                 board = st["board"].tolist()
         return {"episodes": episodes, "trains": trains, "board": board,
-                "weights": weights}
+                "weights": weights, "tp": tp}
 
 
 def make_handler(state: DashboardState):

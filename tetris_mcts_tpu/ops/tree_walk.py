@@ -230,6 +230,19 @@ def use_walk_kernels() -> bool:
     return jax.device_count() == 1 or _KERNEL_MESH is not None
 
 
+def insert_fn_for(tcfg):
+    """The obs-table insert implementation for this config: the Pallas
+    probe-loop kernel when opted in (`TreeConfig.insert_kernel`) and the
+    kernel path is live, else the hand-batched XLA probe loop. The single
+    source of the gating — every move-fn factory (mcts/vp/stochastic/
+    distributional) selects its insert through this."""
+    from tetris_mcts_tpu.search import tree as T_
+
+    if use_walk_kernels() and tcfg.projection and tcfg.insert_kernel:
+        return insert_obs7_batched_pallas
+    return T_.insert_obs7_batched
+
+
 def backup_batched_pallas(trees, traces, lengths, v0, var0, cfg):
     """Drop-in for `tree.backup_batched` running the walk as one Pallas
     kernel (interpreted off-TPU so every platform takes the same path)."""

@@ -161,6 +161,38 @@ class _OnlineDriverBase:
         self._prev_total = 0
         self.train_history: list = []
         self.last_stats = None
+        # actor-loop throughput (SURVEY §5 "per-phase timing in the actor
+        # loop; report env-steps/s and sims/s per chip"): a rolling window
+        # reset after every report AND every training session, so the
+        # published sims/s is pure search time, not search+train blended
+        self._tp_t0 = time.perf_counter()
+        self._tp_moves = 0
+
+    _TP_REPORT_EVERY = 50  # moves per throughput report
+
+    def _report_throughput(self):
+        """Write one `throughput` metrics event per window: wall moves/s of
+        the jitted move program and the derived sims/s (= moves/s · B · sims
+        — bench.py's definition, so driver logs and bench numbers compare
+        directly)."""
+        self._tp_moves += 1
+        if self._tp_moves < self._TP_REPORT_EVERY:
+            return
+        dt = time.perf_counter() - self._tp_t0
+        if dt > 0:
+            moves_per_s = self._tp_moves / dt
+            sims_per_s = moves_per_s * self.cfg.batch * self.cfg.sims
+            self.log(f"Throughput: {moves_per_s:8.2f} moves/s  "
+                     f"{sims_per_s:12.1f} sims/s  (window {self._tp_moves} "
+                     f"moves, batch {self.cfg.batch}, {self.cfg.sims} sims)")
+            if self.metrics is not None:
+                self.metrics.write(
+                    "throughput", moves=self.moves,
+                    moves_per_s=round(moves_per_s, 3),
+                    sims_per_s=round(sims_per_s, 1),
+                )
+        self._tp_t0 = time.perf_counter()
+        self._tp_moves = 0
 
     def _after_move(self, stats, envs_prev):
         """Host bookkeeping for one move. ONE device->host sync fetches
@@ -172,6 +204,7 @@ class _OnlineDriverBase:
             (stats.done, stats.score, stats.lines, self.replay.total)
         )
         self._publish(stats, envs_prev)
+        self._report_throughput()
         self._finish_episodes(done, score, lines)
         if not self.cfg.benchmark:
             self._maybe_train(int(total))
@@ -255,6 +288,10 @@ class _OnlineDriverBase:
             return
         if self.train():
             self._rows_at_last_train = total_rows
+            # restart the throughput window: training wall time is not
+            # search time
+            self._tp_t0 = time.perf_counter()
+            self._tp_moves = 0
         # on a skip (not enough rows yet) the trigger stays armed and
         # retries next move instead of waiting another full trigger window
 

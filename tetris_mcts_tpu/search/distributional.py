@@ -461,12 +461,7 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
     )
     from tetris_mcts_tpu.ops import tree_walk as _tw
 
-    # opt-in Pallas probe-loop kernel, same gating as mcts.make_run_sims
-    insert_fn = (
-        _tw.insert_obs7_batched_pallas
-        if _tw.use_walk_kernels() and tcfg.projection and tcfg.insert_kernel
-        else T.insert_obs7_batched
-    )
+    insert_fn = _tw.insert_fn_for(tcfg)
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vstats = jax.vmap(T.compute_stats, in_axes=(0, None))
     vbest = jax.vmap(T.best_action, in_axes=(0, None))
@@ -480,8 +475,7 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
         B = dtrees.base.root.shape[0]
         key, k_sel = jax.random.split(key)
         # hand-batched walks (CLAUDE.md rule 5) — bit-identical to the
-        # vmapped per-tree forms they are golden-tested against (the
-        # backup stays vmapped: see the module-docstring limitation)
+        # vmapped per-tree forms they are golden-tested against
         traces, actions, lengths = select_batched(
             dtrees, jax.random.split(k_sel, B), tcfg, dcfg
         )

@@ -210,12 +210,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     # TreeConfig.insert_kernel (see the field comment for why it defaults
     # off). Non-projection mode has no probe loop and always keeps the
     # trivial XLA form.
-    insert_fn = (
-        tree_walk.insert_obs7_batched_pallas
-        if tree_walk.use_walk_kernels() and tcfg.projection
-        and tcfg.insert_kernel
-        else T.insert_obs7_batched
-    )
+    insert_fn = tree_walk.insert_fn_for(tcfg)
 
     def sim_once(params, ubound, trees, key):
         B = trees.root.shape[0]

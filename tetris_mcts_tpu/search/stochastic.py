@@ -452,12 +452,7 @@ def make_s2_move_fn(apply_fn, cfg, min_visits_store: int = 10,
     )
     from tetris_mcts_tpu.ops import tree_walk as _tw
 
-    # opt-in Pallas probe-loop kernel, same gating as mcts.make_run_sims
-    insert_fn = (
-        _tw.insert_obs7_batched_pallas
-        if _tw.use_walk_kernels() and tcfg.projection and tcfg.insert_kernel
-        else T.insert_obs7_batched
-    )
+    insert_fn = _tw.insert_fn_for(tcfg)
     vheadroom = jax.vmap(T.headroom, in_axes=(0, None))
     vbest = jax.vmap(best_action)
     vprobs = jax.vmap(visit_probs)

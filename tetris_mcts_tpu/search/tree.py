@@ -106,11 +106,14 @@ class TreeConfig(NamedTuple):
                            # trajectories.
     insert_kernel: bool = False  # run the obs-table probe loop as a Pallas
                            # kernel (tree_walk.insert_obs7_batched_pallas,
-                           # golden-tested). Off by default: its only
-                           # real-chip measurement ran on a degrading tunnel
-                           # and read 6x slower than the XLA probe loop.
-                           # A config field (not an env var) so the path
-                           # taken is always visible in the run's flags.
+                           # golden-tested). Off by default: the clean
+                           # real-chip A/B (runs/ab1, healthy tunnel)
+                           # confirmed a 6.3x regression — 20.2k vs 127.8k
+                           # sims/s — the (BG, T) table triple caps the
+                           # kernel at ~32 lanes/block (see the design note
+                           # in ops/tree_walk.py), so it pays 8x the grid
+                           # steps of the selection kernel. Kept as the
+                           # measured-negative worked example + A/B knob.
     env: EnvConfig = EnvConfig()
 
 

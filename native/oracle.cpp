@@ -265,12 +265,14 @@ void oracle_step(OracleState* s, int action, int actions_per_drop, int scoring,
     s->rot = nrot;
   }
 
-  // Vertical effect (RULES.md "Gravity").
+  // Vertical effect (RULES.md "Gravity"; actions_per_drop <= 0 disables
+  // auto-gravity — the demo/test.gif-evidenced mode).
   bool hard = action == 6;
   bool soft = action == 3;
   bool lateral = !hard && !soft;
   int g_next = s->gravity + 1;
-  bool grav_fires = lateral && (g_next >= actions_per_drop);
+  bool grav_on = actions_per_drop > 0;
+  bool grav_fires = grav_on && lateral && (g_next >= actions_per_drop);
   int md = max_drop(s);
 
   bool want_down = soft || grav_fires;
@@ -278,7 +280,9 @@ void oracle_step(OracleState* s, int action, int actions_per_drop, int scoring,
   bool lock_now = hard || (want_down && md == 0);
 
   s->py += drop_n;
-  s->gravity = (hard || soft || grav_fires) ? 0 : g_next;
+  // Guideline drop points (RULES.md "Scoring"): +1/cell soft, +2/cell hard.
+  if (scoring == 0) s->score += hard ? 2 * md : (soft ? (md < 1 ? md : 1) : 0);
+  s->gravity = (hard || soft || grav_fires) ? 0 : (grav_on ? g_next : 0);
   if (lock_now) lock(s, scoring, randomizer);
 }
 

@@ -157,7 +157,8 @@ class TestLineClear:
         s = mk(rows=rows, piece=1, px=4, py=0)
         s1 = jstep(s, HARD, CFG)
         assert int(s1.lines) == 1
-        assert int(s1.score) == 100
+        # 100 (single) + 2*17 hard-drop cells (guideline drop points)
+        assert int(s1.score) == 100 + 2 * 17
         assert int(s1.combo) == 1
         assert list(np.asarray(s1.line_stats)) == [1, 0, 0, 0]
         # the O piece's top two cells remain at the (shifted) bottom row
@@ -172,7 +173,7 @@ class TestLineClear:
         s = mk(rows=rows, piece=1, px=4, py=0)
         s1 = jstep(s, HARD, CFG)
         assert int(s1.lines) == 2
-        assert int(s1.score) == 300
+        assert int(s1.score) == 300 + 2 * 17
         assert list(np.asarray(s1.line_stats)) == [0, 1, 0, 0]
 
     def test_raw_scoring_mode(self):
@@ -197,13 +198,13 @@ class TestLineClear:
         s = mk(rows=rows * 0, piece=1, px=4, py=0)
         s = s._replace(rows=jnp.asarray(np.where(np.arange(BOARD_H) == 19, mask, 0), jnp.uint32))
         s1 = jstep(s, HARD, CFG)
-        assert int(s1.score) == 100 and int(s1.combo) == 1
+        assert int(s1.score) == 100 + 2 * 17 and int(s1.combo) == 1
         # inject a second garbage row under the new piece and drop again
         rows2 = np.asarray(s1.rows).copy()
         rows2[19] = mask
         s2 = s1._replace(rows=jnp.asarray(rows2, jnp.uint32), piece=jnp.int32(1), rot=jnp.int32(0), px=jnp.int32(4), py=jnp.int32(0))
         s3 = jstep(s2, HARD, CFG)
-        assert int(s3.score) == 100 + 100 + 50
+        assert int(s3.score) == 100 + 100 + 50 + 4 * 17  # + both drops' points
         assert int(s3.combo) == 2
 
     def test_block_conservation(self):

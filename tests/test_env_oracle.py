@@ -87,7 +87,7 @@ def test_threefry_matches():
         assert int(j0) == co.threefry_lane0(k0, k1, c0, c1), (k0, k1, c0, c1)
 
 
-@pytest.mark.parametrize("app", [1, 2])
+@pytest.mark.parametrize("app", [0, 1, 2])
 @pytest.mark.parametrize("scoring", [0, 1])
 @pytest.mark.parametrize("randomizer", [0, 1])
 def test_random_trace_parity(app, scoring, randomizer):

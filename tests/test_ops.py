@@ -31,3 +31,50 @@ def test_fused_forward_matches_flax():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
                                rtol=1e-4, atol=1e-2)
+
+
+class TestPackedStepParity:
+    """ops/env_packed.packed_step must be bit-exact vs engine.step across
+    every config combination — the fused selection kernel steps env state
+    with packed_step, so a drift here silently corrupts the search."""
+
+    def _fuzz(self, app, scoring, randomizer, steps=120, B=32):
+        import jax
+        from tetris_mcts_tpu.env.engine import (
+            EnvConfig, pack_state, reset_batch, step_batch,
+        )
+        from tetris_mcts_tpu.ops.env_packed import packed_step
+
+        cfg = EnvConfig(actions_per_drop=app, scoring=scoring,
+                        randomizer=randomizer)
+        s = reset_batch(911 + app, B, cfg)
+        rng = np.random.RandomState(app * 10 + scoring * 2 + randomizer)
+        packed = pack_state(s)
+        stepf = jax.jit(lambda st, a: step_batch(st, a, cfg))
+        pstepf = jax.jit(
+            lambda e, a: packed_step(
+                e, a, actions_per_drop=app, scoring=scoring,
+                randomizer=randomizer,
+            )
+        )
+        for t in range(steps):
+            acts = jnp.asarray(rng.randint(0, 7, (B,)), jnp.int32)
+            s = stepf(s, acts)
+            packed = pstepf(packed, acts[:, None])
+            if t % 30 == 29:
+                np.testing.assert_array_equal(
+                    np.asarray(packed), np.asarray(pack_state(s)),
+                    err_msg=f"packed_step drift at t={t} "
+                            f"(app={app} scoring={scoring} rnd={randomizer})",
+                )
+        np.testing.assert_array_equal(
+            np.asarray(packed), np.asarray(pack_state(s)))
+
+    def test_guideline_bag_gravity_off(self):
+        self._fuzz(app=0, scoring=0, randomizer=0)
+
+    def test_guideline_bag_gravity_1(self):
+        self._fuzz(app=1, scoring=0, randomizer=0)
+
+    def test_raw_uniform_gravity_2(self):
+        self._fuzz(app=2, scoring=1, randomizer=1)

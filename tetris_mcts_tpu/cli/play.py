@@ -125,6 +125,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="policy-playout depth for HybridSim/FiniteSim/"
                         "FullSim (0 = reference defaults 30/50/to-end)")
     p.add_argument("--min_visits", type=int, default=25)
+    p.add_argument("--acc_policy", type=int, default=-1,
+                   choices=(-1, 0, 1, 2, 3),
+                   help="replay accumulation policy: -1 = growth-gated ring "
+                        "(ValueSim.py:161-186, default); 0-3 = the C++ "
+                        "OnlineMCTSAgent policies (agent.cpp:635-695: "
+                        "0 episode gate + stochastic drop + random trim, "
+                        "1 episode gate + weighted trim, 2 episode-or-full, "
+                        "3 growth-gated accumulate; all clear after train)")
+    p.add_argument("--episodes_per_train", type=int, default=25,
+                   help="episode gate for acc_policy 0-2 (agent.cpp:838)")
+    p.add_argument("--trim_fraction", type=float, default=0.01,
+                   help="overflow trim percentile/fraction (agent.cpp:657,671)")
+    p.add_argument("--benchmark_every", type=int, default=0,
+                   help="play benchmark games every N episodes (reference "
+                        "cycle.sh:72 channel; 0 = off)")
+    p.add_argument("--benchmark_games", type=int, default=8,
+                   help="completed games per benchmark round")
+    p.add_argument("--benchmark_sims", type=int, default=0,
+                   help="sims/move in benchmark games (0 = 2x --mcts_sims; "
+                        "reference trains 500 benches 1000, README.md:56)")
+    p.add_argument("--benchmark_batch", type=int, default=0,
+                   help="benchmark games in lockstep (0 = auto)")
+    p.add_argument("--benchmark_max_moves", type=int, default=5000,
+                   help="move cap per benchmark round")
+    p.add_argument("--benchmark_max_nodes", type=int, default=0,
+                   help="tree pool for benchmark games (0 = auto-scale)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_model", action="store_true",
                    help="load checkpoint before playing")
@@ -337,6 +363,15 @@ def main(argv=None):
         # --trace is a profiling probe and must never clobber checkpoints
         checkpoint_each_train=trains and not benchmark and not args.trace,
         benchmark=benchmark, dump_dir=args.dump_dir, seed=args.seed,
+        acc_policy=args.acc_policy,
+        episodes_per_train=args.episodes_per_train,
+        trim_fraction=args.trim_fraction,
+        benchmark_every=0 if benchmark else args.benchmark_every,
+        benchmark_games=args.benchmark_games,
+        benchmark_sims=args.benchmark_sims,
+        benchmark_batch=args.benchmark_batch,
+        benchmark_max_moves=args.benchmark_max_moves,
+        benchmark_max_nodes=args.benchmark_max_nodes,
         actions_per_drop=args.app, scoring=args.scoring,
         randomizer=args.randomizer,
     )

@@ -200,20 +200,38 @@ def _step_alive(s: EnvState, action, cfg: EnvConfig) -> EnvState:
     s = s._replace(px=px, rot=rot)
 
     # Vertical effect (RULES.md "Gravity"): hard drops lock; soft drop and a
-    # fired gravity tick descend one (locking when blocked).
+    # fired gravity tick descend one (locking when blocked). With
+    # actions_per_drop <= 0 auto-gravity is OFF (pieces descend only via
+    # drops) — the semantics the reference demo recording evidences
+    # (RULES.md "Gravity", demo/test.gif analysis).
     hard = a == 6
     soft = a == 3
     lateral = ~hard & ~soft
     g_next = s.gravity + 1
-    grav_fires = lateral & (g_next >= cfg.actions_per_drop)
+    if cfg.actions_per_drop <= 0:
+        grav_fires = jnp.asarray(False)
+        g_keep = jnp.int32(0)
+    else:
+        grav_fires = lateral & (g_next >= cfg.actions_per_drop)
+        g_keep = g_next
     md = max_drop(s.rows, s.piece, s.rot, s.px, s.py)
 
     want_down = soft | grav_fires
     drop_n = jnp.where(hard, md, jnp.where(want_down, jnp.minimum(md, 1), 0))
     lock_now = hard | (want_down & (md == 0))
+    # Guideline drop points (RULES.md "Scoring"): +1 per soft-dropped cell,
+    # +2 per hard-dropped cell; gravity descents score nothing. Externally
+    # evidenced by the reference endless log (0-line episodes score 262-486,
+    # odd values ⇒ the 1-point component exists) and README v2's
+    # tetris.wiki/Scoring adoption.
+    if cfg.scoring == 0:
+        drop_pts = jnp.where(hard, 2 * md, jnp.where(soft, jnp.minimum(md, 1), 0))
+    else:
+        drop_pts = jnp.int32(0)
     s = s._replace(
         py=s.py + drop_n,
-        gravity=jnp.where(hard | soft | grav_fires, 0, g_next),
+        score=s.score + drop_pts,
+        gravity=jnp.where(hard | soft | grav_fires, 0, g_keep),
     )
     # branchless (see _draw_piece docstring): both paths run under vmap anyway
     locked = _lock(s, cfg)

@@ -334,7 +334,12 @@ def packed_step(env, act, *, actions_per_drop=1, scoring=0, randomizer=0,
     soft = (act == 3).astype(jnp.int32)
     lateral = (1 - hard) * (1 - soft)
     g_next = gravity + 1
-    grav_fires = lateral * (g_next >= actions_per_drop).astype(jnp.int32)
+    if actions_per_drop <= 0:  # auto-gravity OFF (engine._step_alive gate)
+        grav_fires = jnp.zeros_like(lateral)
+        g_keep = jnp.zeros_like(g_next)
+    else:
+        grav_fires = lateral * (g_next >= actions_per_drop).astype(jnp.int32)
+        g_keep = g_next
     ys, xs = _abs_cells((cur_dy, cur_dx), px, py)
     md = _max_drop(rows, ys, xs)
 
@@ -344,8 +349,12 @@ def packed_step(env, act, *, actions_per_drop=1, scoring=0, randomizer=0,
     )
     lock_now = jnp.maximum(hard, want_down * (md == 0).astype(jnp.int32))
     py = py + drop_n
+    if scoring == 0:  # guideline drop points (engine._step_alive)
+        score = score + jnp.where(
+            hard != 0, 2 * md, jnp.where(soft != 0, jnp.minimum(md, 1), 0)
+        )
     gravity = jnp.where(
-        (hard | soft | grav_fires) != 0, 0, g_next
+        (hard | soft | grav_fires) != 0, 0, g_keep
     )
 
     # ---- lock + clear + spawn (engine._lock; both branches run) -----------

@@ -90,6 +90,28 @@ class SelfPlayConfig(NamedTuple):
     train_iters_per_val: int = 100
     train_max_iters: int = 50_000
     benchmark: bool = False        # no training, no storage
+    # C++ OnlineMCTSAgent accumulation & trimming (agent.cpp:635-775).
+    # acc_policy -1 (default) keeps the Python ValueSim growth-gated ring
+    # (ValueSim.py:161-186); 0-3 switch to the C++ agent's semantics:
+    #   0: train every episodes_per_train episodes; stochastic store drop
+    #      tuned to fit memory; random trim on overflow (agent.cpp:635-661)
+    #   1: same gate, weighted (lowest-visit) trim on overflow (:662-676)
+    #   2: train on the episode gate OR memory full (:677-686)
+    #   3: growth-gated on accumulated rows (:687-695)
+    # All 0-3 clear the memory after each session (agent.cpp:703).
+    acc_policy: int = -1
+    episodes_per_train: int = 25   # policies 0-2 gate (agent.cpp:838)
+    trim_fraction: float = 0.01    # trim percentile/fraction (:657,671)
+    # Benchmark-game channel (reference cycle.sh:72 / --benchmark runs):
+    # every `benchmark_every` episodes play `benchmark_games` completed games
+    # at `benchmark_sims` with training+storage off, on a separate lazily
+    # compiled benchmark driver sharing this driver's model.
+    benchmark_every: int = 0       # 0 = channel off
+    benchmark_games: int = 8
+    benchmark_sims: int = 0        # 0 = 2x the training sims
+    benchmark_batch: int = 0       # 0 = min(benchmark_games, batch)
+    benchmark_max_moves: int = 5000
+    benchmark_max_nodes: int = 0   # 0 = auto-scale for benchmark_sims
     insert_kernel: bool = False    # TreeConfig.insert_kernel passthrough
     bf16: bool = False             # bfloat16 in-search NN forward (training
                                    # stays f32; see VVModel.apply_fn)
@@ -161,6 +183,18 @@ class _OnlineDriverBase:
         self._prev_total = 0
         self.train_history: list = []
         self.last_stats = None
+        # C++ accumulation-policy bookkeeping (cfg.acc_policy >= 0)
+        self._mem_rows = 0             # logical memory_index (agent.cpp)
+        self._last_train_episode = 0
+        self._ep_window: list = []     # (episodes, candidates) pairs
+        self._cand_prev = 0
+        self._last_ep_seen = 0
+        self._drop_prob_host = 0.0
+        self.trims = 0
+        # benchmark-game channel
+        self._bench = None
+        self._eps_at_last_bench = 0
+        self._bench_round = 0
         # actor-loop throughput (SURVEY §5 "per-phase timing in the actor
         # loop; report env-steps/s and sims/s per chip"): a rolling window
         # reset after every report AND every training session, so the
@@ -200,14 +234,19 @@ class _OnlineDriverBase:
         tunnel costs a ~25 ms round trip (CLAUDE.md)."""
         self.moves += 1
         self.last_stats = stats
-        done, score, lines, total = _host_fetch(
-            (stats.done, stats.score, stats.lines, self.replay.total)
+        done, score, lines, total, cand = _host_fetch(
+            (stats.done, stats.score, stats.lines, self.replay.total,
+             getattr(self.replay, "cand", np.int32(0)))
         )
         self._publish(stats, envs_prev)
         self._report_throughput()
         self._finish_episodes(done, score, lines)
         if not self.cfg.benchmark:
-            self._maybe_train(int(total))
+            if self.cfg.acc_policy < 0:
+                self._maybe_train(int(total))
+            else:
+                self._acc_policy_step(int(total), int(cand))
+            self._maybe_benchmark()
         return stats
 
     def _publish(self, stats, envs):
@@ -299,23 +338,28 @@ class _OnlineDriverBase:
         """One training session with reference growth-gating
         (`ValueSim.train_nodes`, ValueSim.py:161-186). Returns False when
         skipped for lack of rows."""
-        self.n_trains += 1
-        m_size = min(self.n_trains * self.cfg.memory_growth,
+        m_size = min((self.n_trains + 1) * self.cfg.memory_growth,
                      self.cfg.memory_size)
         # the gate can open below one minibatch when memory_growth is small;
         # clamp up so such configs still train (the reference never hits
         # this: growth 5000 >> batch 1024)
         m_size = max(m_size, self.cfg.train_batch)
+        use = min(m_size, int(self.replay.count))
+        return self._run_training_session(use)
+
+    def _run_training_session(self, use):
+        """Train on the newest `use` ring rows (floored to whole minibatches;
+        every distinct `use` compiles new unpack/val programs through the
+        slow remote-compile path, so fixed-shape buckets matter). Returns
+        False when there aren't enough rows for one minibatch."""
         count = int(self.replay.count)
-        use = min(m_size, count)
-        # fixed-shape buckets: every distinct `use` compiles new unpack/val
-        # programs through the slow remote-compile path
+        use = min(use, count)
         use -= use % self.cfg.train_batch
         if use < self.cfg.train_batch:
-            self.log(f"Training session {self.n_trains}: only {count} rows, "
-                     "skipped")
-            self.n_trains -= 1
+            self.log(f"Training session {self.n_trains + 1}: only {count} "
+                     "rows, skipped")
             return False
+        self.n_trains += 1
 
         # most recent `use` rows of the ring; boards stored bit-packed in
         # the move program, unpacked to images only here (training prep)
@@ -355,6 +399,163 @@ class _OnlineDriverBase:
 
     def _dump_training_data(self, data):
         """Hook: per-session training-set dump (VV driver implements it)."""
+
+    # ------------------------------------------------------- C++ accumulation
+    def _acc_policy_step(self, total: int, cand: int):
+        """One move's worth of the C++ OnlineMCTSAgent accumulation logic
+        (agent.cpp:635-708), re-expressed for the batched driver: the GC
+        event becomes the per-move check, `current_episode` the driver's
+        completed-episode counter, and `memory_index` the logical
+        rows-since-last-clear (`self._mem_rows`). Golden-tested against a
+        NumPy transcription in tests/test_replay_policy.py."""
+        cfg = self.cfg
+        # clamp at capacity: the C++ buffer STOPS storing at memory_size
+        # (agent.cpp:817 break) where the ring wraps (newest-wins) — the
+        # logical fill level saturates identically either way
+        self._mem_rows = min(self._mem_rows + total - self._prev_total,
+                             cfg.memory_size)
+        self._prev_total = total
+
+        if cfg.acc_policy == 0 and self.episodes > self._last_ep_seen:
+            # refresh memory_drop_prob from the candidate rate of the last
+            # episodes_per_train episodes (agent.cpp:637-647; `cand` counts
+            # pre-drop store candidates, the reference's accumulated_nodes)
+            self._ep_window.append(
+                (self.episodes - self._last_ep_seen, cand - self._cand_prev)
+            )
+            self._cand_prev = cand
+            self._last_ep_seen = self.episodes
+            while (sum(e for e, _ in self._ep_window[1:])
+                   >= cfg.episodes_per_train):
+                self._ep_window.pop(0)
+            sum_e = sum(e for e, _ in self._ep_window)
+            sum_c = sum(c for _, c in self._ep_window)
+            est = sum_c * (cfg.episodes_per_train / max(sum_e, 1))
+            p_drop = max(0.0, 1.0 - cfg.memory_size / max(est, 1.0))
+            if abs(p_drop - self._drop_prob_host) > 1e-3:
+                self.replay = self.replay._replace(
+                    drop_prob=jnp.float32(p_drop))
+                self._drop_prob_host = p_drop
+                self.log(
+                    f"Average nodes stored per episode: "
+                    f"{sum_c / max(sum_e, 1):.0f}    "
+                    f"Memory dropping probability: {p_drop:.4f}"
+                )
+
+        diff = self.episodes - self._last_train_episode
+        full = self._mem_rows >= cfg.memory_size
+        p = cfg.acc_policy
+        if p in (0, 1):
+            do_train = diff >= cfg.episodes_per_train
+            if not do_train and full:
+                if p == 0:
+                    self.key, k = jax.random.split(self.key)
+                    self.replay, dropped = mcts.replay_trim_random(
+                        self.replay, cfg.trim_fraction, k)
+                else:
+                    self.replay, dropped = mcts.replay_trim_weighted(
+                        self.replay, cfg.trim_fraction)
+                dropped = int(dropped)
+                self.trims += 1
+                self._mem_rows = max(self._mem_rows - dropped, 0)
+                self.log(
+                    "Memory limit exceeded, trimming memory "
+                    f"({'random' if p == 0 else 'weighted'}: {dropped} rows; "
+                    f"memory {self._mem_rows}/{cfg.memory_size})"
+                )
+        elif p == 2:
+            do_train = diff >= cfg.episodes_per_train or full
+        elif p == 3:
+            m_size = min(self.n_trains * cfg.memory_growth, cfg.memory_size)
+            do_train = self._mem_rows >= m_size
+        else:
+            raise ValueError(f"acc_policy {p} not in -1..3")
+
+        if do_train and self._run_training_session(
+                min(self._mem_rows, cfg.memory_size)):
+            # memory_index = 0 after a session (agent.cpp:703)
+            self.replay = self.replay._replace(
+                idx=jnp.int32(0), count=jnp.int32(0))
+            self._mem_rows = 0
+            self._last_train_episode = self.episodes
+            self._tp_t0 = time.perf_counter()
+            self._tp_moves = 0
+
+    # --------------------------------------------------- benchmark channel
+    def _bench_ctor_kwargs(self) -> dict:
+        """Hook: extra ctor kwargs the benchmark twin needs (Dist overrides)."""
+        return {}
+
+    def _reinit_games(self, seed: int):
+        """Fresh (trees, envs) with a new seed — subclass provides."""
+        raise NotImplementedError
+
+    def reset_games(self, seed: int):
+        """Fresh games + episode bookkeeping (benchmark rounds start clean)."""
+        self._reinit_games(seed)
+        self._ep_id = np.arange(self.cfg.batch, dtype=np.int64)
+        self._next_ep = self.cfg.batch
+        self.episodes = 0
+        self.score_tracker = EpisodeTracker()
+        self.line_tracker = EpisodeTracker()
+        self.key = jax.random.PRNGKey(seed)
+
+    def _maybe_benchmark(self):
+        """Reference benchmark-game channel (cycle.sh:72, ValueSim.py:109):
+        every benchmark_every completed episodes, play benchmark_games
+        completed games at benchmark_sims on a lazily built benchmark twin
+        (training and storage off, shared model), and emit one `benchmark`
+        metrics event with the round's line/score statistics."""
+        cfg = self.cfg
+        if cfg.benchmark_every <= 0:
+            return
+        if self.episodes - self._eps_at_last_bench < cfg.benchmark_every:
+            return
+        self._eps_at_last_bench = self.episodes
+        self._bench_round += 1
+        if self._bench is None:
+            bsims = cfg.benchmark_sims or 2 * cfg.sims
+            bbatch = cfg.benchmark_batch or min(cfg.benchmark_games, cfg.batch)
+            auto_nodes = max(cfg.max_nodes, 1 << (8 * bsims - 1).bit_length())
+            bnodes = cfg.benchmark_max_nodes or auto_nodes
+            bcfg = cfg._replace(
+                batch=bbatch, sims=bsims, benchmark=True,
+                max_nodes=bnodes, max_obs=max(cfg.max_obs, bnodes),
+                table_size=max(cfg.table_size, 2 * max(cfg.max_obs, bnodes)),
+                memory_size=max(cfg.train_batch, 1024),
+                benchmark_every=0,
+            )
+            self.log(
+                f"Benchmark channel: building twin driver (batch {bbatch}, "
+                f"{bsims} sims, {bnodes} nodes)"
+            )
+            self._bench = type(self)(
+                bcfg, model=self.model, log=self.log, metrics=self.metrics,
+                **self._bench_ctor_kwargs(),
+            )
+        bench = self._bench
+        bench.reset_games(cfg.seed + 7777 * self._bench_round)
+        t0 = time.time()
+        bench.run_episodes(cfg.benchmark_games,
+                           max_moves=cfg.benchmark_max_moves)
+        lt, st = bench.line_tracker, bench.score_tracker
+        self.log(
+            f"Benchmark round {self._bench_round} ({lt.n} games, "
+            f"{bench.cfg.sims} sims): lines {lt.mean:.2f}±{lt.std:.2f} "
+            f"(min {lt.min:.0f} max {lt.max:.0f})  score {st.mean:.1f}"
+            f"±{st.std:.1f}  [{time.time() - t0:.1f}s]"
+        )
+        if self.metrics is not None:
+            self.metrics.write(
+                "benchmark", round=self._bench_round, episode=self.episodes,
+                games=lt.n, sims=bench.cfg.sims,
+                lines_mean=round(lt.mean, 3), lines_std=round(lt.std, 3),
+                lines_min=lt.min, lines_max=lt.max,
+                score_mean=round(st.mean, 2), score_std=round(st.std, 2),
+            )
+        # benchmark wall time is not search time
+        self._tp_t0 = time.perf_counter()
+        self._tp_moves = 0
 
     def run(self, n_moves: int):
         for _ in range(n_moves):
@@ -435,6 +636,7 @@ class SelfPlayDriver(_OnlineDriverBase):
             evaluator, self.search_cfg,
             min_visits_store=cfg.min_visits_store,
             store=not cfg.benchmark,
+            store_drop=cfg.acc_policy == 0,
         )
         # NOTE: no donate_argnums — trees.root_state and envs alias the same
         # output buffers (advance_root stores the stepped env state), and XLA
@@ -443,6 +645,10 @@ class SelfPlayDriver(_OnlineDriverBase):
 
         self.trees, self.envs = mcts.init_batch(cfg.seed, cfg.batch, self.search_cfg)
         self.replay = mcts.init_replay(cfg.memory_size)
+
+    def _reinit_games(self, seed: int):
+        self.trees, self.envs = mcts.init_batch(
+            seed, self.cfg.batch, self.search_cfg)
 
     # ------------------------------------------------------------------ moves
     def step(self):
@@ -549,6 +755,10 @@ class VPSelfPlayDriver(_OnlineDriverBase):
         )
         self.replay = VP.init_vp_replay(cfg.memory_size)
 
+    def _reinit_games(self, seed: int):
+        self.vtrees, self.envs = self._VP.init_vp_batch(
+            seed, self.cfg.batch, self.search_cfg)
+
     def step(self):
         self.key, sub = jax.random.split(self.key)
         envs_prev = self.envs
@@ -605,6 +815,10 @@ class S2SelfPlayDriver(_OnlineDriverBase):
             cfg.seed, cfg.batch, self.search_cfg
         )
         self.replay = mcts.init_replay(cfg.memory_size)
+
+    def _reinit_games(self, seed: int):
+        self.s2trees, self.envs = self._S2.init_s2_batch(
+            seed, self.cfg.batch, self.search_cfg)
 
     def step(self):
         self.key, sub = jax.random.split(self.key)
@@ -666,6 +880,13 @@ class DistSelfPlayDriver(_OnlineDriverBase):
             cfg.seed, cfg.batch, self.search_cfg, self.dcfg
         )
         self.replay = DD.init_dist_replay(cfg.memory_size, atoms)
+
+    def _reinit_games(self, seed: int):
+        self.dtrees, self.envs = self._DD.init_dist_batch(
+            seed, self.cfg.batch, self.search_cfg, self.dcfg)
+
+    def _bench_ctor_kwargs(self):
+        return dict(atoms=self.dcfg.atoms, vmax=self.dcfg.vmax)
 
     def step(self):
         self.key, sub = jax.random.split(self.key)

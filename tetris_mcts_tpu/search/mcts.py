@@ -315,6 +315,14 @@ class Replay(NamedTuple):
     total: jax.Array   # int32 rows ever written (monotone; the host's
                        #   training trigger reads this — unlike an idx
                        #   delta it survives full ring wraps)
+    cand: jax.Array    # int32 monotone count of store CANDIDATES (rows
+                       #   passing the min-visit filter BEFORE the stochastic
+                       #   drop) — accumulation policy 0's `accumulated_nodes`
+                       #   (agents/cppmodule/agent.cpp:801-802)
+    drop_prob: jax.Array  # float32 stochastic store-drop probability
+                       #   (`memory_drop_prob`, agent.cpp:644); host-updated,
+                       #   applied only when the move fn was built with
+                       #   store_drop=True (accumulation policy 0)
 
 
 def init_replay(capacity: int) -> Replay:
@@ -326,17 +334,26 @@ def init_replay(capacity: int) -> Replay:
         idx=jnp.int32(0),
         count=jnp.int32(0),
         total=jnp.int32(0),
+        cand=jnp.int32(0),
+        drop_prob=jnp.float32(0.0),
     )
 
 
-def replay_add(rep: Replay, packed, value, var, weight, mask) -> Replay:
-    """Append masked rows (any leading shape, flattened) at the ring head."""
+def replay_add(rep: Replay, packed, value, var, weight, mask,
+               mask_candidates=None) -> Replay:
+    """Append masked rows (any leading shape, flattened) at the ring head.
+    `mask_candidates` (optional): the pre-stochastic-drop store mask, counted
+    into `cand` (accumulation policy 0 bookkeeping); defaults to `mask`."""
     R = rep.boards.shape[0]
     packed = packed.reshape(-1, 20)
     value = value.reshape(-1)
     var = var.reshape(-1)
     weight = weight.reshape(-1)
     mask = mask.reshape(-1)
+    n_cand = jnp.sum(
+        (mask if mask_candidates is None else mask_candidates.reshape(-1))
+        .astype(jnp.int32)
+    )
 
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     n = jnp.sum(mask.astype(jnp.int32))
@@ -354,7 +371,81 @@ def replay_add(rep: Replay, packed, value, var, weight, mask) -> Replay:
         idx=(rep.idx + n) % R,
         count=jnp.minimum(rep.count + n, R),
         total=rep.total + n,
+        cand=rep.cand + n_cand,
+        drop_prob=rep.drop_prob,
     )
+
+
+# ---------------------------------------------------------------------------
+# replay trimming (the C++ OnlineMCTSAgent memory policies,
+# agents/cppmodule/agent.cpp:710-775) — cold-path jitted compactions
+# ---------------------------------------------------------------------------
+
+def _replay_compact(rep: Replay, keep_logical, valid):
+    """Compact kept rows (in age order) to the front of a fresh ring.
+    `keep_logical` bool[R] indexed in LOGICAL age order (oldest first);
+    `valid` bool[R] marks real rows. Returns the trimmed Replay (idx = count
+    = kept; `total`/`cand` stay monotone)."""
+    R = rep.boards.shape[0]
+    ar = jnp.arange(R, dtype=jnp.int32)
+    order = (rep.idx - rep.count + ar) % R  # logical oldest -> newest
+    keep = keep_logical & valid
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    kept = jnp.sum(keep.astype(jnp.int32))
+    dst = jnp.where(keep, pos, R)
+    b, v, va, w = (rep.boards[order], rep.value[order],
+                   rep.var[order], rep.weight[order])
+    z = lambda x: jnp.zeros_like(x)
+    return Replay(
+        boards=z(rep.boards).at[dst].set(b, mode="drop"),
+        value=z(rep.value).at[dst].set(v, mode="drop"),
+        var=z(rep.var).at[dst].set(va, mode="drop"),
+        weight=z(rep.weight).at[dst].set(w, mode="drop"),
+        idx=kept % R,
+        count=kept,
+        total=rep.total,
+        cand=rep.cand,
+        drop_prob=rep.drop_prob,
+    ), rep.count - kept
+
+
+@jax.jit
+def replay_trim_weighted(rep: Replay, percentile):
+    """`weighted_trimming` (agent.cpp:710-749): drop every row whose visit
+    weight is <= the `percentile`-quantile of stored weights (ties drop
+    together, exactly like the reference's `<= threshold`), compacting the
+    survivors in age order. Returns (trimmed, n_dropped)."""
+    R = rep.boards.shape[0]
+    ar = jnp.arange(R, dtype=jnp.int32)
+    order = (rep.idx - rep.count + ar) % R
+    valid = ar < rep.count
+    w = jnp.where(valid, rep.weight[order], jnp.inf)
+    ws = jnp.sort(w)
+    k = (rep.count.astype(jnp.float32) * percentile).astype(jnp.int32)
+    thr = ws[jnp.clip(k, 0, R - 1)]
+    return _replay_compact(rep, rep.weight[order] > thr, valid)
+
+
+@jax.jit
+def replay_trim_random(rep: Replay, fraction, key):
+    """`random_trimming` (agent.cpp:751-775): drop floor(count*fraction)
+    uniformly-random stored rows, compacting the survivors in age order.
+    Returns (trimmed, n_dropped)."""
+    R = rep.boards.shape[0]
+    ar = jnp.arange(R, dtype=jnp.int32)
+    valid = ar < rep.count
+    m = (rep.count.astype(jnp.float32) * fraction).astype(jnp.int32)
+    u = jnp.where(valid, jax.random.uniform(key, (R,)), jnp.inf)
+    # drop the m smallest draws among valid rows (u ties have measure zero)
+    thr = jnp.sort(u)[jnp.clip(m - 1, 0, R - 1)]
+    drop = valid & (u <= thr) & (m > 0)
+    return _replay_compact(rep, ~drop, valid)
+
+
+def replay_clear(rep: Replay) -> Replay:
+    """`memory_index = 0` after a training session (agent.cpp:703): the ring
+    is logically emptied; monotone counters survive."""
+    return rep._replace(idx=jnp.int32(0), count=jnp.int32(0))
 
 
 # ---------------------------------------------------------------------------
@@ -399,7 +490,7 @@ def capacity_guard_for(sims: int, tcfg) -> int:
 
 
 def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
-                 store: bool = True):
+                 store: bool = True, store_drop: bool = False):
     """Build the jitted per-move function:
 
         (params, ubound, trees, envs, replay, key)
@@ -407,6 +498,10 @@ def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
 
     `store=False` is benchmark mode — harvesting never writes to replay
     (reference `--benchmark` gating, `agents/ValueSim.py:109`).
+    `store_drop=True` drops each store candidate with probability
+    `replay.drop_prob` (accumulation policy 0's stochastic thinning,
+    agent.cpp:802: `unif(mt) < memory_drop_prob -> continue`); candidates
+    are still counted into `replay.cand` pre-drop.
     """
     tcfg = cfg.tree
     run_sims = make_run_sims(evaluator, cfg)
@@ -422,7 +517,7 @@ def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
     capacity_guard = capacity_guard_for(cfg.sims, tcfg)
 
     def move(params, ubound, trees, envs: EnvState, replay: Replay, key):
-        key, k_sims = jax.random.split(key)
+        key, k_sims, k_drop = jax.random.split(key, 3)
         trees = run_sims(params, ubound, trees, k_sims)
 
         action = vbest(trees, tcfg)
@@ -453,7 +548,14 @@ def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
             packed, val, var, w, mask = vharvest(trees2, min_visits_store, tcfg)
             mask = mask & trigger[:, None]
             if store:
-                replay = replay_add(replay, packed, val, var, w, mask)
+                if store_drop:
+                    u = jax.random.uniform(k_drop, mask.shape)
+                    replay = replay_add(
+                        replay, packed, val, var, w,
+                        mask & (u >= replay.drop_prob), mask_candidates=mask,
+                    )
+                else:
+                    replay = replay_add(replay, packed, val, var, w, mask)
             fresh = vinit(envs3, tcfg)
             trees3 = jax.tree.map(
                 lambda f, t: jnp.where(

@@ -203,3 +203,46 @@ def test_tp_train_step_runs():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
+
+
+def test_sharded_learner_matches_and_donates():
+    """make_sharded_learner: persistent mesh state, donated steps, results
+    equal to the single-device train step; the model's own arrays survive
+    the donation (the state owns private buffers)."""
+    model = VVModel(seed=4)
+    n = 64
+    rng = np.random.RandomState(5)
+    data = (
+        jnp.asarray(rng.randint(0, 2, (n, 20, 10, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 50, n), jnp.float32),
+        jnp.asarray(rng.uniform(1, 10, n), jnp.float32),
+        jnp.ones(n, jnp.float32),
+    )
+    key = jax.random.PRNGKey(6)
+
+    p_ref, o_ref, m_ref, _ = model._train_step(
+        model.params, model.opt_state, model.ubound, data, key,
+        model.fisher, model.p0, jnp.float32(0.0), 32,
+    )
+    p_ref2, _, m_ref2, _ = model._train_step(
+        p_ref, o_ref, model.ubound, data, jax.random.PRNGKey(7),
+        model.fisher, model.p0, jnp.float32(0.0), 32,
+    )
+
+    m = M.make_mesh(8)
+    state, step = M.make_sharded_learner(model, m)
+    state, m_got, _ = step(state, model.ubound, data, key,
+                           jnp.float32(0.0), 32)
+    assert np.allclose(float(m_ref["loss"]), float(m_got["loss"]), rtol=1e-5)
+    # second (steady-state, donated) step
+    state, m_got2, _ = step(state, model.ubound, data, jax.random.PRNGKey(7),
+                            jnp.float32(0.0), 32)
+    assert np.allclose(float(m_ref2["loss"]), float(m_got2["loss"]),
+                       rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p_ref2), jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # donation must not have clobbered the model's own arrays
+    for leaf in jax.tree.leaves(model.params) + jax.tree.leaves(
+            model.opt_state) + jax.tree.leaves(model.fisher):
+        np.asarray(leaf)  # raises if the buffer was deleted

@@ -197,3 +197,16 @@ def test_benchmark_channel_fires():
     assert d._bench is not None and d._bench.cfg.benchmark
     assert int(d._bench.replay.total) == 0  # benchmark stores nothing
     assert any(l.startswith("Benchmark round") for l in logs)
+
+
+def test_capacity_misconfig_raises():
+    """Pools too small for one move raise by default (VERDICT r1 item 7);
+    allow_clamp opts into the degraded behavior."""
+    with pytest.raises(ValueError, match="cannot hold one"):
+        SelfPlayDriver(tiny_cfg(sims=200, max_nodes=256, max_obs=256),
+                       log=lambda s: None)
+    d = SelfPlayDriver(
+        tiny_cfg(sims=200, max_nodes=256, max_obs=256, allow_clamp=True),
+        log=lambda s: None,
+    )
+    assert d.search_cfg.allow_clamp

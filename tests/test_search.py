@@ -1268,3 +1268,83 @@ class TestShardedKernels:
                 ),
                 direct[name], sharded[name],
             )
+
+
+class TestPolicyMaxFaithful:
+    """`--policy max` golden vs the reference's `policy_max`
+    (agents/policy.py:28-33): q = value + max(v_max) * sqrt(log(sum visit)
+    / visit), with v_max the per-node max backed-up relative return
+    (node_stats[4], agents/core.py:404-422) now tracked as Tree.vmax."""
+
+    def test_select_matches_numpy_policy_max(self):
+        cfg = CFG._replace(policy="max", low=0)
+        tree, s = small_tree()
+        tree, _ = T.expand(tree, s, tree.root, jnp.asarray(True), cfg)
+        rng = np.random.RandomState(7)
+        visits = rng.randint(1, 9, 8).astype(np.float32)
+        values = rng.uniform(-2, 5, 8).astype(np.float32)
+        vmaxs = rng.uniform(0, 10, 8).astype(np.float32)
+        tree = tree.with_fields(
+            obs_visit=tree.obs_visit.at[1:9].set(visits.astype(np.int32)),
+            obs_value=tree.obs_value.at[1:9].set(values),
+            obs_var=tree.obs_var.at[1:9].set(1.0),
+        )._replace(vmax=tree.vmax.at[1:9].set(jnp.asarray(vmaxs)))
+
+        trace, acts, length, _ = T.select(tree, jax.random.PRNGKey(3), cfg)
+        leaf = int(trace[1])
+
+        # numpy transcription over the leaf's unique children
+        kids = np.asarray(T.children_of(tree, 1))
+        obs = np.asarray(tree.n_to_o)[kids]
+        sc = np.asarray(tree.score)[kids]
+        # dedup by obs keeping max score (get_unique_child_obs semantics)
+        kept = []
+        for i, o in enumerate(obs):
+            beat = all(
+                not (obs[j] == o and (sc[j] > sc[i]
+                                      or (sc[j] == sc[i] and j < i)))
+                for j in range(len(kids)) if j != i
+            )
+            if beat:
+                kept.append(i)
+        vis = np.asarray(tree.obs_visit)[obs[kept]].astype(np.float64)
+        val = np.asarray(tree.obs_value)[obs[kept]]
+        vmx = np.asarray(tree.vmax)[obs[kept]]
+        root_score = float(np.asarray(tree.score)[1])
+        q_base = val + sc[kept] - root_score
+        scale = vmx.max()  # policy.py:29 `_max = np.max(v_max)`
+        q = q_base + scale * np.sqrt(
+            np.log(max(vis.sum(), 2.0)) / np.maximum(vis, 1.0))
+        want = kids[kept][int(np.argmax(q))]
+        assert leaf == int(want)
+
+    def test_backup_tracks_vmax_and_moves_run(self):
+        cfg = CFG._replace(policy="max", low=1)
+        scfg = M.SearchConfig(tree=cfg, sims=6, evaluator="lp")
+        trees, envs = M.init_batch(5, 3, scfg)
+        run = M.make_run_sims(
+            M.nn_child_evaluator(
+                lambda p, u, x: (jnp.full(x.shape[0], 4.0),
+                                 jnp.full(x.shape[0], 2.0))
+            ),
+            scfg,
+        )
+        trees = jax.jit(run)(None, None, trees, jax.random.PRNGKey(0))
+        vmax = np.asarray(trees.vmax)
+        visits = np.asarray(trees.visits)
+        assert (vmax > 0).any(), "backup never updated the max-return stat"
+        # vmax only lives where backups visited
+        assert (vmax[visits == 0] == 0).all()
+
+    def test_other_policies_leave_vmax_untouched(self):
+        scfg = M.SearchConfig(tree=CFG, sims=4, evaluator="lp")
+        trees, envs = M.init_batch(5, 2, scfg)
+        run = M.make_run_sims(
+            M.nn_child_evaluator(
+                lambda p, u, x: (jnp.full(x.shape[0], 4.0),
+                                 jnp.full(x.shape[0], 2.0))
+            ),
+            scfg,
+        )
+        trees = jax.jit(run)(None, None, trees, jax.random.PRNGKey(0))
+        assert (np.asarray(trees.vmax) == 0).all()

@@ -151,6 +151,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="move cap per benchmark round")
     p.add_argument("--benchmark_max_nodes", type=int, default=0,
                    help="tree pool for benchmark games (0 = auto-scale)")
+    p.add_argument("--allow_clamp", action="store_true",
+                   help="accept max_nodes/max_obs too small for one move "
+                        "(degraded search: tail sims expand nothing) instead "
+                        "of raising")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_model", action="store_true",
                    help="load checkpoint before playing")
@@ -363,6 +367,7 @@ def main(argv=None):
         # --trace is a profiling probe and must never clobber checkpoints
         checkpoint_each_train=trains and not benchmark and not args.trace,
         benchmark=benchmark, dump_dir=args.dump_dir, seed=args.seed,
+        allow_clamp=args.allow_clamp,
         acc_policy=args.acc_policy,
         episodes_per_train=args.episodes_per_train,
         trim_fraction=args.trim_fraction,

@@ -19,7 +19,7 @@ here; nothing else communicates.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -95,66 +95,157 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda leaf: jax.device_put(jnp.asarray(leaf), s), tree)
 
 
-def vv_param_shardings(mesh: Mesh, params):
-    """Tensor-parallel placement for the VV net when the mesh has a model
+def vv_param_specs(mesh: Mesh, params):
+    """Tensor-parallel sharding tree for the VV net when the mesh has a model
     axis: fc1 kernel column-split (output features), fc_out kernel row-split
     (input features) — the classic megatron pair; XLA inserts the single
     all-reduce between them. Everything else (convs, biases) is replicated.
     With a 1D mesh this replicates everything (pure DP)."""
     has_model = MODEL_AXIS in mesh.axis_names
 
-    def put(path, leaf):
+    def spec(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        spec = P()
+        s = P()
         if has_model and leaf.ndim == 2:
             if "fc1" in names and names[-1] == "kernel":
-                spec = P(None, MODEL_AXIS)
+                s = P(None, MODEL_AXIS)
             elif "fc_out" in names and names[-1] == "kernel":
-                spec = P(MODEL_AXIS, None)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+                s = P(MODEL_AXIS, None)
+        return NamedSharding(mesh, s)
 
-    return jax.tree_util.tree_map_with_path(put, params)
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def vv_param_shardings(mesh: Mesh, params):
+    """Place VV params per `vv_param_specs` (one-time placement helper)."""
+    return jax.tree.map(jax.device_put, params, vv_param_specs(mesh, params))
 
 
 # ---------------------------------------------------------------------------
 # sharded programs
 # ---------------------------------------------------------------------------
 
-def sharded_train_step(model, mesh: Mesh):
-    """Data-parallel (optionally TP) train step: params/opt-state placed per
-    `vv_param_shardings`, training arrays sharded over data. Returns
-    step(params, opt_state, ubound, data, key, fisher, p0, lam, bs) — same
-    signature as `VVModel.train_step_fn`. Gradient reduction is compiled in
-    by XLA from the shardings (the reference's single-device
-    `Model.train`, model/model.py:97-118, made SPMD)."""
-    jitted = jax.jit(model.train_step_fn, static_argnums=(8,))
+class LearnerState(NamedTuple):
+    """Persistent mesh-resident learner state: placed ONCE at construction,
+    then threaded through donated train steps — zero per-call host placement
+    (the reference's single `train_nodes()` call as a long-lived SPMD
+    learner)."""
 
-    def step(params, opt_state, ubound, data, key, fisher, p0, lam, bs):
-        params = vv_param_shardings(mesh, params)
-        opt_state = jax.tree.map(
-            lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), opt_state
+    params: object
+    opt_state: object
+    fisher: object
+    p0: object
+
+
+def make_sharded_learner(model, mesh: Mesh):
+    """The learner half of the actor-learner loop (SURVEY.md §2.7): returns
+    `(state, step)` where `state` is a `LearnerState` placed on the mesh once
+    (params/fisher per `vv_param_specs`, opt state replicated) and
+
+        step(state, ubound, data, key, lam, bs) -> (state, metrics, batch)
+
+    runs one data-parallel (and, on a 2D mesh, tensor-parallel) training
+    step with the WHOLE state donated — XLA aliases the old parameter
+    buffers into the new ones, so the steady-state loop does no host-side
+    placement or copies at all. `data` is auto-placed batch-over-"data" by
+    the declared in_shardings (one reshard on entry; resident training
+    arrays can be pre-placed with `shard_batch` to make that free)."""
+    pspec = vv_param_specs(mesh, model.params)
+    fspec = vv_param_specs(mesh, model.fisher)
+    repl = NamedSharding(mesh, P())
+    repl_of = lambda tree: jax.tree.map(lambda _: repl, tree)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+
+    # The state is donated every step, so it must own its buffers outright:
+    # device_put avoids copies where it can (sharing the underlying buffer
+    # with model.params/opt_state — and p0 aliases params at init), and
+    # donating a shared buffer deletes it under the model object too. `+ 0`
+    # forces a private copy of every leaf.
+    copy_put = lambda leaf, s: jax.device_put(jnp.asarray(leaf) + 0, s)
+    state = LearnerState(
+        params=jax.tree.map(copy_put, model.params, pspec),
+        opt_state=jax.tree.map(lambda leaf: copy_put(leaf, repl),
+                               model.opt_state),
+        fisher=jax.tree.map(copy_put, model.fisher, fspec),
+        p0=jax.tree.map(copy_put, model.p0, fspec),
+    )
+    state_sh = LearnerState(
+        params=pspec, opt_state=repl_of(model.opt_state),
+        fisher=fspec, p0=fspec,
+    )
+
+    def _step(state: LearnerState, ubound, data, key, lam, bs):
+        params, opt_state, metrics, batch = model.train_step_fn(
+            state.params, state.opt_state, ubound, data, key,
+            state.fisher, state.p0, lam, bs,
         )
-        data = shard_batch(mesh, data)
-        fisher = replicate(mesh, fisher)
-        p0 = replicate(mesh, p0)
-        return jitted(params, opt_state, ubound, data, key, fisher, p0, lam, bs)
+        return state._replace(params=params, opt_state=opt_state), \
+            metrics, batch
 
-    return step
+    step = jax.jit(
+        _step,
+        static_argnums=(5,),
+        in_shardings=(state_sh, repl, dsh, repl, repl),
+        # pin the state's output shardings to its input shardings — without
+        # this XLA's propagation may pick a different layout for some leaf
+        # (e.g. tp-shard a bias) and the next call's declared in_shardings
+        # would reject the committed arrays
+        out_shardings=(state_sh, repl_of({"loss": 0, "loss_std": 0,
+                                          "grad_norm": 0}), dsh),
+        donate_argnums=(0,),
+    )
+    return state, step
+
+
+def sharded_train_step(model, mesh: Mesh):
+    """Data-parallel (optionally TP) train step with the
+    `VVModel.train_step_fn` signature:
+
+        step(params, opt_state, ubound, data, key, fisher, p0, lam, bs)
+
+    Shardings are DECLARED on the jit (in_shardings) instead of device_put
+    per call — placement happens on first use and committed inputs stay put.
+    No donation here: the signature passes `p0` (which aliases `params` at
+    init) alongside `params`, and callers reuse their param trees. For a
+    long-lived learner loop prefer `make_sharded_learner` (state placed once,
+    donated steps, fisher/p0 resident)."""
+    pspec = vv_param_specs(mesh, model.params)
+    fspec = vv_param_specs(mesh, model.fisher)
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    opt_sh = jax.tree.map(lambda _: repl, model.opt_state)
+    return jax.jit(
+        model.train_step_fn,
+        static_argnums=(8,),
+        in_shardings=(pspec, opt_sh, repl, dsh, repl, fspec, fspec, repl),
+    )
 
 
 def sharded_move_fn(move_fn, mesh: Mesh):
     """Shard a `mcts.make_move_fn` program over the mesh: trees/envs batch
-    over `"data"`, params/replay replicated. The whole move (selection,
-    7-way expansion, NN forward over B×7 children, backup, env step, harvest)
+    over `"data"`, params/replay replicated — all declared as jit
+    in_shardings (no per-call device_put; uncommitted inputs place on first
+    use, committed ones stay put). The whole move (selection, 7-way
+    expansion, NN forward over B×7 children, backup, env step, harvest)
     compiles into one SPMD program; the only collective is the replay ring's
-    cross-shard cumsum, inserted by XLA."""
-    jitted = jax.jit(move_fn)
+    cross-shard cumsum, inserted by XLA. No donation: trees.root_state and
+    envs alias the same output buffers (see SelfPlayDriver)."""
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    cache = {}
 
     def move(params, ubound, trees, envs, replay, key):
-        params = replicate(mesh, params)
-        trees = shard_batch(mesh, trees)
-        envs = shard_batch(mesh, envs)
-        replay = replicate(mesh, replay)
-        return jitted(params, jnp.asarray(ubound), trees, envs, replay, key)
+        if "fn" not in cache:  # in_shardings need the arg pytree structures
+            in_sh = (
+                jax.tree.map(lambda _: repl, params),
+                repl,
+                jax.tree.map(lambda _: dsh, trees),
+                jax.tree.map(lambda _: dsh, envs),
+                jax.tree.map(lambda _: repl, replay),
+                repl,
+            )
+            cache["fn"] = jax.jit(move_fn, in_shardings=in_sh)
+        return cache["fn"](params, jnp.asarray(ubound), trees, envs, replay,
+                           key)
 
     return move

@@ -112,6 +112,8 @@ class SelfPlayConfig(NamedTuple):
     benchmark_batch: int = 0       # 0 = min(benchmark_games, batch)
     benchmark_max_moves: int = 5000
     benchmark_max_nodes: int = 0   # 0 = auto-scale for benchmark_sims
+    allow_clamp: bool = False      # accept pools too small for one move
+                                   # (degraded search) instead of raising
     insert_kernel: bool = False    # TreeConfig.insert_kernel passthrough
     bf16: bool = False             # bfloat16 in-search NN forward (training
                                    # stays f32; see VVModel.apply_fn)
@@ -539,6 +541,15 @@ class _OnlineDriverBase:
         bench.run_episodes(cfg.benchmark_games,
                            max_moves=cfg.benchmark_max_moves)
         lt, st = bench.line_tracker, bench.score_tracker
+        if lt.n == 0:
+            self.log(
+                f"Benchmark round {self._bench_round}: no game finished "
+                f"within {cfg.benchmark_max_moves} moves "
+                f"[{time.time() - t0:.1f}s]"
+            )
+            self._tp_t0 = time.perf_counter()
+            self._tp_moves = 0
+            return
         self.log(
             f"Benchmark round {self._bench_round} ({lt.n} games, "
             f"{bench.cfg.sims} sims): lines {lt.mean:.2f}±{lt.std:.2f} "
@@ -607,7 +618,8 @@ class SelfPlayDriver(_OnlineDriverBase):
             ),
         )
         self.search_cfg = SearchConfig(
-            tree=tree_cfg, sims=cfg.sims, evaluator=cfg.evaluator
+            tree=tree_cfg, sims=cfg.sims, evaluator=cfg.evaluator,
+            allow_clamp=cfg.allow_clamp,
         )
 
         apply_fn = self.model.apply_fn(jnp.bfloat16 if cfg.bf16 else None)
@@ -741,7 +753,7 @@ class VPSelfPlayDriver(_OnlineDriverBase):
                 scoring=cfg.scoring, randomizer=cfg.randomizer,
             ),
         )
-        self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims)
+        self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims, allow_clamp=cfg.allow_clamp)
 
         move = VP.make_vp_move_fn(
             self.model.apply_fn(jnp.bfloat16 if cfg.bf16 else None),
@@ -802,7 +814,7 @@ class S2SelfPlayDriver(_OnlineDriverBase):
                 scoring=cfg.scoring, randomizer=cfg.randomizer,
             ),
         )
-        self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims)
+        self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims, allow_clamp=cfg.allow_clamp)
 
         move = S2.make_s2_move_fn(
             self.model.apply_fn(jnp.bfloat16 if cfg.bf16 else None),
@@ -867,7 +879,7 @@ class DistSelfPlayDriver(_OnlineDriverBase):
                 scoring=cfg.scoring, randomizer=cfg.randomizer,
             ),
         )
-        self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims)
+        self.search_cfg = SearchConfig(tree=tree_cfg, sims=cfg.sims, allow_clamp=cfg.allow_clamp)
 
         move = DD.make_dist_move_fn(
             self.model.apply_fn(jnp.bfloat16 if cfg.bf16 else None),

@@ -517,7 +517,7 @@ def make_dist_move_fn(apply_fn, cfg, dcfg: DistConfig,
         dtrees, _ = jax.lax.fori_loop(0, cfg.sims, body, (dtrees, key))
         return dtrees
 
-    capacity_guard = capacity_guard_for(cfg.sims, tcfg)
+    capacity_guard = capacity_guard_for(cfg.sims, tcfg, cfg.allow_clamp)
 
     def move(params, dtrees: DistTree, envs: EnvState, replay: DistReplay, key):
         key, k_sims = jax.random.split(key)

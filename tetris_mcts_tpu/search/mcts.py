@@ -54,6 +54,8 @@ class SearchConfig(NamedTuple):
     evaluator: str = "lp"          # "lp" | "leaf" | "rollout"
     rollout_cap: int = 512         # max random-playout length (rollout mode)
     rollout_variance: float = 1e3  # fixed rollout variance (Vanilla.py:54)
+    allow_clamp: bool = False      # accept pools too small for one move
+                                   # (degraded search) instead of raising
 
 
 def bgather(arr, idx):
@@ -201,9 +203,13 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     # while_loop form, ops/tree_walk.py); off-TPU the hand-batched XLA walk
     # computes bit-identical results (golden-tested), so the platform switch
     # is numerically transparent.
+    # --policy max needs the Tree.vmax max-return statistic, which only the
+    # XLA walks maintain (the Pallas kernels' stat layout has no slot for a
+    # legacy-policy column) — force the walk path for it.
+    walk_kernels_ok = tree_walk.use_walk_kernels() and tcfg.policy != "max"
     backup_fn = (
         tree_walk.backup_batched_pallas
-        if tree_walk.use_walk_kernels()
+        if walk_kernels_ok
         else T.backup_batched
     )
     # The obs-table probe loop also exists as a Pallas kernel — opt-in via
@@ -215,7 +221,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     def sim_once(params, ubound, trees, key):
         B = trees.root.shape[0]
         key, k_sel, k_ev = jax.random.split(key, 3)
-        kernel_path = tcfg.select_kernel and tree_walk.use_walk_kernels()
+        kernel_path = tcfg.select_kernel and walk_kernels_ok
         if kernel_path:
             # ONE Pallas kernel walks all B trees, carrying and stepping
             # each lane's env state inline, AND steps the leaf's 7 children
@@ -258,7 +264,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
 
         if cfg.evaluator == "lp":
             v, var = evaluator(params, ubound, child_imgs, leaf_states, k_ev)
-            if tree_walk.use_walk_kernels():
+            if walk_kernels_ok:
                 # the whole post-NN phase (seed unique children, averaged
                 # value, reverse Welford+γ walk) is ONE Pallas kernel
                 trees = tree_walk.lp_backup_batched_pallas(
@@ -465,27 +471,31 @@ class MoveStats(NamedTuple):
     n_nodes: jax.Array      # int32[B] nodes allocated before any reset
 
 
-def capacity_guard_for(sims: int, tcfg) -> int:
+def capacity_guard_for(sims: int, tcfg, allow_clamp: bool = False) -> int:
     """Node headroom one full move needs: trees must fit a move's expansions
     without mid-move pool exhaustion. When the configured pools can't hold
-    that, the guard clamps (the tree harvests+resets every move) — and if
-    sims*7 exceeds the pool outright, the last sims of a move silently
-    expand nothing (ok=False backups with leaf score / zero variance), so
-    warn loudly about the misconfiguration."""
+    that, sims beyond the pool silently expand nothing (ok=False backups with
+    leaf score / zero variance) — a misconfiguration that corrupts every
+    move, so it RAISES by default. `allow_clamp=True` opts into the old
+    degraded behavior (tree harvests+resets every move, tail sims wasted)
+    with a loud warning (VERDICT r1 item 7)."""
     need = N_ACTIONS * (sims + 1) + 2
     # headroom is gated on BOTH pools (make_run_sims checks n_nodes AND
     # n_obs) — an undersized max_obs fails mid-move exactly like max_nodes
     guard = min(need, tcfg.max_nodes - N_ACTIONS - 1,
                 tcfg.max_obs - N_ACTIONS - 1)
     if need > guard:
-        import sys as _sys
-        print(
-            f"warning: max_nodes={tcfg.max_nodes}/max_obs={tcfg.max_obs} "
-            f"cannot hold one {sims}-sim move (~{need} nodes): the tree "
-            "will harvest+reset every move, and sims beyond the pool "
-            "expand nothing — raise max_nodes/max_obs or lower sims",
-            file=_sys.stderr, flush=True,
+        msg = (
+            f"max_nodes={tcfg.max_nodes}/max_obs={tcfg.max_obs} cannot hold "
+            f"one {sims}-sim move (~{need} nodes): the tree would harvest+"
+            "reset every move and sims beyond the pool would expand nothing "
+            "— raise max_nodes/max_obs or lower sims"
         )
+        if not allow_clamp:
+            raise ValueError(msg + " (or pass allow_clamp/--allow_clamp to "
+                                   "accept the degraded search)")
+        import sys as _sys
+        print("warning: " + msg, file=_sys.stderr, flush=True)
     return guard
 
 
@@ -514,7 +524,7 @@ def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
     vinit = jax.vmap(T.init_tree, in_axes=(0, None))
     vsoft_reset = jax.vmap(engine.soft_reset, in_axes=(0, None))
 
-    capacity_guard = capacity_guard_for(cfg.sims, tcfg)
+    capacity_guard = capacity_guard_for(cfg.sims, tcfg, cfg.allow_clamp)
 
     def move(params, ubound, trees, envs: EnvState, replay: Replay, key):
         key, k_sims, k_drop = jax.random.split(key, 3)

@@ -460,7 +460,7 @@ def make_s2_move_fn(apply_fn, cfg, min_visits_store: int = 10,
     vharvest = jax.vmap(T.harvest, in_axes=(0, None, None))
     vinit = jax.vmap(init_s2_tree, in_axes=(0, None))
     vsoft_reset = jax.vmap(engine.soft_reset, in_axes=(0, None))
-    capacity_guard = capacity_guard_for(cfg.sims, tcfg)
+    capacity_guard = capacity_guard_for(cfg.sims, tcfg, cfg.allow_clamp)
 
     def sim_once(params, ubound, vtrees, key):
         traces, actions, lengths = select_batched(vtrees, tcfg)

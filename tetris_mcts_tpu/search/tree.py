@@ -146,6 +146,11 @@ class Tree(NamedTuple):
     tbl_h2: jax.Array     # uint32[T]
     tbl_obs: jax.Array    # int32[T] obs id, 0 = empty
     root: jax.Array       # int32
+    vmax: jax.Array       # float32[M] max backed-up relative return per obs
+                          # (the legacy node_stats[4] max-return statistic,
+                          # agents/core.py:404-422; read only by --policy
+                          # max, updated by the backup walks only when that
+                          # policy is configured)
 
     # ---- legacy-named read views -------------------------------------------
     @property
@@ -586,6 +591,7 @@ def init_tree(env_state: EnvState, cfg: TreeConfig) -> Tree:
         tbl_h2=jnp.zeros(T, jnp.uint32),
         tbl_obs=jnp.zeros(T, jnp.int32),
         root=jnp.int32(0),
+        vmax=jnp.zeros(M, jnp.float32),
     )
     tree, root = alloc_node(tree, env_state, jnp.asarray(True), cfg)
     return tree._replace(root=root)
@@ -645,7 +651,8 @@ def unique_children(tree: Tree, idx):
 # selection
 # ---------------------------------------------------------------------------
 
-def explore_bonus(policy: str, visits, var, n_total, q_base, kept, rnd):
+def explore_bonus(policy: str, visits, var, n_total, q_base, kept, rnd,
+                  vmax_kids=None):
     """Exploration term of the configured selection rule (agents/policy.py:
     8-55 + Bayes-UCB core.py:290-351 + select_index_3 core.py:223-272) —
     ONE definition shared by `select` (shapes (7,)) and `select_batched`
@@ -662,8 +669,10 @@ def explore_bonus(policy: str, visits, var, n_total, q_base, kept, rnd):
       the reference's min_n (the CLI defaults --low to 10 here);
       bayes_quantile clips the approximation's small-nu pole.
     - ucbv: select_index_3's sqrt(var · log N_total), no quantile scaling.
-    - max: UCB1 scaled by the best child Q (the reference scales by the
-      legacy node layout's max-return statistic, which has no slot here).
+    - max: UCB1 scaled by the children's max-return statistic (`policy_max`,
+      agents/policy.py:28-33 scaling by node_stats[4]) when the caller
+      passes `vmax_kids` (the walks do — Tree.vmax); falls back to
+      best-child-Q scaling when the statistic is unavailable.
     """
     nv = jnp.maximum(visits, 1.0)
     if policy == "clt":
@@ -677,7 +686,8 @@ def explore_bonus(policy: str, visits, var, n_total, q_base, kept, rnd):
     if policy == "ucbv":
         return jnp.sqrt(var * jnp.log(jnp.maximum(n_total, 2.0)))
     if policy == "max":
-        q_max = jnp.max(jnp.where(kept, q_base, -jnp.inf), axis=-1,
+        scale_src = q_base if vmax_kids is None else vmax_kids
+        q_max = jnp.max(jnp.where(kept, scale_src, -jnp.inf), axis=-1,
                         keepdims=True)
         return q_max * jnp.sqrt(jnp.log(jnp.maximum(n_total, 2.0)) / nv)
     if policy == "mc":
@@ -732,8 +742,9 @@ def select(tree: Tree, key, cfg: TreeConfig):
             rnd = jax.random.gumbel(sub_r, (N_ACTIONS,))
         else:
             rnd = None
+        vmx = tree.vmax[obs] if cfg.policy == "max" else None
         q = q_base + explore_bonus(
-            cfg.policy, visits, var, n_total, q_base, kept, rnd
+            cfg.policy, visits, var, n_total, q_base, kept, rnd, vmx
         )
 
         # one argmax: unvisited-first (gumbel tie-break) overrides the policy
@@ -837,8 +848,10 @@ def select_batched(trees: Tree, keys, cfg: TreeConfig):
             rnd = vgumbel(sub_r)
         else:
             rnd = None
+        vmx = (jnp.take_along_axis(trees.vmax, jnp.maximum(obs, 0), 1)
+               if cfg.policy == "max" else None)
         q = q_base + explore_bonus(
-            cfg.policy, visits, var, n_total, q_base, kept, rnd
+            cfg.policy, visits, var, n_total, q_base, kept, rnd, vmx
         )
 
         ks = vsplit(keys)
@@ -990,13 +1003,16 @@ def backup(tree: Tree, trace, length, value, variance,
     gamma = jnp.float32(cfg.gamma)
     score_row = tree.nstat[0]
     obs_row = tree.nstat[1].astype(jnp.int32)
+    track_vmax = cfg.policy == "max"  # legacy node_stats[4] max-return
+                                      # update (backup_trace_welford,
+                                      # agents/core.py:404-422)
 
     def cond(carry):
         t, *_ = carry
         return t >= 0
 
     def body(carry):
-        t, visit, val, var, v = carry
+        t, visit, val, var, vmx, v = carry
         idx = trace[t]
         s = score_row[idx]
         o = obs_row[idx]
@@ -1014,15 +1030,18 @@ def backup(tree: Tree, trace, length, value, variance,
         visit = visit.at[o].set(n + 1.0)
         val = val.at[o].set(val_new)
         var = var.at[o].set(var_new)
+        if track_vmax:
+            vmx = vmx.at[o].set(jnp.maximum(vmx[o], v_rel))
         v = gamma * v_rel + s
-        return t - 1, visit, val, var, v
+        return t - 1, visit, val, var, vmx, v
 
-    _, visit, val, var, _ = jax.lax.while_loop(
+    _, visit, val, var, vmx, _ = jax.lax.while_loop(
         cond, body,
-        (length - 1, tree.visits, tree.values, tree.vars_,
+        (length - 1, tree.visits, tree.values, tree.vars_, tree.vmax,
          jnp.float32(value)),
     )
-    return tree._replace(visits=visit, values=val, vars_=var)
+    out = tree._replace(visits=visit, values=val, vars_=var)
+    return out._replace(vmax=vmx) if track_vmax else out
 
 
 def backup_vectorized(tree: Tree, trace, length, value, variance,
@@ -1232,8 +1251,10 @@ def backup_batched(trees: Tree, traces, lengths, v0, var0, cfg: TreeConfig):
         k, *_ = c
         return k < kmax
 
+    track_vmax = cfg.policy == "max"
+
     def body(c):
-        k, visit, val, var, v = c
+        k, visit, val, var, vmx, v = c
         t = lengths - 1 - k                    # per-lane level (reverse)
         live = t >= 0
         tt = jnp.maximum(t, 0)
@@ -1256,15 +1277,19 @@ def backup_batched(trees: Tree, traces, lengths, v0, var0, cfg: TreeConfig):
         visit = visit.at[bidx, o].set(n + 1.0, mode="drop")
         val = val.at[bidx, o].set(val_new, mode="drop")
         var = var.at[bidx, o].set(var_new, mode="drop")
+        if track_vmax:
+            vmxo = vmx[bidx, jnp.minimum(o, M - 1)]
+            vmx = vmx.at[bidx, o].set(jnp.maximum(vmxo, v_rel), mode="drop")
         v = jnp.where(live, gamma * v_rel + s, v)
-        return k + 1, visit, val, var, v
+        return k + 1, visit, val, var, vmx, v
 
-    _, visit, val, var, _ = jax.lax.while_loop(
+    _, visit, val, var, vmx, _ = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), trees.visits, trees.values, trees.vars_,
+        (jnp.int32(0), trees.visits, trees.values, trees.vars_, trees.vmax,
          v0.astype(jnp.float32)),
     )
-    return trees._replace(visits=visit, values=val, vars_=var)
+    out = trees._replace(visits=visit, values=val, vars_=var)
+    return out._replace(vmax=vmx) if track_vmax else out
 
 
 def lp_seed(tree: Tree, trace, length, v_nn, var_nn, expanded,

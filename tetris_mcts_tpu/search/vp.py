@@ -474,7 +474,7 @@ def make_vp_move_fn(apply_fn, cfg, min_visits_store: int = 10,
         vtrees, _ = jax.lax.fori_loop(0, cfg.sims, body, (vtrees, key))
         return vtrees
 
-    capacity_guard = capacity_guard_for(cfg.sims, tcfg)
+    capacity_guard = capacity_guard_for(cfg.sims, tcfg, cfg.allow_clamp)
 
     def move(params, vtrees: VPTree, envs: EnvState, replay: VPReplay, key):
         key, k_sims = jax.random.split(key)

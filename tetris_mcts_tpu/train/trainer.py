@@ -174,7 +174,47 @@ class VVModel:
             out = net.apply(params, states, ubound, lbound)
             return out[:, 0], out[:, 1]
 
+        def train_chunk(params, opt_state, ubound, train_data, val_data, key,
+                        fisher, p0, lam, bs, k_iters):
+            """`k_iters` train steps + the window's validation eval as ONE
+            device program. The per-iteration key chain (key, sub =
+            split(key)) is identical to calling `train_step` in a Python
+            loop, so the chunked loop is bit-equivalent to the eager one —
+            it just stops paying a host->device round trip (~25 ms through
+            the TPU tunnel) per iteration."""
+
+            def body(carry, _):
+                params, opt_state, key = carry
+                key, sub = jax.random.split(key)
+                params, opt_state, m, _ = train_step(
+                    params, opt_state, ubound, train_data, sub,
+                    fisher, p0, lam, bs,
+                )
+                return (params, opt_state, key), (m["loss"], m["grad_norm"])
+
+            (params, opt_state, key), (losses, gnorms) = jax.lax.scan(
+                body, (params, opt_state, key), None, length=k_iters
+            )
+            vmean, vstd = eval_loss(params, ubound, val_data)
+            return params, opt_state, key, losses, gnorms, vmean, vstd
+
+        def nth_iter_batch(train_data, key, n, bs):
+            """Recompute iteration n's minibatch from the chunk's start key
+            (the batch is a pure function of the n-th subkey) — lets the
+            grad-norm watchdog dump the exact offending batch without the
+            scan carrying every batch."""
+            def step(_, k):
+                return jax.random.split(k)[0]
+
+            key = jax.lax.fori_loop(0, n, step, key)
+            sub = jax.random.split(key)[1]
+            nrows = train_data[0].shape[0]
+            idx = jax.random.randint(sub, (bs,), 0, nrows)
+            return tuple(d[idx] for d in train_data)
+
         self._train_step = jax.jit(train_step, static_argnums=(8,))
+        self._train_chunk = jax.jit(train_chunk, static_argnums=(9, 10))
+        self._nth_iter_batch = jax.jit(nth_iter_batch, static_argnums=(3,))
         self._eval_loss = jax.jit(eval_loss)
         self._infer = jax.jit(infer)
         self._per_sample_loss = per_sample_loss
@@ -274,48 +314,56 @@ class VVModel:
         key = jax.random.PRNGKey(self._rng.randint(2**31))
         history = []
 
-        for it in range(max_iters):
-            key, sub = jax.random.split(key)
-            self.params, self.opt_state, m, batch = self._train_step(
-                self.params, self.opt_state, self.ubound, train, sub,
-                self.fisher, self.p0, lam, batch_size,
+        # One device call per VALIDATION WINDOW, not per iteration: each
+        # window runs as a jitted scan chunk (bit-equivalent key chain; see
+        # _train_chunk). The eager form paid a ~25 ms tunnel round trip per
+        # iteration — 15 iters/s against the chunked loop's hundreds.
+        it = 0
+        while it < max_iters:
+            k_iters = min(iters_per_val, max_iters - it)
+            chunk_key = key
+            (self.params, self.opt_state, key, losses, gnorms, vmean,
+             vstd) = self._train_chunk(
+                self.params, self.opt_state, self.ubound, train, val,
+                chunk_key, self.fisher, self.p0, lam, batch_size, k_iters,
             )
-            loss_avg += float(m["loss"])
-            gnorm_avg += float(m["grad_norm"])
+            losses = np.asarray(losses)
+            gnorms = np.asarray(gnorms)
+            it += k_iters
+            loss_avg = float(losses.mean())
+            gnorm_avg = float(gnorms.mean())
 
-            if float(m["grad_norm"]) > grad_norm_warn:
-                log(f"Large gradient ({float(m['grad_norm'])}) detected")
+            bad = np.nonzero(gnorms > grad_norm_warn)[0]
+            for n in bad[:4]:  # watchdog (model/model.py:105-109)
+                log(f"Large gradient ({float(gnorms[n])}) detected")
+                batch = self._nth_iter_batch(
+                    train, chunk_key, int(n), batch_size)
                 self._dump_grad_batch(batch, dump_dir)
 
-            if (it + 1) % iters_per_val == 0:
-                vmean, vstd = self._eval_loss(self.params, self.ubound, val)
-                vmean = float(vmean)
-                vstd = float(vstd) / n_val**0.5
-                suffix = ""
-                stop = False
-                if early_stopping:
-                    if vmean - best_val < vstd * early_stopping_threshold:
-                        fails = 0
-                        if vmean < best_val:
-                            suffix = "*"
-                            best_val = vmean
-                            best_params = self.params
-                    else:
-                        fails += 1
-                        # --min_iters (reference train.py:25): never stop
-                        # before the floor
-                        stop = (fails >= early_stopping_patience
-                                and it + 1 >= min_iters)
-                log(
-                    f"Iteration:{it + 1:7d}  training loss:{loss_avg / iters_per_val:6.4f}  "
-                    f"validation loss:{vmean:6.4f}±{vstd:6.4f}  "
-                    f"gradient norm:{gnorm_avg / iters_per_val:6.3f}    {suffix}"
-                )
-                history.append((it + 1, loss_avg / iters_per_val, vmean, vstd,
-                                gnorm_avg / iters_per_val))
-                loss_avg = gnorm_avg = 0.0
-                if stop:
-                    break
+            vmean = float(vmean)
+            vstd = float(vstd) / n_val**0.5
+            suffix = ""
+            stop = False
+            if early_stopping:
+                if vmean - best_val < vstd * early_stopping_threshold:
+                    fails = 0
+                    if vmean < best_val:
+                        suffix = "*"
+                        best_val = vmean
+                        best_params = self.params
+                else:
+                    fails += 1
+                    # --min_iters (reference train.py:25): never stop
+                    # before the floor
+                    stop = fails >= early_stopping_patience and it >= min_iters
+            log(
+                f"Iteration:{it:7d}  training loss:{loss_avg:6.4f}  "
+                f"validation loss:{vmean:6.4f}±{vstd:6.4f}  "
+                f"gradient norm:{gnorm_avg:6.3f}    {suffix}"
+            )
+            history.append((it, loss_avg, vmean, vstd, gnorm_avg))
+            if stop:
+                break
 
         if early_stopping:
             self.params = best_params

@@ -47,6 +47,15 @@ def build_parser():
     p.add_argument("--val_fraction", type=float, default=0.1)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--iters_per_val", type=int, default=500)
+    p.add_argument("--epoch_mode", action="store_true",
+                   help="reference epoch loop (train.py:246-291): an epoch "
+                        "is one pass (n_data//batch_size iters); with "
+                        "--early_stopping, train until patience epochs "
+                        "without validation improvement (plain < best, no "
+                        "threshold rule); else run --epochs passes")
+    p.add_argument("--epochs", type=int, default=10,
+                   help="epoch count for --epoch_mode without early "
+                        "stopping (reference train.py:21)")
     p.add_argument("--min_iters", type=int, default=-1,
                    help="never early-stop before this many iterations "
                         "(reference train.py:25; -1 = no floor)")
@@ -234,17 +243,28 @@ def main(argv=None):
 
     # only the VV family runs the grad-norm watchdog (model/model.py:105-109)
     extra = {"dump_dir": args.dump_dir} if args.model == "vv" else {}
+    iters_per_val = args.iters_per_val
+    max_iters = args.max_iters
+    if args.epoch_mode:
+        # reference epoch semantics (train.py:193,246-291): one epoch = one
+        # pass over the training rows; early stopping uses the plain
+        # `val < best` rule (threshold 0) and no iteration bound
+        n_rows = len(cols[1])
+        iters_per_val = max(n_rows // args.batch_size, 1)
+        max_iters = (10**9 if args.early_stopping
+                     else args.epochs * iters_per_val)
+        extra["early_stopping_threshold"] = 0.0
     history = model.train_data(
         cols,
         batch_size=args.batch_size,
-        iters_per_val=args.iters_per_val,
+        iters_per_val=iters_per_val,
         validation_fraction=args.val_fraction,
         validation_rows=val_rows,
         early_stopping=args.early_stopping,
         early_stopping_patience=args.early_stopping_patience,
         shuffle=shuffle,
         min_iters=max(args.min_iters, 0),
-        max_iters=args.max_iters,
+        max_iters=max_iters,
         **extra,
     )
     if args.ewc and args.model == "vv" and args.ensemble == 0:

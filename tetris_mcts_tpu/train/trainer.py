@@ -174,30 +174,6 @@ class VVModel:
             out = net.apply(params, states, ubound, lbound)
             return out[:, 0], out[:, 1]
 
-        def train_chunk(params, opt_state, ubound, train_data, val_data, key,
-                        fisher, p0, lam, bs, k_iters):
-            """`k_iters` train steps + the window's validation eval as ONE
-            device program. The per-iteration key chain (key, sub =
-            split(key)) is identical to calling `train_step` in a Python
-            loop, so the chunked loop is bit-equivalent to the eager one —
-            it just stops paying a host->device round trip (~25 ms through
-            the TPU tunnel) per iteration."""
-
-            def body(carry, _):
-                params, opt_state, key = carry
-                key, sub = jax.random.split(key)
-                params, opt_state, m, _ = train_step(
-                    params, opt_state, ubound, train_data, sub,
-                    fisher, p0, lam, bs,
-                )
-                return (params, opt_state, key), (m["loss"], m["grad_norm"])
-
-            (params, opt_state, key), (losses, gnorms) = jax.lax.scan(
-                body, (params, opt_state, key), None, length=k_iters
-            )
-            vmean, vstd = eval_loss(params, ubound, val_data)
-            return params, opt_state, key, losses, gnorms, vmean, vstd
-
         def nth_iter_batch(train_data, key, n, bs):
             """Recompute iteration n's minibatch from the chunk's start key
             (the batch is a pure function of the n-th subkey) — lets the
@@ -213,7 +189,6 @@ class VVModel:
             return tuple(d[idx] for d in train_data)
 
         self._train_step = jax.jit(train_step, static_argnums=(8,))
-        self._train_chunk = jax.jit(train_chunk, static_argnums=(9, 10))
         self._nth_iter_batch = jax.jit(nth_iter_batch, static_argnums=(3,))
         self._eval_loss = jax.jit(eval_loss)
         self._infer = jax.jit(infer)
@@ -315,9 +290,35 @@ class VVModel:
         history = []
 
         # One device call per VALIDATION WINDOW, not per iteration: each
-        # window runs as a jitted scan chunk (bit-equivalent key chain; see
-        # _train_chunk). The eager form paid a ~25 ms tunnel round trip per
-        # iteration — 15 iters/s against the chunked loop's hundreds.
+        # window runs as a jitted scan chunk whose per-iteration key chain
+        # (key, sub = split(key)) is bit-identical to the eager loop — the
+        # eager form paid a ~25 ms tunnel round trip per iteration (15
+        # iters/s against the chunked loop's hundreds). Built lazily from
+        # self.train_step_fn so subclasses that swap the step (the ensemble)
+        # get their own chunk.
+        if not hasattr(self, "_train_chunk"):
+            step_fn, eval_fn = self.train_step_fn, self.eval_loss_fn
+
+            def train_chunk(params, opt_state, ubound, train_d, val_d, key,
+                            fisher, p0, lam_, bs, k_iters):
+                def body(carry, _):
+                    params, opt_state, key = carry
+                    key, sub = jax.random.split(key)
+                    params, opt_state, m, _ = step_fn(
+                        params, opt_state, ubound, train_d, sub,
+                        fisher, p0, lam_, bs,
+                    )
+                    return (params, opt_state, key), (m["loss"],
+                                                      m["grad_norm"])
+
+                (params, opt_state, key), (losses, gnorms) = jax.lax.scan(
+                    body, (params, opt_state, key), None, length=k_iters
+                )
+                vmean, vstd = eval_fn(params, ubound, val_d)
+                return params, opt_state, key, losses, gnorms, vmean, vstd
+
+            self._train_chunk = jax.jit(train_chunk, static_argnums=(9, 10))
+
         it = 0
         while it < max_iters:
             k_iters = min(iters_per_val, max_iters - it)
@@ -456,39 +457,58 @@ def _early_stop_fit(model, data_cols, batch_size, iters_per_val,
     log(f"Training data size: {n - n_val}    Validation data size: {n_val}")
 
     fails, best_val, best_params = 0, float("inf"), model.params
-    loss_avg = 0.0
     key = jax.random.PRNGKey(model._rng.randint(2**31))
     history = []
-    for it in range(max_iters):
-        key, sub = jax.random.split(key)
-        model.params, model.opt_state, m = model._train_step(
-            model.params, model.opt_state, train, sub, batch_size
+
+    # one device call per validation window (see VVModel._train_chunk: the
+    # eager loop pays a ~25 ms tunnel round trip per iteration); the key
+    # chain is identical to the eager form
+    if not hasattr(model, "_fit_chunk"):
+        step_fn, eval_fn = model._train_step, model._eval_loss
+
+        def chunk(params, opt_state, train_d, val_d, key, bs, k):
+            def body(c, _):
+                params, opt_state, key = c
+                key, sub = jax.random.split(key)
+                params, opt_state, m = step_fn(
+                    params, opt_state, train_d, sub, bs)
+                return (params, opt_state, key), m["loss"]
+
+            (params, opt_state, key), losses = jax.lax.scan(
+                body, (params, opt_state, key), None, length=k)
+            vmean, vstd = eval_fn(params, val_d)
+            return params, opt_state, key, losses, vmean, vstd
+
+        model._fit_chunk = jax.jit(chunk, static_argnums=(5, 6))
+
+    it = 0
+    while it < max_iters:
+        k_iters = min(iters_per_val, max_iters - it)
+        model.params, model.opt_state, key, losses, vmean, vstd = (
+            model._fit_chunk(model.params, model.opt_state, train, val, key,
+                             batch_size, k_iters)
         )
-        loss_avg += float(m["loss"])
-        if (it + 1) % iters_per_val == 0:
-            vmean, vstd = model._eval_loss(model.params, val)
-            vmean, vstd = float(vmean), float(vstd) / n_val**0.5
-            stop = False
-            if early_stopping:
-                if vmean - best_val < vstd * early_stopping_threshold:
-                    fails = 0
-                    if vmean < best_val:
-                        best_val, best_params = vmean, model.params
-                else:
-                    fails += 1
-                    # --min_iters (reference train.py:25): never stop early
-                    # before the floor
-                    stop = (fails >= early_stopping_patience
-                            and it + 1 >= min_iters)
-            log(
-                f"Iteration:{it + 1:7d}  training loss:"
-                f"{loss_avg / iters_per_val:6.4f}  validation loss:"
-                f"{vmean:6.4f}±{vstd:6.4f}"
-            )
-            history.append((it + 1, loss_avg / iters_per_val, vmean, vstd))
-            loss_avg = 0.0
-            if stop:
-                break
+        it += k_iters
+        loss_avg = float(np.asarray(losses).mean())
+        vmean, vstd = float(vmean), float(vstd) / n_val**0.5
+        stop = False
+        if early_stopping:
+            if vmean - best_val < vstd * early_stopping_threshold:
+                fails = 0
+                if vmean < best_val:
+                    best_val, best_params = vmean, model.params
+            else:
+                fails += 1
+                # --min_iters (reference train.py:25): never stop early
+                # before the floor
+                stop = fails >= early_stopping_patience and it >= min_iters
+        log(
+            f"Iteration:{it:7d}  training loss:{loss_avg:6.4f}  "
+            f"validation loss:{vmean:6.4f}±{vstd:6.4f}"
+        )
+        history.append((it, loss_avg, vmean, vstd))
+        if stop:
+            break
     if early_stopping:
         model.params = best_params
     return history

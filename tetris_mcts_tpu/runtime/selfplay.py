@@ -205,6 +205,10 @@ class _OnlineDriverBase:
         self._tp_moves = 0
 
     _TP_REPORT_EVERY = 50  # moves per throughput report
+    _TP_REPORT_SECONDS = 120  # ... or by wall time (the window resets after
+                              # every training session, so high-sims runs
+                              # with frequent sessions would otherwise never
+                              # accumulate 50 moves)
 
     def _report_throughput(self):
         """Write one `throughput` metrics event per window: wall moves/s of
@@ -212,7 +216,10 @@ class _OnlineDriverBase:
         — bench.py's definition, so driver logs and bench numbers compare
         directly)."""
         self._tp_moves += 1
-        if self._tp_moves < self._TP_REPORT_EVERY:
+        if self._tp_moves < self._TP_REPORT_EVERY and not (
+            self._tp_moves >= 8
+            and time.perf_counter() - self._tp_t0 > self._TP_REPORT_SECONDS
+        ):
             return
         dt = time.perf_counter() - self._tp_t0
         if dt > 0:
@@ -350,17 +357,26 @@ class _OnlineDriverBase:
         return self._run_training_session(use)
 
     def _run_training_session(self, use):
-        """Train on the newest `use` ring rows (floored to whole minibatches;
-        every distinct `use` compiles new unpack/val programs through the
-        slow remote-compile path, so fixed-shape buckets matter). Returns
-        False when there aren't enough rows for one minibatch."""
+        """Train on the newest `use` ring rows, bucketed to power-of-two
+        multiples of train_batch (plus the exact memory cap): every distinct
+        `use` SHAPE compiles a new train-chunk/eval program through the slow
+        remote-compile path (~a minute per shape on TPU), so the whole run
+        pays at most ~log2(memory/batch) compiles instead of one per
+        session. Returns False when there aren't enough rows for one
+        minibatch."""
         count = int(self.replay.count)
+        cap = self.cfg.memory_size - self.cfg.memory_size % self.cfg.train_batch
         use = min(use, count)
         use -= use % self.cfg.train_batch
         if use < self.cfg.train_batch:
             self.log(f"Training session {self.n_trains + 1}: only {count} "
                      "rows, skipped")
             return False
+        if use < cap:  # pow2 bucket; the cap keeps its exact shape
+            bucket = self.cfg.train_batch
+            while bucket * 2 <= use:
+                bucket *= 2
+            use = min(bucket, cap)
         self.n_trains += 1
 
         # most recent `use` rows of the ring; boards stored bit-packed in

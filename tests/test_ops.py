@@ -78,3 +78,19 @@ class TestPackedStepParity:
 
     def test_raw_uniform_gravity_2(self):
         self._fuzz(app=2, scoring=1, randomizer=1)
+
+
+def test_xla_im2col_forward_matches_flax():
+    from tetris_mcts_tpu.ops.vv_forward import vv_forward_xla_im2col
+
+    model = VVModel(seed=5)
+    rng = np.random.RandomState(2)
+    packed = jnp.asarray(rng.randint(0, 2**20, (48, 20)).astype(np.uint32))
+    imgs = engine.unpack_obs(packed)[..., None].astype(jnp.float32)
+    v_ref, var_ref = model._infer(model.params, model.ubound, imgs)
+    v, var = vv_forward_xla_im2col(
+        model.params, model.ubound, model.lbound, imgs)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-4, atol=1e-2)

@@ -179,3 +179,55 @@ def vv_forward_packed(params, ubound, lbound, packed, use_pallas=True):
         out_shape=jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
     )(packed_p, k1, b1, k2, b2, k3, b3, w_fc, b_fc, w_out, b_out, bounds)
     return out[:n, 0], out[:n, 1]
+
+
+# ---------------------------------------------------------------------------
+# XLA im2col formulation (VERDICT r1 item 4 lever b): unlike the kernel and
+# the mosaic-legal jnp fusion above, plain XLA may reshape and concatenate
+# freely — each conv becomes ONE (n*H*W, 9*C) @ (9*C, 32) MXU matmul and the
+# FC block one (n, 1792) @ (1792, 256), instead of per-tap K=32 mini-matmuls.
+# ---------------------------------------------------------------------------
+
+def _patches(x, H, W):
+    """(n, H+2, W+2, C) -> (n, H, W, 9C): concat of the nine 3x3 taps in
+    (dy, dx) row-major order — matching kernel.reshape(9C, out) for a flax
+    HWIO (3, 3, C, out) kernel."""
+    taps = [
+        x[:, dy:dy + H, dx:dx + W, :]
+        for dy in range(3) for dx in range(3)
+    ]
+    return jnp.concatenate(taps, axis=-1)
+
+
+def vv_forward_xla_im2col(params, ubound, lbound, imgs):
+    """VVNet forward on (n, 20, 10, 1) images as three im2col matmuls + one
+    FC matmul (pure XLA). Matches `VVNet.apply` to matmul precision."""
+    p = params["params"]
+    w = lambda name: jnp.asarray(p[name]["kernel"], jnp.float32)
+    b = lambda name: jnp.asarray(p[name]["bias"], jnp.float32)
+    n = imgs.shape[0]
+
+    x = imgs.astype(jnp.float32)
+    x = _patches(x, 18, 8).reshape(n * 18 * 8, 9)
+    x = jax.nn.relu(
+        jnp.dot(x, w("conv1").reshape(9, 32),
+                preferred_element_type=jnp.float32) + b("conv1")
+    ).reshape(n, 18, 8, 32)
+    x = _patches(x, 16, 6).reshape(n * 16 * 6, 288)
+    x = jax.nn.relu(
+        jnp.dot(x, w("conv2").reshape(288, 32),
+                preferred_element_type=jnp.float32) + b("conv2")
+    ).reshape(n, 16, 6, 32)
+    x = _patches(x, 14, 4).reshape(n * 14 * 4, 288)
+    x = jax.nn.relu(
+        jnp.dot(x, w("conv3").reshape(288, 32),
+                preferred_element_type=jnp.float32) + b("conv3")
+    ).reshape(n, 14 * 4 * 32)
+    x = jax.nn.relu(
+        jnp.dot(x, w("fc1"), preferred_element_type=jnp.float32) + b("fc1")
+    )
+    out = jnp.dot(x, w("fc_out"),
+                  preferred_element_type=jnp.float32) + b("fc_out")
+    out = jax.nn.sigmoid(out) * jnp.asarray(ubound, jnp.float32) \
+        + jnp.asarray(lbound, jnp.float32)
+    return out[:, 0], out[:, 1]

@@ -225,14 +225,24 @@ class _OnlineDriverBase:
         if dt > 0:
             moves_per_s = self._tp_moves / dt
             sims_per_s = moves_per_s * self.cfg.batch * self.cfg.sims
+            ll = getattr(self, "_live_lines", None)
+            live = ""
+            if ll is not None:
+                live = (f"  live lines mean/max {float(np.mean(ll)):.2f}/"
+                        f"{int(np.max(ll))}")
             self.log(f"Throughput: {moves_per_s:8.2f} moves/s  "
                      f"{sims_per_s:12.1f} sims/s  (window {self._tp_moves} "
-                     f"moves, batch {self.cfg.batch}, {self.cfg.sims} sims)")
+                     f"moves, batch {self.cfg.batch}, {self.cfg.sims} sims)"
+                     + live)
             if self.metrics is not None:
                 self.metrics.write(
                     "throughput", moves=self.moves,
                     moves_per_s=round(moves_per_s, 3),
                     sims_per_s=round(sims_per_s, 1),
+                    live_lines_mean=(None if ll is None
+                                     else round(float(np.mean(ll)), 3)),
+                    live_lines_max=(None if ll is None
+                                    else int(np.max(ll))),
                 )
         self._tp_t0 = time.perf_counter()
         self._tp_moves = 0
@@ -247,6 +257,7 @@ class _OnlineDriverBase:
             (stats.done, stats.score, stats.lines, self.replay.total,
              getattr(self.replay, "cand", np.int32(0)))
         )
+        self._live_lines, self._live_score = lines, score
         self._publish(stats, envs_prev)
         self._report_throughput()
         self._finish_episodes(done, score, lines)

@@ -354,7 +354,10 @@ def main(argv=None):
     cfg = SelfPlayConfig(
         batch=args.batch, sims=sims, evaluator=evaluator,
         max_nodes=args.max_nodes, max_obs=args.max_obs,
-        table_size=max(2 * args.max_obs, 16), max_depth=96,
+        # open-addressing table: power of two (bitmask probing, tree.py:247)
+        # and >= 2x max_obs (load factor cap) — round up for non-pow2 pools
+        table_size=max(1 << (2 * args.max_obs - 1).bit_length(), 16),
+        max_depth=96,
         gamma=args.gamma, policy=args.policy, low=low,
         min_visits_store=args.min_visits,
         memory_size=args.memory_size, memory_growth=args.memory_growth,

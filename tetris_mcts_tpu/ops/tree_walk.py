@@ -40,6 +40,7 @@ hash) is tens of microseconds per sim; what it risks is the core of the
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,19 @@ from tetris_mcts_tpu.search.quantiles import (
 # BG * (3 stats * M + score/obs * N + trace D) * 4 bytes.
 # BG=256 with M=N=2048 ~= 10 MB of the ~16 MB/core VMEM.
 _BG = 256
+
+
+def _fit_block(start: int, lane_bytes: int, budget: int) -> int:
+    """Largest power-of-2 block <= start whose resident input bytes fit
+    `budget`. Mosaic's scoped stack peaks at a multiple of the resident
+    block bytes (measured ~2.2x for the backup walks: an 11.0 MB resident
+    lp block compiles to a 24.5 MB stack and trips the 16 MB scoped-VMEM
+    limit), so each kernel caps bg by its OWN largest known-good resident
+    size rather than a modeled stack."""
+    bg = start
+    while bg > 8 and bg * lane_bytes > budget:
+        bg //= 2
+    return bg
 
 
 def _reverse_welford_walk(gamma, trace_ref, lengths, score_ref, lookup_obs,
@@ -144,7 +158,13 @@ def backup_walk(traces, lengths, v0, var0, score, obs, visits, values, vars_,
     B, D = traces.shape
     N = score.shape[1]
     M = visits.shape[1]
-    bg = min(B, _BG)
+    # Resident per lane: 2 N-arrays (score, obs) + 3 M stat arrays. Budget =
+    # the largest measured-good resident size (bg=256 at M=N=2048, bench);
+    # beyond that pool size halve once more — Mosaic's scoped stack is
+    # superlinear in M (measured on the sibling lp kernel, see below).
+    bg = min(B, _fit_block(_BG, 4 * (2 * N + 3 * M), budget=10_600_000))
+    if M > 2048 and bg > 8:
+        bg //= 2
     while B % bg:  # any B is accepted (bg=1 divides)
         bg //= 2
 
@@ -495,6 +515,8 @@ def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
     B, N = cbase.shape
     M = visits.shape[1]
     D = gumbels.shape[1]
+    if block == 0:
+        block = int(os.environ.get("TMT_SELECT_BLOCK", "0"))
     if block == 0:
         # auto block: largest power-of-2 lane count whose resident inputs
         # (3 N-arrays + 3 M-arrays + 2 (D,7) randomness planes, 4 B each)
@@ -935,7 +957,17 @@ def lp_backup_walk(traces, lengths, v_nn, var_nn, expanded,
     B, D = traces.shape
     N = score.shape[1]
     M = visits.shape[1]
-    bg = min(B, _BG_LP)
+    # Resident per lane: 3 N-arrays + 3 M stat arrays. Mosaic's scoped stack
+    # is superlinear in M (measured at M=N=3584: 24.5 MB stack @ bg=128,
+    # 16.52 MB @ bg=64 — both over the 16 MB limit despite <=11 MB resident;
+    # bg=32 compiles and runs 98.1k sims/s at 500 sims). Fit by resident
+    # bytes, then halve once more beyond the bench pool size where the
+    # measured-good points stop. TMT_LP_BLOCK overrides for probing.
+    bg = int(os.environ.get("TMT_LP_BLOCK", "0")) or min(
+        B, _fit_block(_BG_LP, 4 * (3 * N + 3 * M), budget=7_000_000)
+    )
+    if not os.environ.get("TMT_LP_BLOCK") and M > 2048 and bg > 8:
+        bg //= 2
     while B % bg:  # any B is accepted (bg=1 divides)
         bg //= 2
 

@@ -536,12 +536,25 @@ class _OnlineDriverBase:
         (training and storage off, shared model), and emit one `benchmark`
         metrics event with the round's line/score statistics."""
         cfg = self.cfg
-        if cfg.benchmark_every <= 0:
+        if cfg.benchmark_every <= 0 or getattr(self, "_bench_broken", False):
             return
         if self.episodes - self._eps_at_last_bench < cfg.benchmark_every:
             return
         self._eps_at_last_bench = self.episodes
         self._bench_round += 1
+        try:
+            self._run_benchmark_round()
+        except Exception as e:  # noqa: BLE001 — a broken benchmark twin
+            # (e.g. a pool shape the kernel compiler rejects) must not kill
+            # a multi-hour training run; log, disable the channel, continue.
+            self._bench_broken = True
+            self._bench = None
+            self.log(f"Benchmark channel DISABLED after error: {e!r}")
+            self._tp_t0 = time.perf_counter()
+            self._tp_moves = 0
+
+    def _run_benchmark_round(self):
+        cfg = self.cfg
         if self._bench is None:
             bsims = cfg.benchmark_sims or 2 * cfg.sims
             bbatch = cfg.benchmark_batch or min(cfg.benchmark_games, cfg.batch)
@@ -550,7 +563,11 @@ class _OnlineDriverBase:
             bcfg = cfg._replace(
                 batch=bbatch, sims=bsims, benchmark=True,
                 max_nodes=bnodes, max_obs=max(cfg.max_obs, bnodes),
-                table_size=max(cfg.table_size, 2 * max(cfg.max_obs, bnodes)),
+                # pow2 (bitmask probing) and >= 2x the obs pool
+                table_size=max(
+                    cfg.table_size,
+                    1 << (2 * max(cfg.max_obs, bnodes) - 1).bit_length(),
+                ),
                 memory_size=max(cfg.train_batch, 1024),
                 benchmark_every=0,
             )

@@ -56,6 +56,12 @@ from tetris_mcts_tpu.search.quantiles import (
     std_quantile2 as _std_quantile2,
 )
 
+
+def _tree_probe_double() -> bool:
+    """Shared probe-mode flag (one source of truth in search/tree.py)."""
+    from tetris_mcts_tpu.search import tree as _tree
+    return _tree._PROBE_DOUBLE
+
 # Max rows (trees) per grid step: bounds VMEM use at
 # BG * (3 stats * M + score/obs * N + trace D) * 4 bytes.
 # BG=256 with M=N=2048 ~= 10 MB of the ~16 MB/core VMEM.
@@ -645,6 +651,9 @@ def _insert7_kernel(max_obs, T, h1_ref, h2_ref, ok_ref,
     h1 = h1_ref[:]
     h2 = h2_ref[:]
     mask = jnp.uint32(T - 1)
+    # probe step must agree with tree._probe_step (TMT_PROBE=double)
+    pstep = (h2 | jnp.uint32(1)) if _tree_probe_double() else \
+        jnp.full_like(h2, 1)
 
     same = (h1[:, :, None] == h1[:, None, :]) & (
         h2[:, :, None] == h2[:, None, :]
@@ -754,7 +763,7 @@ def _insert7_kernel(max_obs, T, h1_ref, h2_ref, ok_ref,
             advance = ~placed & occupied & ~match
             slot_ref[:] = jnp.where(
                 advance,
-                ((slot + 1).astype(jnp.uint32) & mask).astype(jnp.int32),
+                ((slot.astype(jnp.uint32) + pstep) & mask).astype(jnp.int32),
                 slot,
             )
             placed_ref[:] = placed.astype(jnp.int32)

@@ -63,6 +63,7 @@ vmaps them over the env batch.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -241,11 +242,29 @@ def _hash_packed(packed):
     return h1, h2
 
 
+# Probe stepping: linear (+1, the default) or double hashing (step = h2|1;
+# odd, hence coprime with the pow2 table, so the sequence still visits every
+# slot and the load cap still guarantees termination). Double hashing breaks
+# up primary clusters — what the LOCKSTEP batched insert pays for, since its
+# while_loop runs until the last of B*7 lanes places. One module-level mode
+# switches every implementation (scalar, batched, Pallas kernel) together;
+# tables live only in process memory, so cross-run consistency is moot.
+_PROBE_DOUBLE = os.environ.get("TMT_PROBE", "linear") == "double"
+
+
+def _probe_step(h2):
+    """Per-key slot increment (uint32, same shape as h2)."""
+    if _PROBE_DOUBLE:
+        return h2 | jnp.uint32(1)
+    return jnp.full_like(h2, 1)
+
+
 def _probe(tree: Tree, h1, h2, cfg: TreeConfig):
-    """Linear-probe slot for key (h1, h2): first matching or empty slot.
+    """Probe slot for key (h1, h2): first matching or empty slot.
     Table load is capped at max_obs < table_size/2 so the loop terminates."""
     mask = jnp.uint32(cfg.table_size - 1)
     start = (h1 & mask).astype(jnp.int32)
+    step = _probe_step(h2)
 
     def keep_probing(slot):
         occupied = tree.tbl_obs[slot] != 0
@@ -253,7 +272,7 @@ def _probe(tree: Tree, h1, h2, cfg: TreeConfig):
         return occupied & ~match
 
     def advance(slot):
-        return ((slot + 1).astype(jnp.uint32) & mask).astype(jnp.int32)
+        return ((slot.astype(jnp.uint32) + step) & mask).astype(jnp.int32)
 
     return jax.lax.while_loop(keep_probing, advance, start)
 
@@ -340,6 +359,7 @@ def _insert_obs7(tree: Tree, packed7, end7, ok, cfg: TreeConfig):
     rep = jnp.argmax(same, axis=1) == _A7  # first lane of each group
 
     slot0 = (h1 & mask).astype(jnp.int32)
+    pstep = _probe_step(h2)
     placed0 = jnp.broadcast_to(~ok, (N_ACTIONS,))
     obs0 = jnp.zeros(N_ACTIONS, jnp.int32)
 
@@ -389,11 +409,12 @@ def _insert_obs7(tree: Tree, packed7, end7, ok, cfg: TreeConfig):
         n_obs = n_obs + jnp.sum(won.astype(jnp.int32))
 
         # advance: only lanes stuck at an occupied non-matching slot.
-        # (duplicate-key lanes at an empty slot wait for their rep's claim.)
+        # (duplicate-key lanes at an empty slot wait for their rep's claim —
+        # same key => same start AND step, so they share the rep's sequence.)
         advance = ~placed & occupied & ~match
         slot = jnp.where(
             advance,
-            ((slot + 1).astype(jnp.uint32) & mask).astype(jnp.int32),
+            ((slot.astype(jnp.uint32) + pstep) & mask).astype(jnp.int32),
             slot,
         )
         return th1, th2, tobs, slot, placed, obs_id, n_obs
@@ -453,6 +474,7 @@ def insert_obs7_batched(trees: Tree, packed7, end7, ok, cfg: TreeConfig):
     rep = jnp.argmax(same, axis=2) == _A7[None, :]
 
     slot0 = (h1 & mask).astype(jnp.int32)
+    pstep = _probe_step(h2)
     placed0 = jnp.broadcast_to(~ok[:, None], (B, N_ACTIONS))
     obs0 = jnp.zeros((B, N_ACTIONS), jnp.int32)
 
@@ -495,7 +517,7 @@ def insert_obs7_batched(trees: Tree, packed7, end7, ok, cfg: TreeConfig):
         advance = ~placed & occupied & ~match
         slot = jnp.where(
             advance,
-            ((slot + 1).astype(jnp.uint32) & mask).astype(jnp.int32),
+            ((slot.astype(jnp.uint32) + pstep) & mask).astype(jnp.int32),
             slot,
         )
         return th1, th2, tobs, slot, placed, obs_id, n_obs

@@ -175,6 +175,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSONL metrics path ('' = off)")
     p.add_argument("--status_dir", default="",
                    help="publish live-state memmaps here ('' = off)")
+    p.add_argument("--select_kernel", type=int, default=1,
+                   help="1: fused Pallas selection kernel (default); 0: "
+                        "hand-batched XLA walk (bit-equal law; the fallback "
+                        "for pool shapes where the kernel miscompiles)")
     p.add_argument("--insert_kernel", action="store_true",
                    help="run the obs-table insert as a Pallas kernel "
                         "(TPU; see TreeConfig.insert_kernel)")
@@ -364,7 +368,8 @@ def main(argv=None):
         train_rows_trigger=args.train_rows, train_batch=args.train_batch,
         train_iters_per_val=args.train_iters_per_val,
         train_max_iters=args.train_max_iters,
-        insert_kernel=args.insert_kernel, bf16=args.bf16,
+        insert_kernel=args.insert_kernel,
+        select_kernel=bool(args.select_kernel), bf16=args.bf16,
         rollout_depth=args.rollout_depth,
         # persist after every training session (crash/timeout resilience);
         # --trace is a profiling probe and must never clobber checkpoints

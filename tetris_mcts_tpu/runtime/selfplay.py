@@ -115,6 +115,7 @@ class SelfPlayConfig(NamedTuple):
     allow_clamp: bool = False      # accept pools too small for one move
                                    # (degraded search) instead of raising
     insert_kernel: bool = False    # TreeConfig.insert_kernel passthrough
+    select_kernel: bool = True     # TreeConfig.select_kernel passthrough
     bf16: bool = False             # bfloat16 in-search NN forward (training
                                    # stays f32; see VVModel.apply_fn)
     checkpoint_each_train: bool = False  # persist the model after every
@@ -335,6 +336,20 @@ class _OnlineDriverBase:
         return int(self.replay.total)
 
     def _maybe_train(self, total_rows: int):
+        # Storage sanity: an online driver that has retired whole episodes
+        # yet harvested ZERO rows is broken (e.g. a miscompiled device
+        # kernel producing garbage walks — seen on TPU at certain pool
+        # shapes, runs/campaign2/*_brokenselect) — warn LOUDLY instead of
+        # silently never training.
+        if (total_rows == 0 and self.episodes >= 3 * self.cfg.batch
+                and not getattr(self, "_storage_warned", False)):
+            self._storage_warned = True
+            self.log(
+                f"WARNING: {self.episodes} episodes finished but the replay "
+                "ring holds ZERO rows — the search is likely broken "
+                "(min_visits too high, or a miscompiled device kernel; try "
+                "--select_kernel 0). Training will never trigger."
+            )
         # `total_rows` is the ring's device-side monotone written counter —
         # unlike an idx delta it survives harvests larger than the capacity
         if total_rows - self._prev_total > self.cfg.memory_size:
@@ -656,6 +671,7 @@ class SelfPlayDriver(_OnlineDriverBase):
             table_size=cfg.table_size, max_depth=cfg.max_depth,
             gamma=cfg.gamma, policy=cfg.policy, low=cfg.low,
             insert_kernel=cfg.insert_kernel,
+            select_kernel=cfg.select_kernel,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
                 scoring=cfg.scoring, randomizer=cfg.randomizer,
@@ -792,6 +808,7 @@ class VPSelfPlayDriver(_OnlineDriverBase):
             table_size=cfg.table_size, max_depth=cfg.max_depth,
             gamma=cfg.gamma, policy=cfg.policy, low=cfg.low,
             insert_kernel=cfg.insert_kernel,
+            select_kernel=cfg.select_kernel,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
                 scoring=cfg.scoring, randomizer=cfg.randomizer,
@@ -853,6 +870,7 @@ class S2SelfPlayDriver(_OnlineDriverBase):
             table_size=cfg.table_size, max_depth=cfg.max_depth,
             gamma=cfg.gamma, policy=cfg.policy, low=cfg.low,
             insert_kernel=cfg.insert_kernel,
+            select_kernel=cfg.select_kernel,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
                 scoring=cfg.scoring, randomizer=cfg.randomizer,
@@ -918,6 +936,7 @@ class DistSelfPlayDriver(_OnlineDriverBase):
             table_size=cfg.table_size, max_depth=cfg.max_depth,
             gamma=cfg.gamma, policy=cfg.policy, low=cfg.low,
             insert_kernel=cfg.insert_kernel,
+            select_kernel=cfg.select_kernel,
             env=engine.EnvConfig(
                 actions_per_drop=cfg.actions_per_drop,
                 scoring=cfg.scoring, randomizer=cfg.randomizer,

@@ -25,6 +25,18 @@ CPU fallback: `interpret=True` runs the kernel in the Pallas interpreter,
 used automatically off-TPU so the full test suite and the multichip dryrun
 exercise the same code path.
 
+KNOWN ISSUE (round 2, real v5e chip): at M=N=3584/D=96 (the 500-sim pool)
+the SELECT kernel composed into the full move program returns garbage walks
+— zero obs ever accumulate min_visits, actions look random — while the SAME
+kernel on the same shapes is bit-exact vs the interpreter when called
+standalone (scripts note in campaign2.sh; checksum bisection in
+runs/campaign2/*_brokenselect). The corruption is composition-dependent
+(layout/aliasing under the fori_loop carry is the suspect). Until the
+miscompile is isolated, TreeConfig.select_kernel=False (--select_kernel 0)
+routes those shapes through the hand-batched XLA walk; the lp-backup kernel
+at the same shapes is row-for-row identical to the XLA control in-driver
+and stays on.
+
 Design note — why the obs-table insert is NOT fused into the selection
 kernel (considered and rejected without burning chip time): the insert's
 (BG, T) table triple must be VMEM-resident, and Mosaic's scoped stack peaks

@@ -455,3 +455,18 @@ def test_replay_gif_export(tmp_path):
     im = Image.open(path)
     assert im.size == (40, 80)
     assert im.n_frames == 5
+
+
+class TestRound2Additions:
+    def test_select_kernel_flag(self):
+        p = build_parser()
+        assert p.parse_args([]).select_kernel == 1
+        assert p.parse_args(["--select_kernel", "0"]).select_kernel == 0
+
+    def test_table_size_rounds_to_pow2(self):
+        # the CLI derives table_size = next_pow2(2 * max_obs): bitmask
+        # probing (tree.py:_probe) requires a power of two
+        for max_obs, want in [(2048, 4096), (3584, 8192), (4096, 8192),
+                              (96, 256), (1, 16)]:
+            t = max(1 << (2 * max_obs - 1).bit_length(), 16)
+            assert t == want and t & (t - 1) == 0, (max_obs, t)

@@ -149,3 +149,24 @@ def test_save_nodes(tmp_path, driver):
         assert f["board"].shape == (n, 20, 10)
         assert (np.asarray(f["visit"]) >= 1).all()
         assert np.isfinite(np.asarray(f["value"])).all()
+
+
+def test_select_kernel_off_plumbs_and_stores():
+    # --select_kernel 0 (the fallback for pool shapes where the Pallas
+    # selection kernel miscompiles on real TPUs) must reach TreeConfig and
+    # still produce a working storing/training loop
+    d = SelfPlayDriver(tiny_cfg(select_kernel=False), log=lambda s: None)
+    assert d.search_cfg.tree.select_kernel is False
+    d.run(30)
+    assert int(d.replay.total) > 0
+
+
+def test_zero_storage_warning_fires():
+    logs = []
+    d = SelfPlayDriver(
+        tiny_cfg(min_visits_store=10_000, batch=2), log=logs.append
+    )
+    d.run(200)
+    assert d.episodes >= 6
+    assert int(d.replay.total) == 0
+    assert any("ZERO rows" in line for line in logs)

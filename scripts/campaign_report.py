@@ -1,0 +1,75 @@
+"""Summarize a campaign metrics JSONL (runs/campaignN/m.jsonl) for RESULTS.md:
+decile table of lines/score over main episodes, the benchmark-game rounds
+(the reference's parity curve), training-session stats, and throughput.
+
+Usage: python scripts/campaign_report.py runs/campaign2/m.jsonl [--deciles N]
+"""
+import argparse
+import json
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("metrics")
+    ap.add_argument("--deciles", type=int, default=10)
+    args = ap.parse_args()
+
+    eps, bench, sessions, tps = [], [], [], []
+    for line in open(args.metrics):
+        d = json.loads(line)
+        k = d["kind"]
+        if k == "episode" and not d.get("benchmark"):
+            eps.append(d)
+        elif k == "benchmark":
+            bench.append(d)
+        elif k == "train_session":
+            sessions.append(d)
+        elif k == "throughput":
+            tps.append(d)
+
+    L = np.array([e["lines"] for e in eps], np.float64)
+    S = np.array([e["score"] for e in eps], np.float64)
+    n = len(L)
+    print(f"main episodes: {n}   lines total {int(L.sum())}   "
+          f"best episode {int(L.max()) if n else 0} lines / "
+          f"{int(S[L.argmax()]) if n else 0} points")
+    D = args.deciles
+    if n >= D:
+        print(f"| {'decile':>6} |" + "".join(
+            f" {i+1} |" for i in range(D)))
+        print("|---" * (D + 1) + "|")
+        row = "| lines  |"
+        for i in range(D):
+            lo, hi = n * i // D, n * (i + 1) // D
+            row += f" {L[lo:hi].mean():.2f} |"
+        print(row)
+        row = "| score  |"
+        for i in range(D):
+            lo, hi = n * i // D, n * (i + 1) // D
+            row += f" {S[lo:hi].mean():.0f} |"
+        print(row)
+    if n >= 50:
+        print(f"last-50: lines {L[-50:].mean():.2f}  score {S[-50:].mean():.0f}")
+
+    if bench:
+        print("\nbenchmark rounds (training+storage off):")
+        for b in bench:
+            print(f"  round {b['round']:3d} @ep {b['episode']:6d} "
+                  f"({b['games']} games, {b['sims']} sims): "
+                  f"lines {b['lines_mean']:.2f}±{b['lines_std']:.2f} "
+                  f"(max {b['lines_max']:.0f})  score {b['score_mean']:.0f}")
+
+    if sessions:
+        t = sum(s["seconds"] for s in sessions)
+        print(f"\ntraining sessions: {len(sessions)}  total {t/60:.1f} min  "
+              f"last val-loss {sessions[-1]['loss_val']:.4f}")
+    if tps:
+        sp = [t["sims_per_s"] for t in tps]
+        print(f"throughput windows: median {np.median(sp):.0f} sims/s "
+              f"(n={len(sp)})")
+
+
+if __name__ == "__main__":
+    main()

@@ -217,9 +217,13 @@ class _OnlineDriverBase:
         — bench.py's definition, so driver logs and bench numbers compare
         directly)."""
         self._tp_moves += 1
+        # When training sessions fire more often than the wall fallback
+        # (heavy online cadence resets the window every ~30 s), no window
+        # would ever report — accept any >=4-move window older than 25 s.
         if self._tp_moves < self._TP_REPORT_EVERY and not (
-            self._tp_moves >= 8
-            and time.perf_counter() - self._tp_t0 > self._TP_REPORT_SECONDS
+            self._tp_moves >= 4
+            and time.perf_counter() - self._tp_t0
+            > min(self._TP_REPORT_SECONDS, 25.0)
         ):
             return
         dt = time.perf_counter() - self._tp_t0

@@ -38,6 +38,14 @@ left_s() { echo $((END_BY - $(date +%s))); }
 
 attempt=0
 resume_flag=""
+# Resume a prior campaign (or a pre-seeded net, e.g. runs/tpu_run2's) when
+# $OUT/model.msgpack already exists — fresh environments lose runs/ state,
+# so seeding $OUT before launch is how a campaign continues across rounds.
+if [ -f "$OUT/model.msgpack" ]; then
+    echo "=== resuming from existing $OUT/model.msgpack"
+    resume_flag="--load_model"
+fi
+BENCH_EVERY=${BENCH_EVERY:-400}
 while [ "$(left_s)" -gt 300 ]; do
     attempt=$((attempt + 1))
     echo "=== attempt $attempt ($(($(left_s) / 60)) min left) at $(date -u +%FT%TZ)"
@@ -49,7 +57,7 @@ while [ "$(left_s)" -gt 300 ]; do
         --min_visits 25 --memory_size 500000 --memory_growth 5000 \
         --train_rows 60000 --train_batch 1024 \
         --train_iters_per_val 100 --train_max_iters 3000 \
-        --benchmark_every 400 --benchmark_sims 1000 --benchmark_games 64 \
+        --benchmark_every "$BENCH_EVERY" --benchmark_sims 1000 --benchmark_games 64 \
         --benchmark_batch 64 --benchmark_max_nodes 8192 \
         --benchmark_max_moves 2500 \
         --bf16 $resume_flag --seed $((42 + attempt)) \

@@ -9,8 +9,10 @@ artifact:
 - every frame's current-piece cells must match a (piece, rotation) entry of
   the engine's box-spin tables (all 7 pieces appear in the recording);
 - a verified action chain (extracted by exhaustive search over RULES.md
-  dynamics, `runs/gif/gen_units.py`; the chain reproduces all 199 frame
-  transitions) replays bit-exactly on BOTH the C++ oracle and the JAX engine.
+  dynamics — `scripts/gif_analysis/{decode_gif,gen_trace,gen_units}.py`
+  regenerate `tests/data/gif_trace.npz` from the gif; the chain reproduces
+  all 199 frame transitions) replays bit-exactly on BOTH the C++ oracle and
+  the JAX engine.
 
 The demo board is 22x10 (DQN-era `getState`); units are pre-shifted onto the
 20x10 board (the shift only re-labels rows — see gen_units.py). The recording

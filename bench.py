@@ -20,15 +20,10 @@ import time
 
 # Persistent compile cache (same default as the CLI): the TPU move-program
 # compile through the axon tunnel costs ~20 min cold; cache the serialized
-# executable so re-runs are near-instant. Harmless if the plugin can't
-# serialize (JAX warns and compiles normally). TMT_NO_COMPILE_CACHE=1 opts out.
-if os.environ.get("TMT_NO_COMPILE_CACHE") != "1":
-    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          ".jax_cache")
-    os.makedirs(_cache, exist_ok=True)
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# executable so re-runs are near-instant. Must run before `import jax`.
+from tetris_mcts_tpu import compile_cache  # noqa: E402 (imports no jax)
+
+compile_cache.enable()
 
 import jax
 import jax.numpy as jnp

@@ -60,6 +60,7 @@ while [ "$(left_s)" -gt 300 ]; do
         --benchmark_every "$BENCH_EVERY" --benchmark_sims 1000 --benchmark_games 64 \
         --benchmark_batch 64 --benchmark_max_nodes 8192 \
         --benchmark_max_moves 2500 \
+        --stall_timeout 600 --stall_startup 3600 \
         --bf16 $resume_flag --seed $((42 + attempt)) \
         --metrics "$OUT/m.jsonl" \
         --checkpoint "$OUT/model.msgpack" >> "$OUT/run.log" 2>&1
@@ -68,7 +69,10 @@ while [ "$(left_s)" -gt 300 ]; do
     if [ $rc -eq 124 ] || [ $rc -eq 0 ]; then
         break  # clean end of budget or voluntary exit
     fi
-    echo "=== run died rc=$rc at $(date -u +%FT%TZ); retrying in 120s"
-    sleep 120
+    # rc=86: the in-process stall watchdog detected a wedged tunnel and
+    # hard-exited after checkpointing state (runtime/watchdog.py) — retry
+    # resumes from the last training session's checkpoint.
+    echo "=== run died rc=$rc at $(date -u +%FT%TZ); retrying in 60s"
+    sleep 60
 done
 echo "=== campaign2 done $(date -u +%FT%TZ) after $attempt attempt(s)"

@@ -19,12 +19,13 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 # Persistent compile cache: XLA:CPU compiles of the scan-heavy test programs
-# are expensive; cache them across test runs.
-_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
-_cache.mkdir(exist_ok=True)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# are expensive; cache them across test runs (shared helper, imports no jax).
+import sys  # noqa: E402
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+from tetris_mcts_tpu import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 import jax  # noqa: E402
 

@@ -94,3 +94,25 @@ def test_xla_im2col_forward_matches_flax():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
                                rtol=1e-4, atol=1e-2)
+
+
+def test_select_kernel_shape_guard(monkeypatch):
+    # On real TPU, pool/depth shapes beyond the verified-correct region must
+    # auto-route to the XLA walk (the round-2 miscompile at M=N=3584/D=96,
+    # ops/tree_walk.py KNOWN ISSUE) without a manual --select_kernel 0.
+    from tetris_mcts_tpu.ops import tree_walk
+    from tetris_mcts_tpu.search.tree import TreeConfig
+
+    good = TreeConfig(max_nodes=2048, max_obs=2048, max_depth=64)
+    bad = TreeConfig(max_nodes=3584, max_obs=3584, max_depth=96)
+
+    # off-TPU (the interpreter path) every shape is fine
+    assert tree_walk.select_kernel_shape_ok(good)
+    assert tree_walk.select_kernel_shape_ok(bad)
+
+    monkeypatch.setattr(tree_walk, "on_tpu", lambda: True)
+    assert tree_walk.select_kernel_shape_ok(good)
+    assert not tree_walk.select_kernel_shape_ok(bad)
+    # the bisect harness can force the kernel back on
+    monkeypatch.setenv("TMT_FORCE_SELECT_KERNEL", "1")
+    assert tree_walk.select_kernel_shape_ok(bad)

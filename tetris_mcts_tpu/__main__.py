@@ -17,32 +17,19 @@ def _honor_platform_env():
         jax.config.update("jax_platforms", want)
 
 
-def _default_compile_cache():
-    """Point JAX's persistent compilation cache at .jax_cache/ by default.
-
-    The first TPU compile of a 500-sim move program takes ~20 min through the
-    axon remote-compile tunnel; caching the serialized executable makes every
-    later launch (campaign resume, bench re-run) near-instant. If the PJRT
-    plugin can't serialize executables JAX logs a warning and compiles as
-    usual — strictly no worse. Opt out with TMT_NO_COMPILE_CACHE=1.
-    """
-    if os.environ.get("TMT_NO_COMPILE_CACHE") == "1":
-        return
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-
-
 def main():
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
         print("usage: python -m tetris_mcts_tpu "
               "{play,train,cycle,dashboard,replay} [args...]")
         return 0
+    # Cache env vars must be set BEFORE the first `import jax` —
+    # _honor_platform_env imports jax whenever JAX_PLATFORMS is set (the
+    # documented TPU launch), which froze the cache config as off in round 2
+    # (ADVICE.md r2 medium). compile_cache imports no jax itself.
+    from tetris_mcts_tpu import compile_cache
+
+    compile_cache.enable()
     _honor_platform_env()
-    _default_compile_cache()
     cmd, argv = sys.argv[1], sys.argv[2:]
     if cmd == "play":
         from tetris_mcts_tpu.cli.play import main as m

@@ -192,6 +192,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "exit — open with tensorboard/xprof ('' = off)")
     p.add_argument("--trace_moves", type=int, default=4,
                    help="moves to capture under --trace")
+    p.add_argument("--stall_timeout", type=float, default=900,
+                   help="seconds of zero host-loop progress before the "
+                        "stall watchdog hard-exits (code 86) so a "
+                        "supervisor relaunches from the last checkpoint — "
+                        "the recovery for a wedged axon tunnel "
+                        "(runtime/watchdog.py). 0 = off")
+    p.add_argument("--stall_startup", type=float, default=3600,
+                   help="the watchdog's allowance for known compile points "
+                        "(first move, new training shapes, benchmark twin) "
+                        "— remote compiles run ~minutes to ~35 min cold")
     return p
 
 
@@ -441,6 +451,16 @@ def main(argv=None):
         else S2SelfPlayDriver if evaluator == "s2"
         else SelfPlayDriver
     )
+
+    wd = None
+    if args.stall_timeout > 0 and not args.interactive:
+        from tetris_mcts_tpu.runtime import watchdog as watchdog_mod
+
+        wd = watchdog_mod.install(watchdog_mod.StallWatchdog(
+            stall_timeout=args.stall_timeout,
+            startup_timeout=args.stall_startup,
+        )).start()
+
     driver = driver_cls(
         cfg, model=model, saver=saver, metrics=metrics, status=status
     )
@@ -494,6 +514,9 @@ def main(argv=None):
             saver.close()
         if metrics is not None:
             metrics.close()
+        if wd is not None:
+            wd.stop()
+            watchdog_mod.install(None)
     return driver
 
 

@@ -267,7 +267,9 @@ def main(argv=None):
         max_iters=max_iters,
         **extra,
     )
-    if args.ewc and args.model == "vv" and args.ensemble == 0:
+    if args.ewc and args.model == "vv":
+        # single net and ensemble both support the Fisher anchor (the
+        # ensemble computes one per member, train/ensemble.py)
         model.compute_fisher(cols)
     model.save(verbose=True)
 

@@ -268,6 +268,46 @@ def use_walk_kernels() -> bool:
     return jax.device_count() == 1 or _KERNEL_MESH is not None
 
 
+_SELECT_GUARD_WARNED = set()
+
+# Largest pool/depth shapes where the fused SELECT kernel is verified
+# bit-exact IN-COMPOSITION on the real chip (bench.py's 127k sims/s config).
+# Beyond them lies the round-2 miscompile (KNOWN ISSUE above: garbage walks
+# at M=N=3584/D=96 while standalone-exact) — auto-route those shapes through
+# the XLA walk instead of relying on a manual --select_kernel 0
+# (VERDICT r2 item 3). TMT_FORCE_SELECT_KERNEL=1 overrides (bisect harness).
+_SELECT_OK_NODES = 2048
+_SELECT_OK_DEPTH = 64
+
+
+def select_kernel_shape_ok(tcfg) -> bool:
+    """False when (max_nodes, max_obs, max_depth) exceed the largest shapes
+    the select kernel is verified correct at in-composition on real TPU.
+    Always True off-TPU: the interpreter path has no miscompile."""
+    if not on_tpu():
+        return True
+    if os.environ.get("TMT_FORCE_SELECT_KERNEL") == "1":
+        return True
+    ok = (tcfg.max_nodes <= _SELECT_OK_NODES
+          and tcfg.max_obs <= _SELECT_OK_NODES
+          and tcfg.max_depth <= _SELECT_OK_DEPTH)
+    if not ok:
+        key = (tcfg.max_nodes, tcfg.max_obs, tcfg.max_depth)
+        if key not in _SELECT_GUARD_WARNED:
+            _SELECT_GUARD_WARNED.add(key)
+            import sys
+            print(
+                f"select-kernel guard: pools {tcfg.max_nodes}/{tcfg.max_obs}"
+                f"/depth {tcfg.max_depth} exceed the verified-correct "
+                f"region (<= {_SELECT_OK_NODES}/depth {_SELECT_OK_DEPTH}) "
+                "where the fused selection kernel is known to miscompile "
+                "in-composition (ops/tree_walk.py KNOWN ISSUE); using the "
+                "XLA select walk. TMT_FORCE_SELECT_KERNEL=1 overrides.",
+                file=sys.stderr, flush=True,
+            )
+    return ok
+
+
 def insert_fn_for(tcfg):
     """The obs-table insert implementation for this config: the Pallas
     probe-loop kernel when opted in (`TreeConfig.insert_kernel`) and the

@@ -168,6 +168,16 @@ class _OnlineDriverBase:
     def _init_bookkeeping(self, cfg: SelfPlayConfig, log, saver, metrics,
                           status):
         self.cfg = cfg
+        # Stall watchdog (runtime/watchdog.py): when one is installed
+        # process-wide, every log line beats it (episodes, throughput,
+        # training-val lines are all proof of host-loop progress) and the
+        # known compile points arm grace windows. The benchmark twin driver
+        # inherits the wrapped log, so its moves beat the same heartbeat.
+        from tetris_mcts_tpu.runtime import watchdog as _wd
+
+        self._watchdog = _wd.get_active()
+        if self._watchdog is not None:
+            log = self._watchdog.wrap_log(log)
         self.log = log
         self.saver = saver
         self.metrics = metrics
@@ -257,6 +267,8 @@ class _OnlineDriverBase:
         everything the loop needs — each separate `np.asarray` through the
         tunnel costs a ~25 ms round trip (CLAUDE.md)."""
         self.moves += 1
+        if self._watchdog is not None:
+            self._watchdog.beat()
         self.last_stats = stats
         done, score, lines, total, cand = _host_fetch(
             (stats.done, stats.score, stats.lines, self.replay.total,
@@ -345,15 +357,27 @@ class _OnlineDriverBase:
         # kernel producing garbage walks — seen on TPU at certain pool
         # shapes, runs/campaign2/*_brokenselect) — warn LOUDLY instead of
         # silently never training.
-        if (total_rows == 0 and self.episodes >= 3 * self.cfg.batch
+        # Fire within ONE batch-generation of episodes (or a fixed move
+        # budget if episodes finish slowly), not 3x — at campaign scale the
+        # old 3*batch gate meant hours of silently garbage search before the
+        # warning that exists to catch exactly that (VERDICT r2 item 5).
+        if (total_rows == 0
+                and (self.episodes >= self.cfg.batch
+                     or (self.episodes > 0 and self.moves >= 1000))
                 and not getattr(self, "_storage_warned", False)):
             self._storage_warned = True
             self.log(
-                f"WARNING: {self.episodes} episodes finished but the replay "
-                "ring holds ZERO rows — the search is likely broken "
-                "(min_visits too high, or a miscompiled device kernel; try "
-                "--select_kernel 0). Training will never trigger."
+                f"WARNING: {self.episodes} episodes / {self.moves} moves "
+                "finished but the replay ring holds ZERO rows — the search "
+                "is likely broken (min_visits too high, or a miscompiled "
+                "device kernel; try --select_kernel 0). Training will "
+                "never trigger."
             )
+            if self.metrics is not None:
+                self.metrics.write(
+                    "zero_storage_warning", episodes=self.episodes,
+                    moves=self.moves,
+                )
         # `total_rows` is the ring's device-side monotone written counter —
         # unlike an idx delta it survives harvests larger than the capacity
         if total_rows - self._prev_total > self.cfg.memory_size:
@@ -394,6 +418,11 @@ class _OnlineDriverBase:
         pays at most ~log2(memory/batch) compiles instead of one per
         session. Returns False when there aren't enough rows for one
         minibatch."""
+        if self._watchdog is not None:
+            # a session with a new bucket shape compiles a fresh train-chunk
+            # program (~a minute per shape through the remote-compile path);
+            # allow one compile-scale window until the first val log beats
+            self._watchdog.grace()
         count = int(self.replay.count)
         cap = self.cfg.memory_size - self.cfg.memory_size % self.cfg.train_batch
         use = min(use, count)
@@ -600,6 +629,11 @@ class _OnlineDriverBase:
             )
         bench = self._bench
         bench.reset_games(cfg.seed + 7777 * self._bench_round)
+        if self._watchdog is not None:
+            # the twin's first move compiles the benchmark-shape program
+            # (minutes); later rounds reuse it and this grace is a no-op by
+            # the twin's first beat
+            self._watchdog.grace()
         t0 = time.time()
         bench.run_episodes(cfg.benchmark_games,
                            max_moves=cfg.benchmark_max_moves)

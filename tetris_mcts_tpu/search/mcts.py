@@ -221,7 +221,8 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
     def sim_once(params, ubound, trees, key):
         B = trees.root.shape[0]
         key, k_sel, k_ev = jax.random.split(key, 3)
-        kernel_path = tcfg.select_kernel and walk_kernels_ok
+        kernel_path = (tcfg.select_kernel and walk_kernels_ok
+                       and tree_walk.select_kernel_shape_ok(tcfg))
         if kernel_path:
             # ONE Pallas kernel walks all B trees, carrying and stepping
             # each lane's env state inline, AND steps the leaf's 7 children

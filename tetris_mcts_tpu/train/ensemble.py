@@ -128,8 +128,30 @@ class EnsembleVVModel(VVModel):
         )(self.params)
         return np.asarray(out[..., 0]), np.asarray(out[..., 1])
 
-    def compute_fisher(self, data):  # pragma: no cover - niche + expensive
-        raise NotImplementedError(
-            "EWC anchors are per-member; use K independent VVModels if you "
-            "need EWC with an ensemble"
-        )
+    def compute_fisher(self, data):
+        """Per-member empirical Fisher (VERDICT r2 item 8): each member
+        anchors EWC to its OWN params with its own diagonal Fisher over the
+        shared anchor set — `ens_train_step` already vmaps the penalty with
+        fisher/p0 on the member axis, so this closes the --ensemble + EWC
+        combination the base class supports (reference `compute_fisher`,
+        model_vv.py:188-208)."""
+        from tetris_mcts_tpu.train.trainer import _boards, _col
+
+        states = _boards(data[0])
+        value, variance, weight = map(_col, data[1:4])
+
+        def member_fisher(p):
+            def per_example_loss(pp, s, v, var, w):
+                return self._per_sample_loss(
+                    pp, self.ubound, s[None], v[None], var[None], w[None]
+                )[0]
+
+            grads = jax.vmap(
+                lambda s, v, var, w: jax.grad(per_example_loss)(
+                    p, s, v, var, w
+                )
+            )(states, value, variance, weight)
+            return jax.tree.map(lambda g: jnp.mean(g**2, axis=0), grads)
+
+        self.fisher = jax.jit(jax.vmap(member_fisher))(self.params)
+        self.p0 = self.params

@@ -277,6 +277,15 @@ def main(argv=None):
 
     evaluator, trains = AGENT_TYPES[args.agent_type]
 
+    wd = None
+    if args.stall_timeout > 0:
+        from tetris_mcts_tpu.runtime import watchdog as watchdog_mod
+
+        wd = watchdog_mod.install(watchdog_mod.StallWatchdog(
+            stall_timeout=args.stall_timeout,
+            startup_timeout=args.stall_startup,
+        )).start()
+
     def capture_trace(driver):
         # SURVEY.md §5 tracing: the reference has none; here the whole move
         # is ONE device program, so a short profiler capture shows every
@@ -345,6 +354,9 @@ def main(argv=None):
                     print(f"final checkpoint failed ({e!r})", file=sys.stderr)
             if metrics is not None:
                 metrics.close()
+            if wd is not None:
+                wd.stop()
+                watchdog_mod.install(None)
         return driver
 
     sims = 1 if args.agent_type == "Random" else args.mcts_sims
@@ -451,16 +463,6 @@ def main(argv=None):
         else S2SelfPlayDriver if evaluator == "s2"
         else SelfPlayDriver
     )
-
-    wd = None
-    if args.stall_timeout > 0 and not args.interactive:
-        from tetris_mcts_tpu.runtime import watchdog as watchdog_mod
-
-        wd = watchdog_mod.install(watchdog_mod.StallWatchdog(
-            stall_timeout=args.stall_timeout,
-            startup_timeout=args.stall_startup,
-        )).start()
-
     driver = driver_cls(
         cfg, model=model, saver=saver, metrics=metrics, status=status
     )

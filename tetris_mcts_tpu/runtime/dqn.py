@@ -88,6 +88,14 @@ class DQNDriver:
                  metrics=None,
                  checkpoint_path: str = "./checkpoints/model_dqn.msgpack"):
         self.cfg = cfg
+        # beat any installed stall watchdog through the log fn (episode and
+        # training lines are the DQN loop's progress signal; see
+        # runtime/watchdog.py)
+        from tetris_mcts_tpu.runtime import watchdog as _wd
+
+        self._watchdog = _wd.get_active()
+        if self._watchdog is not None:
+            log = self._watchdog.wrap_log(log)
         self.log = log
         self.metrics = metrics
         self.checkpoint_path = checkpoint_path
@@ -284,6 +292,8 @@ class DQNDriver:
             self.envs, self.replay, self.key, jnp.float32(self.eps),
         )
         self.moves += 1
+        if self._watchdog is not None:
+            self._watchdog.beat()
         self.updates += 1
         if self.updates % self.cfg.target_update_steps == 0:
             self.target_params = self.params

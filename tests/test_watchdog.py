@@ -114,3 +114,48 @@ def test_driver_moves_beat_installed_watchdog():
         assert wd._last > before  # _after_move beat
     finally:
         watchdog.install(None)
+
+
+def test_tunnel_silence_fires_inside_grace(monkeypatch):
+    # An init/compile wedge hides under the long startup allowance, but the
+    # tunnel socket is gone — once armed by seeing traffic, a sustained
+    # zero-connection streak must fire early (round-3 live incident: a 7-min
+    # init wedge would otherwise sit out the full 3600s grace).
+    samples = iter([1, 1] + [0] * 1000)  # healthy briefly, then gone
+    monkeypatch.setattr(watchdog, "_tunnel_conns", lambda: next(samples))
+    fired = threading.Event()
+    wd = watchdog.StallWatchdog(
+        stall_timeout=60, startup_timeout=60, tunnel_stall=0.2,
+        on_stall=fired.set, poll_s=0.05, log=lambda s: None,
+    ).start()
+    assert fired.wait(5.0)
+    assert wd.fired
+
+
+def test_tunnel_never_seen_stays_quiet(monkeypatch):
+    # CPU-only runs never talk to the tunnel: zero connections must NOT arm
+    # the early-fire path; only the ordinary allowance applies.
+    monkeypatch.setattr(watchdog, "_tunnel_conns", lambda: 0)
+    fired = threading.Event()
+    wd = watchdog.StallWatchdog(
+        stall_timeout=60, startup_timeout=60, tunnel_stall=0.1,
+        on_stall=fired.set, poll_s=0.05, log=lambda s: None,
+    ).start()
+    assert not fired.wait(1.0)
+    wd.stop()
+
+
+def test_tunnel_beats_reset_zero_streak(monkeypatch):
+    # beats resume -> the zero streak resets; no fire while progress flows
+    monkeypatch.setattr(watchdog, "_tunnel_conns", lambda: 0)
+    fired = threading.Event()
+    wd = watchdog.StallWatchdog(
+        stall_timeout=60, startup_timeout=60, tunnel_stall=0.15,
+        on_stall=fired.set, poll_s=0.05, log=lambda s: None,
+    ).start()
+    wd._tunnel_seen = True  # pretend traffic was seen once
+    for _ in range(10):
+        wd.beat()
+        time.sleep(0.05)
+    assert not fired.is_set()  # gap never exceeded tunnel_stall
+    assert fired.wait(5.0)     # stop beating -> zero streak accrues -> fire

@@ -51,17 +51,27 @@ def install(wd: Optional["StallWatchdog"]):
     return wd
 
 
-def _tunnel_snapshot() -> str:
-    """One `ss -tn` sample — a wedged tunnel shows zero connections to the
-    axon port while a healthy run talks to it regularly (CLAUDE.md)."""
+TUNNEL_PORT = int(os.environ.get("TMT_TUNNEL_PORT", "8093"))
+
+
+def _tunnel_conns() -> int:
+    """Count of connections to the axon tunnel port — a wedged tunnel shows
+    zero while a healthy run (including an in-flight remote compile) keeps a
+    socket open (CLAUDE.md's `ss -tn` diagnosis, automated). -1 = unknown."""
     try:
         out = subprocess.run(
             ["ss", "-tn"], capture_output=True, text=True, timeout=10
         ).stdout
-        lines = [ln for ln in out.splitlines() if "8093" in ln]
-        return "\n".join(lines) if lines else "(no connections to :8093)"
-    except Exception as e:  # noqa: BLE001 — diagnostics must never raise
-        return f"(ss unavailable: {e!r})"
+        return sum(1 for ln in out.splitlines() if f":{TUNNEL_PORT}" in ln)
+    except Exception:  # noqa: BLE001 — diagnostics must never raise
+        return -1
+
+
+def _tunnel_snapshot() -> str:
+    n = _tunnel_conns()
+    if n < 0:
+        return "(ss unavailable)"
+    return f"{n} connection(s) to :{TUNNEL_PORT}"
 
 
 class StallWatchdog:
@@ -77,12 +87,23 @@ class StallWatchdog:
                  log: Callable[[str], None] = lambda s: print(
                      s, file=sys.stderr, flush=True),
                  on_stall: Optional[Callable[[], None]] = None,
-                 poll_s: float = 5.0):
+                 poll_s: float = 5.0, tunnel_stall: float = 300.0):
         self.stall_timeout = float(stall_timeout)
         self.startup_timeout = float(startup_timeout or stall_timeout)
         self.log = log
         self.on_stall = on_stall
         self.poll_s = poll_s
+        # Early wedge detection INSIDE grace windows: the long startup
+        # allowance exists for healthy multi-minute compiles, but a healthy
+        # compile keeps a tunnel socket open the whole time, while a wedge's
+        # connection is gone (round 3 live capture: init wedged at 7 min in
+        # with 0 sockets — the grace would have hidden it for an hour). The
+        # check SELF-ARMS on first seeing tunnel traffic, so CPU-only runs
+        # (no tunnel ever) are unaffected. 0 disables.
+        self.tunnel_stall = float(tunnel_stall)
+        self._tunnel_seen = False
+        self._zero_since: Optional[float] = None  # start of an observed
+        #                                           all-zero sampling streak
         self._lock = threading.Lock()
         self._last = time.monotonic()
         self._allow = self.startup_timeout  # first beat = end of startup
@@ -123,17 +144,42 @@ class StallWatchdog:
 
     def _run(self):
         while not self._stop.wait(self.poll_s):
+            now = time.monotonic()
             with self._lock:
-                gap = time.monotonic() - self._last
+                gap = now - self._last
                 allow = self._allow
-            if gap <= allow:
+            reason = None
+            if gap > allow:
+                reason = f"no progress for {gap:.0f}s (limit {allow:.0f}s)"
+            elif self.tunnel_stall and gap > self.tunnel_stall:
+                # inside an allowance window but quiet: consult the tunnel.
+                # Fire only after a SUSTAINED all-zero sampling streak (a
+                # transient zero between reconnects must not kill a healthy
+                # compile), and only once armed by ever seeing traffic (so
+                # CPU-only runs, which never touch the tunnel, are immune).
+                n = _tunnel_conns()
+                if n > 0:
+                    self._tunnel_seen = True
+                    self._zero_since = None
+                elif n == 0 and self._tunnel_seen:
+                    if self._zero_since is None:
+                        self._zero_since = now
+                    elif now - self._zero_since > self.tunnel_stall:
+                        reason = (
+                            f"no progress for {gap:.0f}s AND no tunnel "
+                            f"connection for {now - self._zero_since:.0f}s "
+                            "of sampling (a healthy compile keeps a socket "
+                            "open)"
+                        )
+            else:
+                self._zero_since = None
+            if reason is None:
                 continue
             self.fired = True
             try:
                 self.log(
-                    f"STALL WATCHDOG: no progress for {gap:.0f}s "
-                    f"(limit {allow:.0f}s) — assuming a wedged device "
-                    f"call; tunnel sockets:\n{_tunnel_snapshot()}\n"
+                    f"STALL WATCHDOG: {reason} — assuming a wedged device "
+                    f"call; tunnel sockets: {_tunnel_snapshot()}; "
                     f"exiting {EXIT_CODE} so the supervisor relaunches "
                     "from the last checkpoint"
                 )

@@ -206,7 +206,39 @@ def main():
                 out["last_tpu"] = json.load(f)
         except OSError:
             pass
+    parity = _parity_sims_per_s()
+    if parity is not None:
+        # sims/s at the learning-parity campaign configuration (500 sims,
+        # batch 256, 3584 pools, select kernel per the shape guard) — the
+        # number parity wall-clock actually depends on (VERDICT r2 item 4).
+        # Median of the campaign driver's clean `throughput` windows; bench
+        # does not re-run that program itself (the chip is single-tenant and
+        # a campaign is usually the one using it).
+        out["parity_sims_per_s"] = parity
     print(json.dumps(out))
+
+
+def _parity_sims_per_s():
+    """Median sims/s over the campaign's throughput windows
+    (runs/campaign2/m.jsonl), None when no campaign has run here."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "runs", "campaign2", "m.jsonl")
+    rates = []
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    d = json.loads(line)
+                except ValueError:
+                    continue
+                if d.get("kind") == "throughput" and d.get("moves", 0) > 4:
+                    rates.append(d["sims_per_s"])
+    except OSError:
+        return None
+    if not rates:
+        return None
+    rates.sort()
+    return round(rates[len(rates) // 2], 1)
 
 
 if __name__ == "__main__":

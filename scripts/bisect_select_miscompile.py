@@ -91,7 +91,17 @@ def main():
                          "toward 500 if small programs do not reproduce")
     ap.add_argument("--moves", type=int, default=6)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--copy", action="store_true",
+                    help="set TMT_SELECT_COPY=1: optimization-barrier the "
+                         "kernel inputs (aliasing/layout hypothesis)")
+    ap.add_argument("--block", type=int, default=0,
+                    help="force TMT_SELECT_BLOCK (0 = auto; probe whether "
+                         "the bg=64 auto-block at 3584 pools is the trigger)")
     args = ap.parse_args()
+    if args.copy:
+        os.environ["TMT_SELECT_COPY"] = "1"
+    if args.block:
+        os.environ["TMT_SELECT_BLOCK"] = str(args.block)
 
     model = VVModel(seed=args.seed)
     print(f"device={jax.devices()[0].platform} batch={args.batch} "

@@ -649,10 +649,19 @@ def select_batched_pallas(trees, key, cfg):
     obs = trees.nstat[:, 1, :].astype(jnp.int32)
     rootsc = jax.vmap(lambda s, r: s[r])(score, trees.root)
     env0 = engine.pack_state(trees.root_state)  # (B, 44)
+    ins = (trees.cbase, score, obs, trees.visits, trees.values, trees.vars_,
+           trees.root, rootsc, env0, gumbels, rnd)
+    if os.environ.get("TMT_SELECT_COPY") == "1":
+        # Miscompile bisection knob (KNOWN ISSUE above): force the kernel
+        # inputs through an optimization barrier so XLA cannot alias them
+        # with (or pick exotic layouts for) buffers of the surrounding move
+        # program — the composition-dependence suspect. If the barrier makes
+        # the guard-exceeded shapes bit-exact, the bug is input aliasing/
+        # layout, and this becomes the (cheap) production workaround.
+        ins = lax.optimization_barrier(ins)
     traces, lengths, leafs, leaf_env, chpk, chsc, chend = _data_sharded(
         select_walk,
-        trees.cbase, score, obs, trees.visits, trees.values, trees.vars_,
-        trees.root, rootsc, env0, gumbels, rnd,
+        *ins,
         policy=cfg.policy, low=cfg.low,
         app=cfg.env.actions_per_drop, scoring=cfg.env.scoring,
         randomizer=cfg.env.randomizer, interpret=not on_tpu(),

@@ -96,23 +96,26 @@ def test_xla_im2col_forward_matches_flax():
                                rtol=1e-4, atol=1e-2)
 
 
-def test_select_kernel_shape_guard(monkeypatch):
-    # On real TPU, pool/depth shapes beyond the verified-correct region must
-    # auto-route to the XLA walk (the round-2 miscompile at M=N=3584/D=96,
-    # ops/tree_walk.py KNOWN ISSUE) without a manual --select_kernel 0.
+def test_select_kernel_batch_guard(monkeypatch):
+    # On real TPU, batches below the verified-correct minimum must
+    # auto-route to the XLA walk (the small-batch miscompile,
+    # ops/tree_walk.py KNOWN ISSUE — round-3 bisection moved the guard
+    # from pool shapes to batch) without a manual --select_kernel 0.
     from tetris_mcts_tpu.ops import tree_walk
     from tetris_mcts_tpu.search.tree import TreeConfig
 
-    good = TreeConfig(max_nodes=2048, max_obs=2048, max_depth=64)
-    bad = TreeConfig(max_nodes=3584, max_obs=3584, max_depth=96)
-
-    # off-TPU (the interpreter path) every shape is fine
-    assert tree_walk.select_kernel_shape_ok(good)
-    assert tree_walk.select_kernel_shape_ok(bad)
+    # off-TPU (the interpreter path) every batch is fine
+    assert tree_walk.select_kernel_batch_ok(64)
+    assert tree_walk.select_kernel_batch_ok(256)
 
     monkeypatch.setattr(tree_walk, "on_tpu", lambda: True)
-    assert tree_walk.select_kernel_shape_ok(good)
-    assert not tree_walk.select_kernel_shape_ok(bad)
+    assert tree_walk.select_kernel_batch_ok(256)
+    assert not tree_walk.select_kernel_batch_ok(64)
     # the bisect harness can force the kernel back on
     monkeypatch.setenv("TMT_FORCE_SELECT_KERNEL", "1")
+    assert tree_walk.select_kernel_batch_ok(64)
+    monkeypatch.delenv("TMT_FORCE_SELECT_KERNEL")
+
+    # the legacy pool-shape guard is a permanent pass-through now
+    bad = TreeConfig(max_nodes=3584, max_obs=3584, max_depth=96)
     assert tree_walk.select_kernel_shape_ok(bad)

@@ -25,17 +25,23 @@ CPU fallback: `interpret=True` runs the kernel in the Pallas interpreter,
 used automatically off-TPU so the full test suite and the multichip dryrun
 exercise the same code path.
 
-KNOWN ISSUE (round 2, real v5e chip): at M=N=3584/D=96 (the 500-sim pool)
-the SELECT kernel composed into the full move program returns garbage walks
-— zero obs ever accumulate min_visits, actions look random — while the SAME
-kernel on the same shapes is bit-exact vs the interpreter when called
-standalone (scripts note in campaign2.sh; checksum bisection in
-runs/campaign2/*_brokenselect). The corruption is composition-dependent
-(layout/aliasing under the fori_loop carry is the suspect). Until the
-miscompile is isolated, TreeConfig.select_kernel=False (--select_kernel 0)
-routes those shapes through the hand-batched XLA walk; the lp-backup kernel
-at the same shapes is row-for-row identical to the XLA control in-driver
-and stays on.
+KNOWN ISSUE (round 2; re-bisected on-chip round 3): the fused SELECT kernel
+miscompiles in-composition at SMALL BATCH. The round-2 theory blamed pool
+shapes (M=N=3584/D=96); the round-3 chip bisection
+(scripts/bisect_select_miscompile.py) showed the real dimension is batch:
+at B=64 the kernel-vs-XLA trajectories diverge at EVERY pool shape
+(including bench's 2048/64) with a block-size-independent signature
+(bg=64/grid=1 and bg=32/grid=2 corrupt identically), while at B=256 the
+kernel is bit-exact at every probed config up to the full 500-sim campaign
+program (3584/96, TMT_LP_BLOCK=32, 8 moves). With the LP evaluator the
+comparison is exact by construction: every expanded child carries a seed
+visit, so the low-visit gumbel branch — the one place the kernel's
+pre-drawn randomness differs from the XLA walk's inline draws — is dead.
+Suspect: the custom-call operand boundary at small B (layout/padding of
+the (B, N) arrays), not Mosaic block geometry. `select_kernel_batch_ok`
+routes B < 256 through the hand-batched XLA walk; the lp-backup kernel is
+row-for-row identical to the XLA control in-driver at all probed configs
+and stays on everywhere.
 
 Design note — why the obs-table insert is NOT fused into the selection
 kernel (considered and rejected without burning chip time): the insert's
@@ -270,42 +276,51 @@ def use_walk_kernels() -> bool:
 
 _SELECT_GUARD_WARNED = set()
 
-# Largest pool/depth shapes where the fused SELECT kernel is verified
-# bit-exact IN-COMPOSITION on the real chip (bench.py's 127k sims/s config).
-# Beyond them lies the round-2 miscompile (KNOWN ISSUE above: garbage walks
-# at M=N=3584/D=96 while standalone-exact) — auto-route those shapes through
-# the XLA walk instead of relying on a manual --select_kernel 0
-# (VERDICT r2 item 3). TMT_FORCE_SELECT_KERNEL=1 overrides (bisect harness).
-_SELECT_OK_NODES = 2048
-_SELECT_OK_DEPTH = 64
+# Smallest BATCH where the fused SELECT kernel is verified bit-exact
+# IN-COMPOSITION on the real chip. Round-3 chip bisection
+# (scripts/bisect_select_miscompile.py) overturned the round-2 pool-shape
+# theory: at B=256 the kernel is exact at EVERY probed config — including
+# the full campaign program (M=N=3584, D=96, 500 sims, TMT_LP_BLOCK=32) —
+# while at B=64 it diverges at EVERY pool shape (even bench's 2048/64),
+# with a signature independent of the kernel block size (bg=64 grid=1 and
+# bg=32 grid=2 corrupt identically: stored rows 207 vs the XLA walk's 987).
+# The trigger is the batch dimension of the surrounding XLA program, i.e.
+# the custom-call boundary at small B (layout/padding of the (B, N)
+# operands is the suspect), not pool size and not Mosaic block geometry.
+# TMT_FORCE_SELECT_KERNEL=1 overrides (bisect harness).
+_SELECT_OK_MIN_BATCH = 256
 
 
-def select_kernel_shape_ok(tcfg) -> bool:
-    """False when (max_nodes, max_obs, max_depth) exceed the largest shapes
-    the select kernel is verified correct at in-composition on real TPU.
-    Always True off-TPU: the interpreter path has no miscompile."""
+def select_kernel_batch_ok(batch: int) -> bool:
+    """False when the batch is below the smallest size the select kernel is
+    verified correct at in-composition on real TPU (see the note above —
+    the miscompile dimension is BATCH, not pool shape). Always True
+    off-TPU: the interpreter path has no miscompile."""
     if not on_tpu():
         return True
     if os.environ.get("TMT_FORCE_SELECT_KERNEL") == "1":
         return True
-    ok = (tcfg.max_nodes <= _SELECT_OK_NODES
-          and tcfg.max_obs <= _SELECT_OK_NODES
-          and tcfg.max_depth <= _SELECT_OK_DEPTH)
-    if not ok:
-        key = (tcfg.max_nodes, tcfg.max_obs, tcfg.max_depth)
-        if key not in _SELECT_GUARD_WARNED:
-            _SELECT_GUARD_WARNED.add(key)
-            import sys
-            print(
-                f"select-kernel guard: pools {tcfg.max_nodes}/{tcfg.max_obs}"
-                f"/depth {tcfg.max_depth} exceed the verified-correct "
-                f"region (<= {_SELECT_OK_NODES}/depth {_SELECT_OK_DEPTH}) "
-                "where the fused selection kernel is known to miscompile "
-                "in-composition (ops/tree_walk.py KNOWN ISSUE); using the "
-                "XLA select walk. TMT_FORCE_SELECT_KERNEL=1 overrides.",
-                file=sys.stderr, flush=True,
-            )
+    ok = batch >= _SELECT_OK_MIN_BATCH
+    if not ok and batch not in _SELECT_GUARD_WARNED:
+        _SELECT_GUARD_WARNED.add(batch)
+        import sys
+        print(
+            f"select-kernel guard: batch {batch} is below the smallest "
+            f"size ({_SELECT_OK_MIN_BATCH}) where the fused selection "
+            "kernel is verified correct in-composition on real TPU "
+            "(ops/tree_walk.py KNOWN ISSUE: it miscompiles at small "
+            "batch); using the XLA select walk. "
+            "TMT_FORCE_SELECT_KERNEL=1 overrides.",
+            file=sys.stderr, flush=True,
+        )
     return ok
+
+
+def select_kernel_shape_ok(tcfg) -> bool:  # pragma: no cover - legacy shim
+    """Round-2 pool-shape guard, kept for external callers: the miscompile
+    dimension turned out to be batch (see select_kernel_batch_ok), so the
+    shape itself is always fine."""
+    return True
 
 
 def insert_fn_for(tcfg):

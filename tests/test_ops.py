@@ -96,26 +96,31 @@ def test_xla_im2col_forward_matches_flax():
                                rtol=1e-4, atol=1e-2)
 
 
-def test_select_kernel_batch_guard(monkeypatch):
-    # On real TPU, batches below the verified-correct minimum must
-    # auto-route to the XLA walk (the small-batch miscompile,
-    # ops/tree_walk.py KNOWN ISSUE — round-3 bisection moved the guard
-    # from pool shapes to batch) without a manual --select_kernel 0.
+def test_select_kernel_config_guard(monkeypatch):
+    # On real TPU, configs outside the verified region (batch >= 256,
+    # pools <= 2048, depth <= 64) must auto-route to the XLA walk
+    # (ops/tree_walk.py KNOWN ISSUE: the round-3 bisection mapped failure
+    # modes at both small batch and large pools/depth) without a manual
+    # --select_kernel 0.
     from tetris_mcts_tpu.ops import tree_walk
     from tetris_mcts_tpu.search.tree import TreeConfig
 
-    # off-TPU (the interpreter path) every batch is fine
-    assert tree_walk.select_kernel_batch_ok(64)
-    assert tree_walk.select_kernel_batch_ok(256)
+    good = TreeConfig(max_nodes=2048, max_obs=2048, max_depth=64)
+    big = TreeConfig(max_nodes=3584, max_obs=3584, max_depth=96)
+
+    # off-TPU (the interpreter path) every config is fine
+    assert tree_walk.select_kernel_config_ok(good, 64)
+    assert tree_walk.select_kernel_config_ok(big, 256)
 
     monkeypatch.setattr(tree_walk, "on_tpu", lambda: True)
-    assert tree_walk.select_kernel_batch_ok(256)
-    assert not tree_walk.select_kernel_batch_ok(64)
+    assert tree_walk.select_kernel_config_ok(good, 256)
+    assert not tree_walk.select_kernel_config_ok(good, 64)   # small batch
+    assert not tree_walk.select_kernel_config_ok(big, 256)   # large pools
     # the bisect harness can force the kernel back on
     monkeypatch.setenv("TMT_FORCE_SELECT_KERNEL", "1")
-    assert tree_walk.select_kernel_batch_ok(64)
+    assert tree_walk.select_kernel_config_ok(big, 64)
     monkeypatch.delenv("TMT_FORCE_SELECT_KERNEL")
 
-    # the legacy pool-shape guard is a permanent pass-through now
-    bad = TreeConfig(max_nodes=3584, max_obs=3584, max_depth=96)
-    assert tree_walk.select_kernel_shape_ok(bad)
+    # the legacy shape-only guard mirrors the pool/depth part of the region
+    assert tree_walk.select_kernel_shape_ok(good)
+    assert not tree_walk.select_kernel_shape_ok(big)

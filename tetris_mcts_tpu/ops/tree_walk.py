@@ -26,22 +26,29 @@ used automatically off-TPU so the full test suite and the multichip dryrun
 exercise the same code path.
 
 KNOWN ISSUE (round 2; re-bisected on-chip round 3): the fused SELECT kernel
-miscompiles in-composition at SMALL BATCH. The round-2 theory blamed pool
-shapes (M=N=3584/D=96); the round-3 chip bisection
-(scripts/bisect_select_miscompile.py) showed the real dimension is batch:
-at B=64 the kernel-vs-XLA trajectories diverge at EVERY pool shape
-(including bench's 2048/64) with a block-size-independent signature
-(bg=64/grid=1 and bg=32/grid=2 corrupt identically), while at B=256 the
-kernel is bit-exact at every probed config up to the full 500-sim campaign
-program (3584/96, TMT_LP_BLOCK=32, 8 moves). With the LP evaluator the
-comparison is exact by construction: every expanded child carries a seed
-visit, so the low-visit gumbel branch — the one place the kernel's
-pre-drawn randomness differs from the XLA walk's inline draws — is dead.
-Suspect: the custom-call operand boundary at small B (layout/padding of
-the (B, N) arrays), not Mosaic block geometry. `select_kernel_batch_ok`
-routes B < 256 through the hand-batched XLA walk; the lp-backup kernel is
-row-for-row identical to the XLA control in-driver at all probed configs
-and stays on everywhere.
+miscompiles in-composition OUTSIDE the headline-bench region. The round-3
+chip bisection (scripts/bisect_select_miscompile.py; full move program,
+kernel-on vs the bit-exact XLA twin — the comparison is exact by
+construction with the LP evaluator, whose seed visits kill the low-visit
+gumbel branch, the one place the two paths' randomness differs) mapped two
+failure modes:
+- SMALL BATCH: at B=64 trajectories diverge at move 0 at EVERY pool shape
+  (even bench's 2048/64), with a block-geometry-independent signature
+  (bg=64/grid=1 and bg=32/grid=2 corrupt identically, stored rows 207 vs
+  987) — the custom-call operand boundary at small B is the suspect.
+- LARGE POOLS/DEPTH: at B=256, M=N=3584/D=96 with 500 sims/move the root
+  stats diverge from move ~6 (≈3000 sims in, pools filling) with or
+  without TMT_LP_BLOCK; shorter horizons (4 moves) and small-sims programs
+  (64 sims, 6 moves) compare exact, which is what round 2's "standalone
+  exact" observation was really seeing. In-driver this mode collapses the
+  search outright (zero stored rows, instant-death episodes — caught live
+  by the zero-storage alarm).
+An input optimization_barrier (TMT_SELECT_COPY=1) fixes neither mode.
+Inside batch >= 256 AND pools <= 2048 AND depth <= 64 (bench's 127k sims/s
+config) the kernel is verified exact in-composition; `select_kernel_config_ok`
+auto-routes everything else through the hand-batched XLA walk. The
+lp-backup kernel is row-for-row identical to the XLA control in-driver at
+all probed configs and stays on everywhere.
 
 Design note — why the obs-table insert is NOT fused into the selection
 kernel (considered and rejected without burning chip time): the insert's
@@ -276,51 +283,54 @@ def use_walk_kernels() -> bool:
 
 _SELECT_GUARD_WARNED = set()
 
-# Smallest BATCH where the fused SELECT kernel is verified bit-exact
-# IN-COMPOSITION on the real chip. Round-3 chip bisection
-# (scripts/bisect_select_miscompile.py) overturned the round-2 pool-shape
-# theory: at B=256 the kernel is exact at EVERY probed config — including
-# the full campaign program (M=N=3584, D=96, 500 sims, TMT_LP_BLOCK=32) —
-# while at B=64 it diverges at EVERY pool shape (even bench's 2048/64),
-# with a signature independent of the kernel block size (bg=64 grid=1 and
-# bg=32 grid=2 corrupt identically: stored rows 207 vs the XLA walk's 987).
-# The trigger is the batch dimension of the surrounding XLA program, i.e.
-# the custom-call boundary at small B (layout/padding of the (B, N)
-# operands is the suspect), not pool size and not Mosaic block geometry.
+# The region where the fused SELECT kernel is verified bit-exact
+# IN-COMPOSITION on the real chip (round-3 bisection,
+# scripts/bisect_select_miscompile.py — see the KNOWN ISSUE above for the
+# full failure map): batch >= 256 AND pools <= 2048 AND depth <= 64, the
+# headline-bench configuration. Outside it lie two measured failure modes:
+# small batch (B=64 diverges at move 0 at EVERY pool shape) and large
+# pools/depth (B=256 at 3584/96/500-sims diverges from move ~6).
 # TMT_FORCE_SELECT_KERNEL=1 overrides (bisect harness).
 _SELECT_OK_MIN_BATCH = 256
+_SELECT_OK_NODES = 2048
+_SELECT_OK_DEPTH = 64
 
 
-def select_kernel_batch_ok(batch: int) -> bool:
-    """False when the batch is below the smallest size the select kernel is
-    verified correct at in-composition on real TPU (see the note above —
-    the miscompile dimension is BATCH, not pool shape). Always True
-    off-TPU: the interpreter path has no miscompile."""
+def select_kernel_config_ok(tcfg, batch: int) -> bool:
+    """False when (batch, pools, depth) fall outside the region the select
+    kernel is verified correct at in-composition on real TPU (see the note
+    above). Always True off-TPU: the interpreter path has no miscompile."""
     if not on_tpu():
         return True
     if os.environ.get("TMT_FORCE_SELECT_KERNEL") == "1":
         return True
-    ok = batch >= _SELECT_OK_MIN_BATCH
-    if not ok and batch not in _SELECT_GUARD_WARNED:
-        _SELECT_GUARD_WARNED.add(batch)
+    ok = (batch >= _SELECT_OK_MIN_BATCH
+          and tcfg.max_nodes <= _SELECT_OK_NODES
+          and tcfg.max_obs <= _SELECT_OK_NODES
+          and tcfg.max_depth <= _SELECT_OK_DEPTH)
+    key = (batch, tcfg.max_nodes, tcfg.max_obs, tcfg.max_depth)
+    if not ok and key not in _SELECT_GUARD_WARNED:
+        _SELECT_GUARD_WARNED.add(key)
         import sys
         print(
-            f"select-kernel guard: batch {batch} is below the smallest "
-            f"size ({_SELECT_OK_MIN_BATCH}) where the fused selection "
-            "kernel is verified correct in-composition on real TPU "
-            "(ops/tree_walk.py KNOWN ISSUE: it miscompiles at small "
-            "batch); using the XLA select walk. "
-            "TMT_FORCE_SELECT_KERNEL=1 overrides.",
+            f"select-kernel guard: batch {batch} / pools {tcfg.max_nodes}"
+            f"/{tcfg.max_obs} / depth {tcfg.max_depth} fall outside the "
+            f"region (batch >= {_SELECT_OK_MIN_BATCH}, pools <= "
+            f"{_SELECT_OK_NODES}, depth <= {_SELECT_OK_DEPTH}) where the "
+            "fused selection kernel is verified correct in-composition on "
+            "real TPU (ops/tree_walk.py KNOWN ISSUE); using the XLA select "
+            "walk. TMT_FORCE_SELECT_KERNEL=1 overrides.",
             file=sys.stderr, flush=True,
         )
     return ok
 
 
 def select_kernel_shape_ok(tcfg) -> bool:  # pragma: no cover - legacy shim
-    """Round-2 pool-shape guard, kept for external callers: the miscompile
-    dimension turned out to be batch (see select_kernel_batch_ok), so the
-    shape itself is always fine."""
-    return True
+    """Round-2 pool-shape-only guard, kept for external callers; the full
+    verified region also has a batch dimension (select_kernel_config_ok)."""
+    return (tcfg.max_nodes <= _SELECT_OK_NODES
+            and tcfg.max_obs <= _SELECT_OK_NODES
+            and tcfg.max_depth <= _SELECT_OK_DEPTH) or not on_tpu()
 
 
 def insert_fn_for(tcfg):

@@ -222,7 +222,7 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
         B = trees.root.shape[0]
         key, k_sel, k_ev = jax.random.split(key, 3)
         kernel_path = (tcfg.select_kernel and walk_kernels_ok
-                       and tree_walk.select_kernel_batch_ok(B))
+                       and tree_walk.select_kernel_config_ok(tcfg, B))
         if kernel_path:
             # ONE Pallas kernel walks all B trees, carrying and stepping
             # each lane's env state inline, AND steps the leaf's 7 children

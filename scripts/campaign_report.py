@@ -54,9 +54,15 @@ def main():
         print(f"last-50: lines {L[-50:].mean():.2f}  score {S[-50:].mean():.0f}")
 
     if bench:
+        # per-attempt round/episode counters restart at 1 after a watchdog
+        # or supervisor relaunch — re-sequence by timestamp and report the
+        # CUMULATIVE main-episode count at each benchmark, which is the
+        # x-axis of the reference's parity curve
+        bench.sort(key=lambda b: b["t"])
         print("\nbenchmark rounds (training+storage off):")
-        for b in bench:
-            print(f"  round {b['round']:3d} @ep {b['episode']:6d} "
+        for i, b in enumerate(bench):
+            cum_ep = sum(1 for e in eps if e["t"] < b["t"])
+            print(f"  round {i + 1:3d} @cum-ep {cum_ep:6d} "
                   f"({b['games']} games, {b['sims']} sims): "
                   f"lines {b['lines_mean']:.2f}±{b['lines_std']:.2f} "
                   f"(max {b['lines_max']:.0f})  score {b['score_mean']:.0f}")

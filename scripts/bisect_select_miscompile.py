@@ -50,7 +50,9 @@ from tetris_mcts_tpu.search.tree import TreeConfig  # noqa: E402
 from tetris_mcts_tpu.train.trainer import VVModel  # noqa: E402
 
 
-def run_moves(select_kernel, pool, depth, batch, sims, moves, model, seed):
+def run_moves(select_kernel, pool, depth, batch, sims, moves, model, seed,
+              interpret=False):
+    os.environ["TMT_SELECT_INTERPRET"] = "1" if interpret else "0"
     cfg = mcts.SearchConfig(
         tree=TreeConfig(
             max_nodes=pool, max_obs=pool,
@@ -97,11 +99,21 @@ def main():
     ap.add_argument("--block", type=int, default=0,
                     help="force TMT_SELECT_BLOCK (0 = auto; probe whether "
                          "the bg=64 auto-block at 3584 pools is the trigger)")
+    ap.add_argument("--pad", type=int, default=0,
+                    help="set TMT_SELECT_PAD: pad the kernel batch to this "
+                         "many lanes by tiling lane 0 (small-batch dodge)")
+    ap.add_argument("--mode", choices=["xla", "interp"], default="xla",
+                    help="xla: kernel vs the XLA walk twin (default). "
+                         "interp: COMPILED kernel vs the INTERPRETED kernel "
+                         "in the same program on the same device — isolates "
+                         "Mosaic codegen with no cross-path differences")
     args = ap.parse_args()
     if args.copy:
         os.environ["TMT_SELECT_COPY"] = "1"
     if args.block:
         os.environ["TMT_SELECT_BLOCK"] = str(args.block)
+    if args.pad:
+        os.environ["TMT_SELECT_PAD"] = str(args.pad)
 
     model = VVModel(seed=args.seed)
     print(f"device={jax.devices()[0].platform} batch={args.batch} "
@@ -111,8 +123,9 @@ def main():
         t0 = time.time()
         a1, t1, r1 = run_moves(True, pool, depth, args.batch, args.sims,
                                args.moves, model, args.seed)
-        a0, t0s, r0 = run_moves(False, pool, depth, args.batch, args.sims,
-                                args.moves, model, args.seed)
+        a0, t0s, r0 = run_moves(args.mode == "interp", pool, depth,
+                                args.batch, args.sims, args.moves, model,
+                                args.seed, interpret=args.mode == "interp")
         same_a = bool((a1 == a0).all())
         same_t = bool((t1 == t0s).all())
         # root values: bf16 forward is identical either path; exact compare

@@ -54,15 +54,18 @@ def main():
         print(f"last-50: lines {L[-50:].mean():.2f}  score {S[-50:].mean():.0f}")
 
     if bench:
-        # per-attempt round/episode counters restart at 1 after a watchdog
-        # or supervisor relaunch — re-sequence by timestamp and report the
-        # CUMULATIVE main-episode count at each benchmark, which is the
-        # x-axis of the reference's parity curve
-        bench.sort(key=lambda b: b["t"])
+        # events carry a monotone per-launch `run` id (MetricsWriter), so
+        # (run, round) orders relaunches unambiguously; legacy events
+        # without it fall back to timestamp order. Report the CUMULATIVE
+        # main-episode count at each benchmark — the x-axis of the
+        # reference's parity curve.
+        bench.sort(key=lambda b: (b.get("run", 0), b["t"]))
         print("\nbenchmark rounds (training+storage off):")
         for i, b in enumerate(bench):
             cum_ep = sum(1 for e in eps if e["t"] < b["t"])
-            print(f"  round {i + 1:3d} @cum-ep {cum_ep:6d} "
+            tag = (f"run {b['run']}.{b['round']}" if "run" in b
+                   else f"round {i + 1:3d}")
+            print(f"  {tag:>9} @cum-ep {cum_ep:6d} "
                   f"({b['games']} games, {b['sims']} sims): "
                   f"lines {b['lines_mean']:.2f}±{b['lines_std']:.2f} "
                   f"(max {b['lines_max']:.0f})  score {b['score_mean']:.0f}")
@@ -72,9 +75,19 @@ def main():
         print(f"\ntraining sessions: {len(sessions)}  total {t/60:.1f} min  "
               f"last val-loss {sessions[-1]['loss_val']:.4f}")
     if tps:
-        sp = [t["sims_per_s"] for t in tps]
+        sp = [t["sims_per_s"] for t in tps if t.get("sims_per_s")]
         print(f"throughput windows: median {np.median(sp):.0f} sims/s "
               f"(n={len(sp)})")
+        # config-tagged windows (post-r3 streams) broken out per config,
+        # so one shared stream can't blend workloads into one median
+        cfgs = {}
+        for t in tps:
+            if "sims" in t and t.get("sims_per_s"):
+                cfgs.setdefault((t["sims"], t["batch"]), []).append(
+                    t["sims_per_s"])
+        for (sims, batch), v in sorted(cfgs.items()):
+            print(f"  config sims={sims} batch={batch}: median "
+                  f"{np.median(v):.0f} sims/s (n={len(v)})")
 
 
 if __name__ == "__main__":

@@ -24,17 +24,44 @@ from typing import Optional
 import numpy as np
 
 
+def _next_run_id(path: str) -> int:
+    """Monotone per-launch attempt id: one more than the max `run` already
+    in the stream (1 for a fresh file). Makes relaunches of an appended-to
+    stream unambiguous without report-side re-sequencing heuristics — the
+    benchmark channel's `round` counter restarts per process, so raw
+    consumers key on (run, round) instead (VERDICT r3 item 6)."""
+    run = 0
+    try:
+        with open(path) as f:
+            for line in f:
+                i = line.find('"run": ')
+                if i < 0:
+                    continue
+                tail = line[i + 7:]
+                j = 0
+                while j < len(tail) and tail[j].isdigit():
+                    j += 1
+                if j:
+                    run = max(run, int(tail[:j]))
+    except OSError:
+        pass
+    return run + 1
+
+
 class MetricsWriter:
     """Append-only JSONL event log. Event kinds used by the framework:
-    episode, train_session, train_eval, node_removal, benchmark."""
+    episode, train_session, train_eval, node_removal, benchmark. Every
+    event carries `run`, a monotone per-launch attempt id (see
+    `_next_run_id`)."""
 
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.run = _next_run_id(path)
         self._f = open(path, "a", buffering=1)
         self.path = path
 
     def write(self, kind: str, **fields):
-        rec = {"t": time.time(), "kind": kind}
+        rec = {"t": time.time(), "kind": kind, "run": self.run}
         # non-finite floats would serialize as bare NaN/Infinity tokens,
         # which are invalid JSON and break every downstream reader (the
         # dashboard's JSON response in particular) — store null instead

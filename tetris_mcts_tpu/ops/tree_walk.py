@@ -676,6 +676,16 @@ def select_batched_pallas(trees, key, cfg):
     env0 = engine.pack_state(trees.root_state)  # (B, 44)
     ins = (trees.cbase, score, obs, trees.visits, trees.values, trees.vars_,
            trees.root, rootsc, env0, gumbels, rnd)
+    # Small-batch dodge (KNOWN ISSUE, mode 1): B < TMT_SELECT_PAD lanes are
+    # padded to that many by tiling lane 0 (select is pure — pad lanes walk
+    # a copy of tree 0 and their outputs are sliced away). The miscompile's
+    # small-batch mode sits at the custom-call operand boundary; padding
+    # moves the operands back into the verified batch region.
+    pad_to = int(os.environ.get("TMT_SELECT_PAD", "0"))
+    padded = pad_to > B
+    if padded:
+        reps = -(-pad_to // B)  # ceil
+        ins = tuple(jnp.concatenate([a] * reps, 0)[:pad_to] for a in ins)
     if os.environ.get("TMT_SELECT_COPY") == "1":
         # Miscompile bisection knob (KNOWN ISSUE above): force the kernel
         # inputs through an optimization barrier so XLA cannot alias them
@@ -684,13 +694,24 @@ def select_batched_pallas(trees, key, cfg):
         # the guard-exceeded shapes bit-exact, the bug is input aliasing/
         # layout, and this becomes the (cheap) production workaround.
         ins = lax.optimization_barrier(ins)
+    # TMT_SELECT_INTERPRET=1: run the kernel through the Pallas interpreter
+    # ON the accelerator backend (jax ops, no Mosaic). Bisection probe: a
+    # compiled-vs-interpreted mismatch in the SAME program on the SAME
+    # device isolates Mosaic codegen with zero cross-platform float noise.
+    interp = (not on_tpu()
+              or os.environ.get("TMT_SELECT_INTERPRET") == "1")
     traces, lengths, leafs, leaf_env, chpk, chsc, chend = _data_sharded(
         select_walk,
         *ins,
         policy=cfg.policy, low=cfg.low,
         app=cfg.env.actions_per_drop, scoring=cfg.env.scoring,
-        randomizer=cfg.env.randomizer, interpret=not on_tpu(),
+        randomizer=cfg.env.randomizer, interpret=interp,
     )
+    if padded:
+        traces, lengths, leafs, leaf_env, chpk, chsc, chend = (
+            a[:B] for a in
+            (traces, lengths, leafs, leaf_env, chpk, chsc, chend)
+        )
     leaf_states = engine.unpack_state(leaf_env)
     return (traces, lengths, leafs, leaf_states, chpk,
             chsc.astype(jnp.float32), chend != 0)

@@ -25,6 +25,7 @@ Reference semantics preserved:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import NamedTuple, Optional
@@ -250,8 +251,14 @@ class _OnlineDriverBase:
                      f"moves, batch {self.cfg.batch}, {self.cfg.sims} sims)"
                      + live)
             if self.metrics is not None:
+                # config fields let consumers (bench.py parity_sims_per_s)
+                # filter windows to the configuration they describe instead
+                # of trusting everything appended to the shared stream
                 self.metrics.write(
                     "throughput", moves=self.moves,
+                    sims=self.cfg.sims, batch=self.cfg.batch,
+                    max_nodes=self.cfg.max_nodes,
+                    select_kernel=bool(self.cfg.select_kernel),
                     moves_per_s=round(moves_per_s, 3),
                     sims_per_s=round(sims_per_s, 1),
                     live_lines_mean=(None if ll is None
@@ -661,6 +668,17 @@ class _OnlineDriverBase:
                 lines_min=lt.min, lines_max=lt.max,
                 score_mean=round(st.mean, 2), score_std=round(st.std, 2),
             )
+            # snapshot the EXACT net this round measured (training runs
+            # between a benchmark event and any external watcher's copy,
+            # so a file-watcher snapshot could contain post-benchmark
+            # updates) — keyed (run, round) like the event itself
+            if self.cfg.checkpoint_each_train:
+                root, ext = os.path.splitext(self.model.checkpoint_path)
+                snap = f"{root}.bench{self.metrics.run}_{self._bench_round}{ext}"
+                try:
+                    self.model.save(snap)
+                except OSError as e:
+                    self.log(f"benchmark snapshot failed ({e!r})")
         # benchmark wall time is not search time
         self._tp_t0 = time.perf_counter()
         self._tp_moves = 0

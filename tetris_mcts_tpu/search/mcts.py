@@ -300,6 +300,10 @@ def make_run_sims(evaluator: Callable, cfg: SearchConfig):
         trees, _ = jax.lax.fori_loop(0, cfg.sims, body, (trees, key))
         return trees
 
+    # single-sim handle for debug harnesses (scripts/probe_select_sim.py
+    # drives sims one at a time to localize the select-kernel miscompile);
+    # production code always calls `run` (the fused fori_loop)
+    run.sim_once = sim_once
     return run
 
 

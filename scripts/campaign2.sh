@@ -19,16 +19,13 @@
 # - train cadence 60k-row trigger / 3000 iters ~= the reference's ~1
 #   training iter per game-move at batch 256 (campaign1 run1 burned 95%
 #   duty on training with the 15k/50k cadence).
-# - select_kernel 0: the fused Pallas selection kernel miscompiles at this
-#   configuration (round-3 bisection: at B=256/3584/96/500-sims the
-#   kernel-vs-XLA root stats diverge from move ~6 — ~3000 sims in, pools
-#   filling — regardless of TMT_LP_BLOCK; at B=64 it diverges at move 0 at
-#   EVERY pool shape; a relaunch with the kernel on collapsed live: ~400
-#   instant-death episodes, zero stored rows, caught by the zero-storage
-#   alarm with no training on garbage). The XLA select + Pallas lp-backup
-#   combination is verified row-for-row identical to the all-XLA control
-#   and ran the whole round-3 morning campaign. tree_walk's guard also
-#   enforces this (select_kernel_config_ok); the explicit flag documents it.
+# - select kernel ON (round 4): the round-3 "miscompile" was two real
+#   bugs elsewhere — input_output_aliases on the backup kernels corrupting
+#   the stat triple in composition, and Mosaic argmax breaking exact ties
+#   differently than XLA — both fixed (ops/tree_walk.py KNOWN ISSUE).
+#   B=256/3584/96/500-sims now compares bit-exact against the XLA walk
+#   over full multi-move programs (runs/r4probe/probes4.log), so the
+#   campaign runs the fused kernel path at full speed.
 #
 # Usage: END_BY=<epoch-secs> bash scripts/campaign2.sh [OUT_DIR]
 set -u
@@ -58,7 +55,7 @@ while [ "$(left_s)" -gt 300 ]; do
     env TMT_LP_BLOCK=32 python -m tetris_mcts_tpu play \
         --agent_type ValueSimLP --online --endless \
         --mcts_sims 500 --batch 256 --app 1 --scoring 0 --randomizer 0 \
-        --max_nodes 3584 --max_obs 3584 --select_kernel 0 \
+        --max_nodes 3584 --max_obs 3584 \
         --min_visits 25 --memory_size 500000 --memory_growth 5000 \
         --train_rows 60000 --train_batch 1024 \
         --train_iters_per_val 100 --train_max_iters 3000 \

@@ -70,6 +70,7 @@ def make_cmp(tcfg):
     # off-TPU both sides interpret (plumbing sanity only — the Mosaic
     # compile this probe exists to test needs the chip)
     compiled_interp = not tree_walk.on_tpu()
+    no_interp = os.environ.get("TMT_PROBE_NO_INTERP") == "1"
     vexpand_ch = jax.vmap(T.expand_children, in_axes=(0, 0, None))
 
     def lanes(a, b):
@@ -83,9 +84,14 @@ def make_cmp(tcfg):
         B = trees.root.shape[0]
         ins = select_ins(trees, key, tcfg)
         c = tree_walk.select_walk(*ins, interpret=compiled_interp, **kw)
-        i = tree_walk.select_walk(*ins, interpret=True, **kw)
-        # compiled-vs-interpreted: pure Mosaic-codegen isolation
-        mism = {f"M_{n}": lanes(a, b) for n, a, b in zip(OUT_NAMES, c, i)}
+        if no_interp:
+            mism = {}
+            i = c
+        else:
+            i = tree_walk.select_walk(*ins, interpret=True, **kw)
+            # compiled-vs-interpreted: pure Mosaic-codegen isolation
+            mism = {f"M_{n}": lanes(a, b)
+                    for n, a, b in zip(OUT_NAMES, c, i)}
         # interpreted-kernel vs the hand-batched XLA walk + XLA child
         # expansion: pure SEMANTIC difference between the two paths
         # (valid while the low-visit gumbel branch is dead — LP seeding)
@@ -117,6 +123,13 @@ def main():
     ap.add_argument("--out", default="runs/r4probe")
     ap.add_argument("--keep_going", action="store_true",
                     help="report every divergent sim, not just the first")
+    ap.add_argument("--pure_xla", action="store_true",
+                    help="advance state with a NO-Pallas sim_once (XLA "
+                         "walks + XLA seed/backup) as ground truth")
+    ap.add_argument("--no_interp", action="store_true",
+                    help="skip the interpreted-kernel comparison (compiled "
+                         "kernel vs XLA walk only; interpret compiles of "
+                         "big shapes are very slow)")
     ap.add_argument("--replay", default="",
                     help="re-run compiled-vs-interp on a dumped state.pkl")
     args = ap.parse_args()
@@ -145,9 +158,22 @@ def main():
     model = VVModel(seed=args.seed)
     evaluator = mcts.nn_child_evaluator(model.apply_fn(jnp.bfloat16))
 
-    # ground-truth single-sim advance: interpreted kernel path
-    os.environ["TMT_SELECT_INTERPRET"] = "1"
-    run = mcts.make_run_sims(evaluator, cfg)
+    if args.no_interp:
+        os.environ["TMT_PROBE_NO_INTERP"] = "1"
+    if args.pure_xla:
+        # ground truth advance: NO Pallas anywhere (XLA select walk + XLA
+        # lp_seed + XLA backup)
+        saved = tree_walk.use_walk_kernels
+        tree_walk.use_walk_kernels = lambda: False
+        try:
+            run = mcts.make_run_sims(evaluator, cfg._replace(
+                tree=tcfg._replace(select_kernel=False)))
+        finally:
+            tree_walk.use_walk_kernels = saved
+    else:
+        # advance through the interpreted-select kernel path
+        os.environ["TMT_SELECT_INTERPRET"] = "1"
+        run = mcts.make_run_sims(evaluator, cfg)
     sim_once = jax.jit(run.sim_once)
 
     cmp = make_cmp(tcfg)

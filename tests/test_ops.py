@@ -97,30 +97,33 @@ def test_xla_im2col_forward_matches_flax():
 
 
 def test_select_kernel_config_guard(monkeypatch):
-    # On real TPU, configs outside the verified region (batch >= 256,
-    # pools <= 2048, depth <= 64) must auto-route to the XLA walk
-    # (ops/tree_walk.py KNOWN ISSUE: the round-3 bisection mapped failure
-    # modes at both small batch and large pools/depth) without a manual
-    # --select_kernel 0.
+    # On real TPU, configs outside the verified region (pools <= 2048,
+    # depth <= 64 — any batch since the round-4 aliasing fix; the round-3
+    # small-batch failure mode was the backup kernels' input_output_aliases
+    # miscompiling, ops/tree_walk.py KNOWN ISSUE) must auto-route to the
+    # XLA walk without a manual --select_kernel 0.
     from tetris_mcts_tpu.ops import tree_walk
     from tetris_mcts_tpu.search.tree import TreeConfig
 
     good = TreeConfig(max_nodes=2048, max_obs=2048, max_depth=64)
-    big = TreeConfig(max_nodes=3584, max_obs=3584, max_depth=96)
+    campaign = TreeConfig(max_nodes=3584, max_obs=3584, max_depth=96)
+    huge = TreeConfig(max_nodes=16384, max_obs=16384, max_depth=192)
 
     # off-TPU (the interpreter path) every config is fine
     assert tree_walk.select_kernel_config_ok(good, 64)
-    assert tree_walk.select_kernel_config_ok(big, 256)
+    assert tree_walk.select_kernel_config_ok(huge, 256)
 
     monkeypatch.setattr(tree_walk, "on_tpu", lambda: True)
     assert tree_walk.select_kernel_config_ok(good, 256)
-    assert not tree_walk.select_kernel_config_ok(good, 64)   # small batch
-    assert not tree_walk.select_kernel_config_ok(big, 256)   # large pools
+    assert tree_walk.select_kernel_config_ok(good, 64)       # small batch ok
+    assert tree_walk.select_kernel_config_ok(campaign, 256)  # 3584:96 ok
+    assert not tree_walk.select_kernel_config_ok(huge, 256)  # beyond envelope
     # the bisect harness can force the kernel back on
     monkeypatch.setenv("TMT_FORCE_SELECT_KERNEL", "1")
-    assert tree_walk.select_kernel_config_ok(big, 64)
+    assert tree_walk.select_kernel_config_ok(huge, 64)
     monkeypatch.delenv("TMT_FORCE_SELECT_KERNEL")
 
     # the legacy shape-only guard mirrors the pool/depth part of the region
     assert tree_walk.select_kernel_shape_ok(good)
-    assert not tree_walk.select_kernel_shape_ok(big)
+    assert tree_walk.select_kernel_shape_ok(campaign)
+    assert not tree_walk.select_kernel_shape_ok(huge)

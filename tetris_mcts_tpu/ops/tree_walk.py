@@ -25,30 +25,34 @@ CPU fallback: `interpret=True` runs the kernel in the Pallas interpreter,
 used automatically off-TPU so the full test suite and the multichip dryrun
 exercise the same code path.
 
-KNOWN ISSUE (round 2; re-bisected on-chip round 3): the fused SELECT kernel
-miscompiles in-composition OUTSIDE the headline-bench region. The round-3
-chip bisection (scripts/bisect_select_miscompile.py; full move program,
-kernel-on vs the bit-exact XLA twin — the comparison is exact by
-construction with the LP evaluator, whose seed visits kill the low-visit
-gumbel branch, the one place the two paths' randomness differs) mapped two
-failure modes:
-- SMALL BATCH: at B=64 trajectories diverge at move 0 at EVERY pool shape
-  (even bench's 2048/64), with a block-geometry-independent signature
-  (bg=64/grid=1 and bg=32/grid=2 corrupt identically, stored rows 207 vs
-  987) — the custom-call operand boundary at small B is the suspect.
-- LARGE POOLS/DEPTH: at B=256, M=N=3584/D=96 with 500 sims/move the root
-  stats diverge from move ~6 (≈3000 sims in, pools filling) with or
-  without TMT_LP_BLOCK; shorter horizons (4 moves) and small-sims programs
-  (64 sims, 6 moves) compare exact, which is what round 2's "standalone
-  exact" observation was really seeing. In-driver this mode collapses the
-  search outright (zero stored rows, instant-death episodes — caught live
-  by the zero-storage alarm).
-An input optimization_barrier (TMT_SELECT_COPY=1) fixes neither mode.
-Inside batch >= 256 AND pools <= 2048 AND depth <= 64 (bench's 127k sims/s
-config) the kernel is verified exact in-composition; `select_kernel_config_ok`
-auto-routes everything else through the hand-batched XLA walk. The
-lp-backup kernel is row-for-row identical to the XLA control in-driver at
-all probed configs and stays on everywhere.
+KNOWN ISSUE — ROUND-4 REDIAGNOSIS: the round-2/3 "select-kernel
+miscompile" was NOT the select kernel. The real fault was
+`input_output_aliases` on the STAT-UPDATING kernels (backup / lp-backup):
+composed into the fused sims fori_loop, XLA:TPU can assign the three
+aliased (B, M) in/out pairs overlapping buffers — a dumped state showed
+literally visits == values == vars_ — after which every visit count is a
+small float, the low-visit gumbel branch goes live on every level, and the
+kernel-vs-XLA arms diverge through their (legitimately different) tie-break
+random streams. Because the backup kernels ran in BOTH arms of every
+comparison, three rounds of bisection mis-attributed this to select. The
+round-4 localization chain (runs/r4probe/): per-sim three-way compare
+(compiled select == interpreted select == plain-jnp transcription, M_*
+fields all zero — Mosaic codegen is exact), state autopsy (the corrupt
+stat triple), then TMT_NO_ALIAS=1 flipping the B=64 full-program compare
+from BAD (207 vs 987 stored rows, deterministic) to OK.
+
+FIX: aliases are now OFF on TPU by default (`_use_aliases`); the kernels
+copy the stat inputs into fresh outputs instead (3 (B, M) f32 copies per
+call — HBM noise next to the walk; headline bench unchanged within
+spread). Interpret mode (CPU tests) keeps aliases on so that path stays
+covered; TMT_ALIAS=1 / TMT_NO_ALIAS=1 override for experiments.
+
+STILL OPEN (mode 2): at B=256, M=N=3584/D=96 with 500 sims/move the
+kernel-on and XLA arms' ROOT STATS drift apart from move ~6 (actions and
+stored rows stay equal over 8 moves) even with aliasing off. The
+select_kernel_config_ok guard therefore still routes pools > 2048 or
+depth > 64 through the XLA walk; the small-batch constraint is lifted
+(verified B=32..256 post-fix, probes4.log).
 
 Design note — why the obs-table insert is NOT fused into the selection
 kernel (considered and rejected without burning chip time): the insert's
@@ -149,7 +153,7 @@ def _reverse_welford_walk(gamma, trace_ref, lengths, score_ref, lookup_obs,
     lax.fori_loop(0, kmax, body, v0, unroll=False)
 
 
-def _backup_kernel(gamma, D, N, M,
+def _backup_kernel(gamma, D, N, M, aliased,
                    trace_ref, len_ref, v0_ref, var0_ref,
                    score_ref, obs_ref,
                    visit_ref, value_ref, var_ref,
@@ -160,7 +164,13 @@ def _backup_kernel(gamma, D, N, M,
       trace (BG, D) i32, len/v0/var0 (BG, 1), score (BG, N) f32,
       obs (BG, N) i32, stats (BG, M) f32 (aliased in/out).
     """
-    del visit_ref, value_ref, var_ref  # aliased: *_out hold the input values
+    if aliased:
+        del visit_ref, value_ref, var_ref  # *_out hold the input values
+    else:
+        # TMT_NO_ALIAS probe mode: fresh outputs, copy the inputs first
+        visit_out[:] = visit_ref[:]
+        value_out[:] = value_ref[:]
+        var_out[:] = var_ref[:]
     BG = trace_ref.shape[0]
     diota = lax.broadcasted_iota(jnp.int32, (BG, D), 1)
     niota = lax.broadcasted_iota(jnp.int32, (BG, N), 1)
@@ -201,7 +211,9 @@ def backup_walk(traces, lengths, v0, var0, score, obs, visits, values, vars_,
 
     row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
-    kernel = functools.partial(_backup_kernel, float(gamma), D, N, M)
+    aliased = _use_aliases()
+    kernel = functools.partial(_backup_kernel, float(gamma), D, N, M,
+                               aliased)
     out = pl.pallas_call(
         kernel,
         grid=(B // bg,),
@@ -209,7 +221,7 @@ def backup_walk(traces, lengths, v0, var0, score, obs, visits, values, vars_,
                   row(M), row(M), row(M)],
         out_specs=[row(M), row(M), row(M)],
         out_shape=[jax.ShapeDtypeStruct((B, M), jnp.float32)] * 3,
-        input_output_aliases={6: 0, 7: 1, 8: 2},
+        input_output_aliases={6: 0, 7: 1, 8: 2} if aliased else {},
         interpret=interpret,
     )(traces, lengths.reshape(B, 1), v0.reshape(B, 1).astype(jnp.float32),
       var0.reshape(B, 1).astype(jnp.float32), score, obs,
@@ -219,6 +231,30 @@ def backup_walk(traces, lengths, v0, var0, score, obs, visits, values, vars_,
 
 def on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
+
+
+def _use_aliases() -> bool:
+    """Whether the stat-updating kernels declare input_output_aliases.
+
+    DEFAULT OFF ON TPU (round 4): aliasing the carried (B, M) stat triple
+    through the pallas custom call MISCOMPILES in composition — inside the
+    fused sims fori_loop XLA:TPU can assign the three aliased pairs
+    overlapping buffers, after which visits == values == vars_ (observed
+    literally) and every low-visit guard misfires. The round-2/3 "select
+    kernel miscompile" at small batch was exactly this: the backup kernels
+    run in BOTH arms of every select-kernel-vs-XLA comparison, so the
+    corruption looked like a select divergence (round-4 bisection:
+    kernel-on vs XLA identical at B=64 with aliasing off, probes3.log).
+    The copies this costs are 3 (B, M) f32 reads — microseconds of HBM
+    traffic per sim, noise next to the walk (measured: headline bench
+    unchanged within run-to-run spread). TMT_ALIAS=1 re-enables for
+    experiments; interpret mode (CPU tests) keeps aliases exercised so the
+    aliased code path stays covered off-TPU."""
+    if os.environ.get("TMT_ALIAS") == "1":
+        return True
+    if os.environ.get("TMT_NO_ALIAS") == "1":
+        return False
+    return not on_tpu()
 
 
 # ---------------------------------------------------------------------------
@@ -283,29 +319,29 @@ def use_walk_kernels() -> bool:
 
 _SELECT_GUARD_WARNED = set()
 
-# The region where the fused SELECT kernel is verified bit-exact
-# IN-COMPOSITION on the real chip (round-3 bisection,
-# scripts/bisect_select_miscompile.py — see the KNOWN ISSUE above for the
-# full failure map): batch >= 256 AND pools <= 2048 AND depth <= 64, the
-# headline-bench configuration. Outside it lie two measured failure modes:
-# small batch (B=64 diverges at move 0 at EVERY pool shape) and large
-# pools/depth (B=256 at 3584/96/500-sims diverges from move ~6).
-# TMT_FORCE_SELECT_KERNEL=1 overrides (bisect harness).
-_SELECT_OK_MIN_BATCH = 256
-_SELECT_OK_NODES = 2048
-_SELECT_OK_DEPTH = 64
+# The region where the full kernel path is verified bit-exact
+# IN-COMPOSITION on the real chip after the round-4 fixes (aliasing off +
+# first-index argmax; scripts/bisect_select_miscompile.py,
+# runs/r4probe/probes4.log + probes5_8192.log): B=32..256 at 2048:64
+# (64-250 sims), B=256 at 3584:96 (500 sims, the campaign config) and
+# B=64 at 8192:96 (1000 sims, the benchmark twin) all compare exact
+# against the XLA walk over full multi-move programs. The round-3
+# "failure modes" are both diagnosed and fixed (see KNOWN ISSUE above);
+# the guard now only excludes pool/depth shapes beyond the verified
+# envelope. TMT_FORCE_SELECT_KERNEL=1 overrides (bisect harness).
+_SELECT_OK_NODES = 8192
+_SELECT_OK_DEPTH = 96
 
 
 def select_kernel_config_ok(tcfg, batch: int) -> bool:
-    """False when (batch, pools, depth) fall outside the region the select
-    kernel is verified correct at in-composition on real TPU (see the note
+    """False when (pools, depth) fall outside the region the select kernel
+    is verified correct at in-composition on real TPU (see the note
     above). Always True off-TPU: the interpreter path has no miscompile."""
     if not on_tpu():
         return True
     if os.environ.get("TMT_FORCE_SELECT_KERNEL") == "1":
         return True
-    ok = (batch >= _SELECT_OK_MIN_BATCH
-          and tcfg.max_nodes <= _SELECT_OK_NODES
+    ok = (tcfg.max_nodes <= _SELECT_OK_NODES
           and tcfg.max_obs <= _SELECT_OK_NODES
           and tcfg.max_depth <= _SELECT_OK_DEPTH)
     key = (batch, tcfg.max_nodes, tcfg.max_obs, tcfg.max_depth)
@@ -313,13 +349,13 @@ def select_kernel_config_ok(tcfg, batch: int) -> bool:
         _SELECT_GUARD_WARNED.add(key)
         import sys
         print(
-            f"select-kernel guard: batch {batch} / pools {tcfg.max_nodes}"
+            f"select-kernel guard: pools {tcfg.max_nodes}"
             f"/{tcfg.max_obs} / depth {tcfg.max_depth} fall outside the "
-            f"region (batch >= {_SELECT_OK_MIN_BATCH}, pools <= "
-            f"{_SELECT_OK_NODES}, depth <= {_SELECT_OK_DEPTH}) where the "
-            "fused selection kernel is verified correct in-composition on "
-            "real TPU (ops/tree_walk.py KNOWN ISSUE); using the XLA select "
-            "walk. TMT_FORCE_SELECT_KERNEL=1 overrides.",
+            f"region (pools <= {_SELECT_OK_NODES}, depth <= "
+            f"{_SELECT_OK_DEPTH}) where the fused selection kernel is "
+            "verified correct in-composition on real TPU (ops/tree_walk.py "
+            "KNOWN ISSUE); using the XLA select walk. "
+            "TMT_FORCE_SELECT_KERNEL=1 overrides.",
             file=sys.stderr, flush=True,
         )
     return ok
@@ -526,7 +562,16 @@ def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
                 jnp.where(low_mask, g, neg_inf),
                 jnp.where(kept, q, neg_inf),
             )
-            choice = jnp.argmax(cand, 1)[:, None]             # (BG, 1)
+            # FIRST max index, explicitly: Mosaic's argmax picks a
+            # DIFFERENT index than XLA's documented lowest-index rule on
+            # exact ties (observed at an exact 4-way q=0 tie in an all-
+            # terminal subtree, runs/r4probe/state_m0_s93.pkl — the real
+            # cause of the round-3 "large pools/depth" divergence). Exact
+            # q ties are common: ended children seed value 0. Build the
+            # choice from max+min reductions, which are order-free.
+            cmax = jnp.max(cand, 1, keepdims=True)
+            choice = jnp.min(jnp.where(cand == cmax, a7, 7), 1,
+                             keepdims=True)                   # (BG, 1)
             amask = a7 == choice
             nxt = jnp.sum(jnp.where(amask, kids, 0), 1, keepdims=True)
             sc_n = jnp.sum(jnp.where(amask, sc_k, 0.0), 1, keepdims=True)
@@ -729,7 +774,7 @@ def select_batched_pallas(trees, key, cfg):
 _INSERT_ROUNDS = 128
 
 
-def _insert7_kernel(max_obs, T, h1_ref, h2_ref, ok_ref,
+def _insert7_kernel(max_obs, T, aliased, h1_ref, h2_ref, ok_ref,
                     th1_ref, th2_ref, tobs_ref, nobs_ref,
                     th1_out, th2_out, tobs_out, nobs_out, obs7_out,
                     slot_ref, placed_ref):
@@ -751,7 +796,14 @@ def _insert7_kernel(max_obs, T, h1_ref, h2_ref, ok_ref,
     Shapes: h1/h2 (BG, 7) u32; ok (BG, 1) i32; th1/th2 (BG, T) u32;
     tobs (BG, T) i32; nobs (BG, 1) i32. Outputs alias the table inputs;
     obs7 (BG, 7) i32."""
-    del th1_ref, th2_ref, tobs_ref, nobs_ref  # aliased: *_out hold inputs
+    if aliased:
+        del th1_ref, th2_ref, tobs_ref, nobs_ref  # *_out hold inputs
+    else:
+        # aliasing is a TPU correctness hazard in composition (_use_aliases)
+        th1_out[:] = th1_ref[:]
+        th2_out[:] = th2_ref[:]
+        tobs_out[:] = tobs_ref[:]
+        nobs_out[:] = nobs_ref[:]
     BG = h1_ref.shape[0]
     tiota = lax.broadcasted_iota(jnp.int32, (BG, T), 1)
     a7 = lax.broadcasted_iota(jnp.int32, (BG, 7), 1)
@@ -903,7 +955,8 @@ def insert7_walk(h1, h2, ok, th1, th2, tobs, n_obs,
         bg //= 2
     row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
-    kernel = functools.partial(_insert7_kernel, max_obs, T)
+    aliased = _use_aliases()
+    kernel = functools.partial(_insert7_kernel, max_obs, T, aliased)
     th1, th2, tobs, n_obs, obs7 = pl.pallas_call(
         kernel,
         grid=(B // bg,),
@@ -916,7 +969,8 @@ def insert7_walk(h1, h2, ok, th1, th2, tobs, n_obs,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 7), jnp.int32),
         ],
-        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+        input_output_aliases=(
+            {3: 0, 4: 1, 5: 2, 6: 3} if aliased else {}),
         scratch_shapes=[
             pltpu.VMEM((bg, 7), jnp.int32),  # slot
             pltpu.VMEM((bg, 7), jnp.int32),  # placed
@@ -964,7 +1018,7 @@ def insert_obs7_batched_pallas(trees, packed7, end7, ok, cfg):
 # fused LP-seed + backup kernel
 # ---------------------------------------------------------------------------
 
-def _lp_backup_kernel(gamma, D, N, M,
+def _lp_backup_kernel(gamma, D, N, M, aliased,
                       trace_ref, len_ref, vnn_ref, varnn_ref, exp_ref,
                       cbase_ref, score_ref, obsend_ref,
                       visit_ref, value_ref, var_ref,
@@ -979,7 +1033,13 @@ def _lp_backup_kernel(gamma, D, N, M,
     stats (BG, M) f32 aliased in/out. The child-set prologue is unrolled
     over the 7 actions with (BG, N)/(BG, M) masks (rank-3 intermediates at
     useful BG blow the 16 MB VMEM budget)."""
-    del visit_ref, value_ref, var_ref  # aliased
+    if aliased:
+        del visit_ref, value_ref, var_ref
+    else:
+        # TMT_NO_ALIAS probe mode: fresh outputs, copy the inputs first
+        visit_out[:] = visit_ref[:]
+        value_out[:] = value_ref[:]
+        var_out[:] = var_ref[:]
     BG = score_ref.shape[0]
     diota = lax.broadcasted_iota(jnp.int32, (BG, D), 1)
     niota = lax.broadcasted_iota(jnp.int32, (BG, N), 1)
@@ -1089,7 +1149,9 @@ def lp_backup_walk(traces, lengths, v_nn, var_nn, expanded,
 
     row = lambda w: pl.BlockSpec((bg, w), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
-    kernel = functools.partial(_lp_backup_kernel, float(gamma), D, N, M)
+    aliased = _use_aliases()
+    kernel = functools.partial(_lp_backup_kernel, float(gamma), D, N, M,
+                               aliased)
     return pl.pallas_call(
         kernel,
         grid=(B // bg,),
@@ -1097,7 +1159,7 @@ def lp_backup_walk(traces, lengths, v_nn, var_nn, expanded,
                   row(N), row(N), row(N), row(M), row(M), row(M)],
         out_specs=[row(M), row(M), row(M)],
         out_shape=[jax.ShapeDtypeStruct((B, M), jnp.float32)] * 3,
-        input_output_aliases={8: 0, 9: 1, 10: 2},
+        input_output_aliases={8: 0, 9: 1, 10: 2} if aliased else {},
         interpret=interpret,
     )(traces, lengths.reshape(B, 1),
       v_nn.astype(jnp.float32), var_nn.astype(jnp.float32),

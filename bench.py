@@ -34,7 +34,10 @@ import jax.numpy as jnp
 # TMT_TABLE_SIZE A/Bs the obs-table load factor — a larger table shortens
 # the linear-probe clusters (fewer probe rounds ~130 us each in the XLA
 # while_loop) at the cost of a bigger carried (B, T) table triple.
-INSERT_KERNEL = os.environ.get("TMT_INSERT_KERNEL") == "1"
+# default ON since round 4: faster under the no-alias regime AND
+# insert-toggle verified bit-exact in-composition (TreeConfig.insert_kernel
+# field comment has the history and numbers)
+INSERT_KERNEL = os.environ.get("TMT_INSERT_KERNEL", "1") == "1"
 TABLE_SIZE = int(os.environ.get("TMT_TABLE_SIZE", "4096"))
 
 

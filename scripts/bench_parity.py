@@ -35,12 +35,14 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
+    import os
     cfg = mcts.SearchConfig(
         tree=TreeConfig(
             max_nodes=args.pool, max_obs=args.pool,
             table_size=1 << (2 * args.pool - 1).bit_length(),
             max_depth=args.depth,
             select_kernel=bool(args.select_kernel),
+            insert_kernel=os.environ.get("TMT_INSERT_KERNEL") == "1",
         ),
         sims=args.sims, evaluator="lp",
     )

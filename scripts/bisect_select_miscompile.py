@@ -51,13 +51,16 @@ from tetris_mcts_tpu.train.trainer import VVModel  # noqa: E402
 
 
 def run_moves(select_kernel, pool, depth, batch, sims, moves, model, seed,
-              interpret=False):
+              interpret=False, insert_kernel=None):
     os.environ["TMT_SELECT_INTERPRET"] = "1" if interpret else "0"
+    if insert_kernel is None:
+        insert_kernel = os.environ.get("TMT_INSERT_KERNEL") == "1"
     cfg = mcts.SearchConfig(
         tree=TreeConfig(
             max_nodes=pool, max_obs=pool,
             table_size=1 << (2 * pool - 1).bit_length(),
             max_depth=depth, select_kernel=select_kernel,
+            insert_kernel=insert_kernel,
         ),
         sims=sims, evaluator="lp",
     )
@@ -107,6 +110,14 @@ def main():
                          "interp: COMPILED kernel vs the INTERPRETED kernel "
                          "in the same program on the same device — isolates "
                          "Mosaic codegen with no cross-path differences")
+    ap.add_argument("--toggle", choices=["select", "insert"],
+                    default="select",
+                    help="which feature differs between the two compared "
+                         "programs. 'insert': arm1 = insert KERNEL, arm0 = "
+                         "XLA insert, select kernel ON in both — verifies "
+                         "the obs-table insert kernel itself (the LP-kernel "
+                         "lesson: a kernel shared by both arms is invisible "
+                         "to the comparison)")
     args = ap.parse_args()
     if args.copy:
         os.environ["TMT_SELECT_COPY"] = "1"
@@ -121,11 +132,20 @@ def main():
     for spec in args.shapes.split(","):
         pool, depth = map(int, spec.split(":"))
         t0 = time.time()
-        a1, t1, r1 = run_moves(True, pool, depth, args.batch, args.sims,
-                               args.moves, model, args.seed)
-        a0, t0s, r0 = run_moves(args.mode == "interp", pool, depth,
-                                args.batch, args.sims, args.moves, model,
-                                args.seed, interpret=args.mode == "interp")
+        if args.toggle == "insert":
+            a1, t1, r1 = run_moves(True, pool, depth, args.batch,
+                                   args.sims, args.moves, model, args.seed,
+                                   insert_kernel=True)
+            a0, t0s, r0 = run_moves(True, pool, depth, args.batch,
+                                    args.sims, args.moves, model, args.seed,
+                                    insert_kernel=False)
+        else:
+            a1, t1, r1 = run_moves(True, pool, depth, args.batch,
+                                   args.sims, args.moves, model, args.seed)
+            a0, t0s, r0 = run_moves(args.mode == "interp", pool, depth,
+                                    args.batch, args.sims, args.moves,
+                                    model, args.seed,
+                                    interpret=args.mode == "interp")
         same_a = bool((a1 == a0).all())
         same_t = bool((t1 == t0s).all())
         # root values: bf16 forward is identical either path; exact compare

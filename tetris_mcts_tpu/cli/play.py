@@ -179,9 +179,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="1: fused Pallas selection kernel (default); 0: "
                         "hand-batched XLA walk (bit-equal law; the fallback "
                         "for pool shapes where the kernel miscompiles)")
-    p.add_argument("--insert_kernel", action="store_true",
-                   help="run the obs-table insert as a Pallas kernel "
-                        "(TPU; see TreeConfig.insert_kernel)")
+    p.add_argument("--insert_kernel", type=int, default=1,
+                   help="1: obs-table insert as a Pallas kernel (default "
+                        "since round 4 — faster and toggle-verified); 0: "
+                        "hand-batched XLA probe loop "
+                        "(see TreeConfig.insert_kernel)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 in-search NN forward (training stays "
                         "float32; halves the MXU cost of the move program's "
@@ -390,7 +392,7 @@ def main(argv=None):
         train_rows_trigger=args.train_rows, train_batch=args.train_batch,
         train_iters_per_val=args.train_iters_per_val,
         train_max_iters=args.train_max_iters,
-        insert_kernel=args.insert_kernel,
+        insert_kernel=bool(args.insert_kernel),
         select_kernel=bool(args.select_kernel), bf16=args.bf16,
         rollout_depth=args.rollout_depth,
         # persist after every training session (crash/timeout resilience);

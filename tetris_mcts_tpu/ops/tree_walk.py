@@ -650,7 +650,12 @@ def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
         # (3 N-arrays + 3 M-arrays + 2 (D,7) randomness planes, 4 B each)
         # leave headroom for the kernel's (BG, N)/(BG, M) temporaries in
         # the ~16 MB VMEM. With the 7-unrolled gathers this lands at 128
-        # for the production pool (N = M = 2048, D = 64).
+        # for the production pool (N = M = 2048, D = 64) and 64 at the
+        # campaign pool (3584/96). bg=128 at 3584 compiles standalone and
+        # measures 68.6k vs 65.1k sims/s (runs/r4probe/sweep_parity.log) —
+        # but trips the 16 MB scoped-VMEM limit when the insert kernel
+        # shares the program (operand layouts shift; probes6.log), so the
+        # bigger block stays opt-in via TMT_SELECT_BLOCK=128.
         lane_bytes = 4 * (3 * N + 3 * M + 2 * D * 7)
         block = 128
         while block > 8 and block * lane_bytes > 10 * 2**20:

@@ -115,7 +115,10 @@ class SelfPlayConfig(NamedTuple):
     benchmark_max_nodes: int = 0   # 0 = auto-scale for benchmark_sims
     allow_clamp: bool = False      # accept pools too small for one move
                                    # (degraded search) instead of raising
-    insert_kernel: bool = False    # TreeConfig.insert_kernel passthrough
+    insert_kernel: bool = True     # TreeConfig.insert_kernel passthrough
+                                   # (default on since round 4 — measured
+                                   # faster AND toggle-verified; see the
+                                   # TreeConfig field comment)
     select_kernel: bool = True     # TreeConfig.select_kernel passthrough
     bf16: bool = False             # bfloat16 in-search NN forward (training
                                    # stays f32; see VVModel.apply_fn)

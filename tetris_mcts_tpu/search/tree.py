@@ -105,16 +105,21 @@ class TreeConfig(NamedTuple):
                            # per level (i.i.d. either way), so kernel and
                            # XLA walks follow different but equal-law
                            # trajectories.
-    insert_kernel: bool = False  # run the obs-table probe loop as a Pallas
+    insert_kernel: bool = True  # run the obs-table probe loop as a Pallas
                            # kernel (tree_walk.insert_obs7_batched_pallas,
-                           # golden-tested). Off by default: the clean
-                           # real-chip A/B (runs/ab1, healthy tunnel)
-                           # confirmed a 6.3x regression — 20.2k vs 127.8k
-                           # sims/s — the (BG, T) table triple caps the
-                           # kernel at ~32 lanes/block (see the design note
-                           # in ops/tree_walk.py), so it pays 8x the grid
-                           # steps of the selection kernel. Kept as the
-                           # measured-negative worked example + A/B knob.
+                           # golden-tested). History: measured 6.3x SLOWER
+                           # under the round-2/3 aliasing regime (20.2k vs
+                           # 127.8k, old runs/ab1) and was off by default;
+                           # with aliases disabled (the round-4 correctness
+                           # fix, ops/tree_walk.py _use_aliases) the
+                           # XLA probe loop's carried tables pay loop
+                           # copies instead and the kernel WINS: 126.7k vs
+                           # 103.4k headline, 71.8k vs 65.1k at the
+                           # campaign config (runs/ab1/bench_insert.json,
+                           # runs/r4probe/probes7.log), insert-toggle
+                           # verified bit-exact in-composition at
+                           # 2048:64 and 3584:96. Off-TPU this flag is
+                           # inert (insert_fn_for gates on the kernel path).
     env: EnvConfig = EnvConfig()
 
 

@@ -42,7 +42,7 @@ def main():
             table_size=1 << (2 * args.pool - 1).bit_length(),
             max_depth=args.depth,
             select_kernel=bool(args.select_kernel),
-            insert_kernel=os.environ.get("TMT_INSERT_KERNEL") == "1",
+            insert_kernel=os.environ.get("TMT_INSERT_KERNEL", "1") == "1",
         ),
         sims=args.sims, evaluator="lp",
     )

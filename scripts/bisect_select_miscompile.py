@@ -54,7 +54,7 @@ def run_moves(select_kernel, pool, depth, batch, sims, moves, model, seed,
               interpret=False, insert_kernel=None):
     os.environ["TMT_SELECT_INTERPRET"] = "1" if interpret else "0"
     if insert_kernel is None:
-        insert_kernel = os.environ.get("TMT_INSERT_KERNEL") == "1"
+        insert_kernel = os.environ.get("TMT_INSERT_KERNEL", "1") == "1"
     cfg = mcts.SearchConfig(
         tree=TreeConfig(
             max_nodes=pool, max_obs=pool,

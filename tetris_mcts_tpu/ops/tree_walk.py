@@ -13,7 +13,8 @@ no per-op dispatch: the same 16-level walk measures 15 us
 Layout: batch on the SUBLANE axis — all arrays arrive exactly as the
 batched XLA tree stores them ((B, M) stats, (B, D) traces), so there are
 no transposes at the kernel boundary. Grid over B-blocks keeps VMEM use
-bounded; stat arrays are input/output-aliased (updated in place).
+bounded; stat updates write fresh outputs (aliasing is a TPU correctness
+hazard — see KNOWN ISSUE).
 
 Semantics: bit-exact twin of `tree.backup_batched` (itself a bit-exact
 hand-batching of the reference `backup_trace_obs` transcription,
@@ -47,12 +48,15 @@ call — HBM noise next to the walk; headline bench unchanged within
 spread). Interpret mode (CPU tests) keeps aliases on so that path stays
 covered; TMT_ALIAS=1 / TMT_NO_ALIAS=1 override for experiments.
 
-STILL OPEN (mode 2): at B=256, M=N=3584/D=96 with 500 sims/move the
-kernel-on and XLA arms' ROOT STATS drift apart from move ~6 (actions and
-stored rows stay equal over 8 moves) even with aliasing off. The
-select_kernel_config_ok guard therefore still routes pools > 2048 or
-depth > 64 through the XLA walk; the small-batch constraint is lifted
-(verified B=32..256 post-fix, probes4.log).
+SECOND BUG (the round-3 "large pools/depth" mode, also fixed): Mosaic's
+argmax breaks EXACT ties on a different index than XLA's lowest-index
+rule. Exact q ties are common at depth — ended children seed value 0 —
+and the first hit was a 4-way q=0 tie in an all-terminal subtree
+(runs/r4probe/state_m0_s93.pkl): root stats then drift while actions
+still agree. The kernel now picks the first max explicitly via order-free
+max+min reductions. Post-fix the full matrix (B=32..256 at 2048:64,
+B=256 at 3584:96/500 sims, B=64 at 8192:96/1000 sims) compares bit-exact
+in-composition (probes4 + probes5 logs).
 
 Design note — why the obs-table insert is NOT fused into the selection
 kernel (considered and rejected without burning chip time): the insert's
@@ -223,6 +227,7 @@ def backup_walk(traces, lengths, v0, var0, score, obs, visits, values, vars_,
         out_shape=[jax.ShapeDtypeStruct((B, M), jnp.float32)] * 3,
         input_output_aliases={6: 0, 7: 1, 8: 2} if aliased else {},
         interpret=interpret,
+        compiler_params=None if interpret else _VMEM_PARAMS,
     )(traces, lengths.reshape(B, 1), v0.reshape(B, 1).astype(jnp.float32),
       var0.reshape(B, 1).astype(jnp.float32), score, obs,
       visits, values, vars_)
@@ -231,6 +236,17 @@ def backup_walk(traces, lengths, v0, var0, score, obs, visits, values, vars_,
 
 def on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
+
+
+# Raise Mosaic's scoped-VMEM ceiling from the 16 MB default: the walk
+# kernels' compiler-managed stack is LAYOUT-DEPENDENT — the same select
+# kernel at the same block compiles to a 15.9 MB stack in one program and
+# 16.11 MB in another (the online driver's composition, where operands
+# arrive through copies with different layouts) — so a fixed 16 MB limit
+# makes compilation success composition-dependent. v5e has 128 MB of
+# physical VMEM; 64 MB leaves the block-resident buffers (~10 MB budgeted)
+# plus double-buffering ample room. Interpret mode takes no params.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _use_aliases() -> bool:
@@ -648,17 +664,15 @@ def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
     if block == 0:
         # auto block: largest power-of-2 lane count whose resident inputs
         # (3 N-arrays + 3 M-arrays + 2 (D,7) randomness planes, 4 B each)
-        # leave headroom for the kernel's (BG, N)/(BG, M) temporaries in
-        # the ~16 MB VMEM. With the 7-unrolled gathers this lands at 128
-        # for the production pool (N = M = 2048, D = 64) and 64 at the
-        # campaign pool (3584/96). bg=128 at 3584 compiles standalone and
-        # measures 68.6k vs 65.1k sims/s (runs/r4probe/sweep_parity.log) —
-        # but trips the 16 MB scoped-VMEM limit when the insert kernel
-        # shares the program (operand layouts shift; probes6.log), so the
-        # bigger block stays opt-in via TMT_SELECT_BLOCK=128.
+        # leave headroom for the kernel's (BG, N)/(BG, M) temporaries
+        # under the raised 64 MB scoped-VMEM ceiling (_VMEM_PARAMS — the
+        # 16 MB default made compile success composition-dependent). Lands
+        # at 128 for both the bench pool (2048/64) and the campaign pool
+        # (3584/96: 74.9k vs 70.6k sims/s at bg=64 with the insert kernel,
+        # runs/r4probe/probes8.log), 32 for the benchmark twin (8192).
         lane_bytes = 4 * (3 * N + 3 * M + 2 * D * 7)
         block = 128
-        while block > 8 and block * lane_bytes > 10 * 2**20:
+        while block > 8 and block * lane_bytes > 12 * 2**20:
             block //= 2
     bg = min(B, block)
     while B % bg:  # any B is accepted (bg=1 divides)
@@ -693,6 +707,7 @@ def select_walk(cbase, score, obs, visits, values, vars_, root, rootsc,
             pltpu.VMEM((bg, 1), jnp.int32),    # done
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _VMEM_PARAMS,
     )(cbase, score, obs, visits, values, vars_,
       root.reshape(B, 1), rootsc.reshape(B, 1).astype(jnp.float32),
       env0, gumbels, rnd)
@@ -981,6 +996,7 @@ def insert7_walk(h1, h2, ok, th1, th2, tobs, n_obs,
             pltpu.VMEM((bg, 7), jnp.int32),  # placed
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _VMEM_PARAMS,
     )(h1, h2, ok.astype(jnp.int32).reshape(B, 1),
       th1, th2, tobs, n_obs.reshape(B, 1))
     return th1, th2, tobs, n_obs.reshape(B), obs7
@@ -1166,6 +1182,7 @@ def lp_backup_walk(traces, lengths, v_nn, var_nn, expanded,
         out_shape=[jax.ShapeDtypeStruct((B, M), jnp.float32)] * 3,
         input_output_aliases={8: 0, 9: 1, 10: 2} if aliased else {},
         interpret=interpret,
+        compiler_params=None if interpret else _VMEM_PARAMS,
     )(traces, lengths.reshape(B, 1),
       v_nn.astype(jnp.float32), var_nn.astype(jnp.float32),
       expanded.astype(jnp.int32).reshape(B, 1),

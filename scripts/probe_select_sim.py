@@ -238,8 +238,12 @@ def main():
         trees, envs = post_move(trees, envs)
         print(f"move {mv} clean so far  [{time.time() - t0:.0f}s]",
               flush=True)
-    print(f"NO divergence over {args.moves}x{args.sims} sims "
-          f"[{time.time() - t0:.0f}s]", flush=True)
+    if n_bad:
+        print(f"{n_bad} divergent sims over {args.moves}x{args.sims} "
+              f"[{time.time() - t0:.0f}s]", flush=True)
+    else:
+        print(f"NO divergence over {args.moves}x{args.sims} sims "
+              f"[{time.time() - t0:.0f}s]", flush=True)
 
 
 if __name__ == "__main__":

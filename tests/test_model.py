@@ -134,6 +134,33 @@ class TestVVModel:
         )
         assert len(hist) < 100  # actually stopped early
 
+    def test_zero_grad_window_ends_session(self):
+        # Saturation guard (trainer.py): a window whose every gradient is
+        # EXACTLY zero (f32 sigmoid saturation on out-of-distribution rows
+        # after the ubound rescale — seen live, runs/ab_cadence) must end
+        # the session instead of spinning to max_iters with the patience
+        # counter resetting on the frozen val loss.
+        import jax
+        import jax.numpy as jnp
+
+        m = VVModel(seed=4)
+        data = self._synth(n=128)
+        logs = []
+
+        def fake_chunk(params, opt_state, ubound, train_d, val_d, key,
+                       fisher, p0, lam, bs, k_iters):
+            z = jnp.zeros((k_iters,), jnp.float32)
+            return (params, opt_state, key, z + 2.5, z,
+                    jnp.float32(3.0), jnp.float32(0.1))
+
+        m._train_chunk = jax.jit(fake_chunk, static_argnums=(9, 10))
+        hist = m.train_data(
+            data, batch_size=32, iters_per_val=10, max_iters=5000,
+            early_stopping=True, log=logs.append,
+        )
+        assert len(hist) == 1  # ended after the first (zero-grad) window
+        assert any("Zero-gradient window" in str(s) for s in logs)
+
     def test_save_load_roundtrip(self, tmp_path):
         m = VVModel(seed=2, checkpoint_path=str(tmp_path / "ck.msgpack"))
         data = self._synth(n=128)

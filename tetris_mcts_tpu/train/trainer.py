@@ -365,6 +365,21 @@ class VVModel:
             history.append((it, loss_avg, vmean, vstd, gnorm_avg))
             if stop:
                 break
+            # Saturation guard (round 4): a whole window of EXACTLY zero
+            # gradients means the bounded sigmoid heads are saturated on
+            # every sampled row (f32 sigmoid(x) == 1.0 for x >~ 17 — seen
+            # on out-of-distribution early-game rows after the ubound
+            # rescale, runs/ab_cadence). The loss is then constant, the
+            # frozen val loss keeps resetting the patience counter
+            # (a frozen loss counts as within-noise, the reference's own
+            # rule), and the session would spin to max_iters doing
+            # nothing. No reference counterpart: the reference never
+            # retargets a trained net onto a rescaled bound. End the
+            # session; later sessions see richer data and recover.
+            if gnorm_avg == 0.0:
+                log(f"Zero-gradient window at iteration {it} — output "
+                    "heads saturated on this data; ending session")
+                break
 
         if early_stopping:
             self.params = best_params

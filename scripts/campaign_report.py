@@ -74,6 +74,22 @@ def main():
         t = sum(s["seconds"] for s in sessions)
         print(f"\ntraining sessions: {len(sessions)}  total {t/60:.1f} min  "
               f"last val-loss {sessions[-1]['loss_val']:.4f}")
+
+    # per-run (relaunch) breakdown from the monotone run ids
+    runs = {}
+    for e in eps:
+        r = e.get("run")
+        if r is not None:
+            runs.setdefault(r, []).append(e)
+    if runs:
+        print("\nper-run (run-id-tagged events only):")
+        for r, es in sorted(runs.items()):
+            dt = es[-1]["t"] - es[0]["t"]
+            rate = len(es) / dt * 3600 if dt > 60 else float("nan")
+            ln = np.array([e["lines"] for e in es], np.float64)
+            print(f"  run {r}: {len(es)} episodes in {dt/3600:.2f} h "
+                  f"({rate:.0f} eps/h)  lines mean {ln.mean():.2f} "
+                  f"last-50 {ln[-50:].mean():.2f}  max {int(ln.max())}")
     if tps:
         sp = [t["sims_per_s"] for t in tps if t.get("sims_per_s")]
         print(f"throughput windows: median {np.median(sp):.0f} sims/s "

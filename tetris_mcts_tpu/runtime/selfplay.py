@@ -225,21 +225,31 @@ class _OnlineDriverBase:
                               # with frequent sessions would otherwise never
                               # accumulate 50 moves)
 
-    def _report_throughput(self):
+    def _report_throughput(self, force: bool = False):
         """Write one `throughput` metrics event per window: wall moves/s of
         the jitted move program and the derived sims/s (= moves/s · B · sims
         — bench.py's definition, so driver logs and bench numbers compare
-        directly)."""
-        self._tp_moves += 1
-        # When training sessions fire more often than the wall fallback
-        # (heavy online cadence resets the window every ~30 s), no window
-        # would ever report — accept any >=4-move window older than 25 s.
-        if self._tp_moves < self._TP_REPORT_EVERY and not (
-            self._tp_moves >= 4
-            and time.perf_counter() - self._tp_t0
-            > min(self._TP_REPORT_SECONDS, 25.0)
-        ):
-            return
+        directly). `force=True` flushes the pending window (if >= 4 moves)
+        without counting a move — called right before a training session or
+        benchmark round resets the window: at the post-kernel-fix speeds
+        the inter-session play gap (~15-25 s) is usually under the wall
+        bar, so windows would otherwise almost never qualify (round 4: one
+        event per 280 episodes)."""
+        if force:
+            if self._tp_moves < 4:
+                return
+        else:
+            self._tp_moves += 1
+            # When training sessions fire more often than the wall fallback
+            # (heavy online cadence resets the window every ~30 s), no
+            # window would ever report — accept any >=4-move window older
+            # than 25 s.
+            if self._tp_moves < self._TP_REPORT_EVERY and not (
+                self._tp_moves >= 4
+                and time.perf_counter() - self._tp_t0
+                > min(self._TP_REPORT_SECONDS, 25.0)
+            ):
+                return
         dt = time.perf_counter() - self._tp_t0
         if dt > 0:
             moves_per_s = self._tp_moves / dt
@@ -398,6 +408,7 @@ class _OnlineDriverBase:
         self._prev_total = total_rows
         if total_rows - self._rows_at_last_train < self.cfg.train_rows_trigger:
             return
+        self._report_throughput(force=True)  # flush before the reset
         if self.train():
             self._rows_at_last_train = total_rows
             # restart the throughput window: training wall time is not
@@ -558,6 +569,8 @@ class _OnlineDriverBase:
         else:
             raise ValueError(f"acc_policy {p} not in -1..3")
 
+        if do_train:
+            self._report_throughput(force=True)  # flush before the reset
         if do_train and self._run_training_session(
                 min(self._mem_rows, cfg.memory_size)):
             # memory_index = 0 after a session (agent.cpp:703)
@@ -598,6 +611,7 @@ class _OnlineDriverBase:
             return
         if self.episodes - self._eps_at_last_bench < cfg.benchmark_every:
             return
+        self._report_throughput(force=True)  # flush before the reset
         self._eps_at_last_bench = self.episodes
         self._bench_round += 1
         try:

@@ -173,6 +173,34 @@ class TestVVModel:
         v2, _ = m2.inference(data[0][:4])
         np.testing.assert_allclose(v1, v2, rtol=1e-5)
 
+    def test_resumed_ubound_never_shrinks(self, tmp_path):
+        # The per-session ubound rescale is monotone for RESUMED nets: a
+        # relaunch's first sessions see only fresh early-game rows whose
+        # max is far below the loaded net's trained scale, and shrinking
+        # the bound reinterprets every sigmoid output (restart value-thrash
+        # + the saturation freeze). Fresh nets still rescale freely.
+        m = VVModel(seed=5, checkpoint_path=str(tmp_path / "ck.msgpack"))
+        data = self._synth(n=128)
+        data[1] = np.full(128, 5000.0, np.float32)  # big value scale
+        m.train_data(data, batch_size=32, iters_per_val=10, max_iters=10,
+                     early_stopping=False, log=lambda *a, **k: None)
+        assert float(m.ubound[0]) >= 5000.0
+        m.save()
+
+        m2 = VVModel(seed=6, checkpoint_path=str(tmp_path / "ck.msgpack"))
+        assert m2.load()
+        small = self._synth(n=128)
+        small[1] = np.full(128, 10.0, np.float32)  # tiny fresh-data scale
+        m2.train_data(small, batch_size=32, iters_per_val=10, max_iters=10,
+                      early_stopping=False, log=lambda *a, **k: None)
+        assert float(m2.ubound[0]) >= 5000.0  # floor held
+
+        # a FRESH net still rescales down to its data
+        m3 = VVModel(seed=7)
+        m3.train_data(small, batch_size=32, iters_per_val=10, max_iters=10,
+                      early_stopping=False, log=lambda *a, **k: None)
+        assert float(m3.ubound[0]) == 10.0
+
     def test_flip_probe(self):
         """Horizontal-flip response probe (reference tools/test.py:35-41):
         measurable, finite RMSE between board and mirrored-board predictions."""

@@ -271,10 +271,22 @@ class VVModel:
             )
 
         # Rescale output bounds to the data max (model_vv.py:227-231).
-        self.ubound = jnp.asarray(
-            [jnp.max(value), jnp.maximum(jnp.max(variance), L.VARIANCE_BOUND)],
-            jnp.float32,
-        )
+        # For a net RESUMED from a checkpoint the rescale is monotone: the
+        # first sessions after a relaunch see only fresh early-game rows
+        # whose max is far below the scale the loaded net was trained
+        # against, and an unconditional down-rescale reinterprets every
+        # sigmoid output on a smaller range — thrashing the value function
+        # at every restart (and feeding the exact-saturation freeze, see
+        # the zero-gradient guard below). The reference never relaunches
+        # mid-run (its process keeps its full memory), so its unconditional
+        # rescale never faces this; fresh nets here still rescale freely.
+        floor = getattr(self, "_ubound_floor", None)
+        vmax = jnp.max(value)
+        varmax = jnp.maximum(jnp.max(variance), L.VARIANCE_BOUND)
+        if floor is not None:
+            vmax = jnp.maximum(vmax, floor[0])
+            varmax = jnp.maximum(varmax, floor[1])
+        self.ubound = jnp.asarray([vmax, varmax], jnp.float32)
 
         train = tuple(d[:-n_val] for d in (states, value, variance, weight))
         val = tuple(d[-n_val:] for d in (states, value, variance, weight))
@@ -436,6 +448,9 @@ class VVModel:
         )
         self.ubound = jnp.asarray(blob["ubound"])
         self.lbound = jnp.asarray(blob["lbound"])
+        # Resumed nets were TRAINED against this output scale: the
+        # per-session rescale must never shrink below it (see train_data)
+        self._ubound_floor = self.ubound
         self.p0 = self.params
         return True
 

@@ -65,10 +65,12 @@ def main():
             cum_ep = sum(1 for e in eps if e["t"] < b["t"])
             tag = (f"run {b['run']}.{b['round']}" if "run" in b
                    else f"round {i + 1:3d}")
+            snap = f"  [{b['snapshot']}]" if b.get("snapshot") else ""
             print(f"  {tag:>9} @cum-ep {cum_ep:6d} "
                   f"({b['games']} games, {b['sims']} sims): "
                   f"lines {b['lines_mean']:.2f}±{b['lines_std']:.2f} "
-                  f"(max {b['lines_max']:.0f})  score {b['score_mean']:.0f}")
+                  f"(max {b['lines_max']:.0f})  score {b['score_mean']:.0f}"
+                  f"{snap}")
 
     if sessions:
         t = sum(s["seconds"] for s in sessions)

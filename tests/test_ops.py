@@ -118,6 +118,9 @@ def test_select_kernel_config_guard(monkeypatch):
     assert tree_walk.select_kernel_config_ok(good, 64)       # small batch ok
     assert tree_walk.select_kernel_config_ok(campaign, 256)  # 3584:96 ok
     assert not tree_walk.select_kernel_config_ok(huge, 256)  # beyond envelope
+    # sub-32 batches are outside the round-4 verification matrix (B=32..256)
+    assert not tree_walk.select_kernel_config_ok(good, 8)
+    assert tree_walk.select_kernel_config_ok(good, 32)
     # the bisect harness can force the kernel back on
     monkeypatch.setenv("TMT_FORCE_SELECT_KERNEL", "1")
     assert tree_walk.select_kernel_config_ok(huge, 64)

@@ -1348,3 +1348,20 @@ class TestPolicyMaxFaithful:
         )
         trees = jax.jit(run)(None, None, trees, jax.random.PRNGKey(0))
         assert (np.asarray(trees.vmax) == 0).all()
+
+
+class TestNoAliasBranch:
+    """Exercise the copy-inputs-to-fresh-outputs branch of the stat kernels
+    off-TPU. `_use_aliases()` returns True in interpret mode, so the
+    non-aliased branch — the one production TPU actually runs since the
+    round-4 `input_output_aliases` miscompile fix — would otherwise have
+    zero CPU test coverage (ADVICE r4). TMT_NO_ALIAS=1 forces it."""
+
+    def test_backup_insert_lp_kernels_no_alias(self, monkeypatch):
+        from tetris_mcts_tpu.ops import tree_walk
+
+        monkeypatch.setenv("TMT_NO_ALIAS", "1")
+        assert not tree_walk._use_aliases()
+        TestPallasBackupWalk().test_matches_backup_batched()
+        TestPallasInsert().test_matches_xla_insert()
+        TestPallasLPBackup().test_matches_xla_pipeline()

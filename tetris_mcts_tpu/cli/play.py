@@ -175,11 +175,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSONL metrics path ('' = off)")
     p.add_argument("--status_dir", default="",
                    help="publish live-state memmaps here ('' = off)")
-    p.add_argument("--select_kernel", type=int, default=1,
+    p.add_argument("--select_kernel", type=int, nargs="?", const=1, default=1,
                    help="1: fused Pallas selection kernel (default); 0: "
                         "hand-batched XLA walk (bit-equal law; the fallback "
                         "for pool shapes where the kernel miscompiles)")
-    p.add_argument("--insert_kernel", type=int, default=1,
+    p.add_argument("--insert_kernel", type=int, nargs="?", const=1, default=1,
                    help="1: obs-table insert as a Pallas kernel (default "
                         "since round 4 — faster and toggle-verified); 0: "
                         "hand-batched XLA probe loop "

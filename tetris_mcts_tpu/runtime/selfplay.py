@@ -452,11 +452,23 @@ class _OnlineDriverBase:
             self.log(f"Training session {self.n_trains + 1}: only {count} "
                      "rows, skipped")
             return False
-        if use < cap:  # pow2 bucket; the cap keeps its exact shape
+        pad = 0
+        if use < cap:
             bucket = self.cfg.train_batch
             while bucket * 2 <= use:
                 bucket *= 2
-            use = min(bucket, cap)
+            if self.cfg.acc_policy >= 0 and use > bucket:
+                # fresh-clear mode (C++ accumulation policies): the memory
+                # is wiped after this session, so rounding DOWN would throw
+                # away up to half the fresh rows untrained. Round UP to the
+                # next bucket and pad the FRONT with duplicated oldest rows
+                # (the validation tail stays pure newest rows; a duplicate
+                # among 10^5 rows is statistical noise). The sliding-window
+                # mode (-1) keeps rounding down — its older rows were
+                # already trained in earlier sessions.
+                pad = min(bucket * 2, cap) - use
+            else:
+                use = min(bucket, cap)
         self.n_trains += 1
 
         # most recent `use` rows of the ring; boards stored bit-packed in
@@ -464,6 +476,9 @@ class _OnlineDriverBase:
         idx = int(self.replay.idx)
         cap = self.cfg.memory_size
         order = (np.arange(idx - use, idx) % cap).astype(np.int32)
+        if pad:
+            order = np.concatenate([order[:pad], order]).astype(np.int32)
+            use += pad
         data = self._training_columns(order)
 
         self.log(

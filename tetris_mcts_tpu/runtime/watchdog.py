@@ -51,18 +51,34 @@ def install(wd: Optional["StallWatchdog"]):
     return wd
 
 
-TUNNEL_PORT = int(os.environ.get("TMT_TUNNEL_PORT", "8093"))
+# 0 (default) = count THIS process's established TCP connections — the
+# axon tunnel is the only TCP socket the driver holds, and its local port
+# CHANGES between rounds (8093 in rounds 2-4, 48271 in round 5), so a
+# hard-coded port silently disarms the early-wedge check. A positive
+# TMT_TUNNEL_PORT restores port-matching.
+TUNNEL_PORT = int(os.environ.get("TMT_TUNNEL_PORT", "0"))
 
 
 def _tunnel_conns() -> int:
-    """Count of connections to the axon tunnel port — a wedged tunnel shows
-    zero while a healthy run (including an in-flight remote compile) keeps a
-    socket open (CLAUDE.md's `ss -tn` diagnosis, automated). -1 = unknown."""
+    """Count of live tunnel connections — a wedged tunnel shows zero while
+    a healthy run (including an in-flight remote compile) keeps a socket
+    open (CLAUDE.md's `ss -tn` diagnosis, automated). -1 = unknown."""
     try:
+        if TUNNEL_PORT > 0:
+            out = subprocess.run(
+                ["ss", "-tn"], capture_output=True, text=True, timeout=10
+            ).stdout
+            return sum(
+                1 for ln in out.splitlines() if f":{TUNNEL_PORT}" in ln
+            )
         out = subprocess.run(
-            ["ss", "-tn"], capture_output=True, text=True, timeout=10
+            ["ss", "-tnp"], capture_output=True, text=True, timeout=10
         ).stdout
-        return sum(1 for ln in out.splitlines() if f":{TUNNEL_PORT}" in ln)
+        tag = f"pid={os.getpid()},"
+        return sum(
+            1 for ln in out.splitlines()
+            if tag in ln and "ESTAB" in ln
+        )
     except Exception:  # noqa: BLE001 — diagnostics must never raise
         return -1
 

@@ -47,7 +47,7 @@ while [ "$(left_s)" -gt 300 ]; do
     python -m tetris_mcts_tpu play \
         --agent_type ValueSimLP --online --endless \
         --mcts_sims 150 --batch 8 --app 1 --scoring 0 --randomizer 0 \
-        --max_nodes 65536 --max_obs 65536 --max_depth 128 \
+        --max_nodes 65536 --max_obs 65536 --max_depth 128 --episode_reuse 1 \
         --min_visits 10 --memory_size 500000 --memory_growth 2500 \
         --acc_policy 3 --train_batch 128 \
         --train_iters_per_val 100 --train_max_iters 100000 \

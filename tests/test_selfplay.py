@@ -174,3 +174,29 @@ def test_zero_storage_warning_fires_within_one_generation():
     assert d.cfg.batch <= d.episodes <= 2 * d.cfg.batch
     assert int(d.replay.total) == 0
     assert any("ZERO rows" in line for line in logs)
+
+
+def test_episode_reuse_keeps_tree_across_episodes():
+    """--episode_reuse: finished lanes re-root into the same pool (reference
+    update_root semantics, agent.py:296-301) — after several episodes the
+    tree still holds far more nodes than one fresh episode could, and the
+    root sits deep in the pool."""
+    from tetris_mcts_tpu.runtime.selfplay import SelfPlayConfig, SelfPlayDriver
+
+    cfg = SelfPlayConfig(
+        batch=4, sims=8, max_nodes=2048, max_obs=2048, min_visits_store=2,
+        memory_size=8192, acc_policy=3, train_batch=64, memory_growth=10**9,
+        train_iters_per_val=2, train_max_iters=2, episode_reuse=True, seed=3,
+    )
+    d = SelfPlayDriver(cfg)
+    for _ in range(400):
+        d.step()
+        if d.episodes >= 5:
+            break
+    assert d.episodes >= 5
+    n_nodes = np.asarray(d.trees.n_nodes)
+    roots = np.asarray(d.trees.root)
+    # a per-episode-reset driver's pool restarts at ~1 + 7*sims each episode;
+    # persistence accumulates hundreds of nodes and pushes roots deep
+    assert (n_nodes > 300).all(), n_nodes
+    assert (roots > 50).any(), roots

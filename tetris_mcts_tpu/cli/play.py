@@ -164,6 +164,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="games in lockstep per chip")
     p.add_argument("--max_nodes", type=int, default=4096)
     p.add_argument("--max_obs", type=int, default=4096)
+    p.add_argument("--episode_reuse", type=int, nargs="?", const=1, default=0,
+                   help="1: keep trees across episode boundaries (reference "
+                        "update_root semantics — done lanes re-root into "
+                        "the same pool; only pool exhaustion resets); 0 "
+                        "(default): harvest+reset at episode end")
     p.add_argument("--max_depth", type=int, default=96,
                    help="selection-walk depth cap; raise for big pools "
                         "with cross-move tree reuse (reference trees are "
@@ -404,6 +409,7 @@ def main(argv=None):
         checkpoint_each_train=trains and not benchmark and not args.trace,
         benchmark=benchmark, dump_dir=args.dump_dir, seed=args.seed,
         allow_clamp=args.allow_clamp,
+        episode_reuse=bool(args.episode_reuse),
         acc_policy=args.acc_policy,
         episodes_per_train=args.episodes_per_train,
         trim_fraction=args.trim_fraction,

@@ -115,6 +115,10 @@ class SelfPlayConfig(NamedTuple):
     benchmark_max_nodes: int = 0   # 0 = auto-scale for benchmark_sims
     allow_clamp: bool = False      # accept pools too small for one move
                                    # (degraded search) instead of raising
+    episode_reuse: bool = False    # keep trees across episode boundaries
+                                   # (reference update_root semantics): done
+                                   # lanes re-root into the same pool; only
+                                   # pool exhaustion harvests+resets
     insert_kernel: bool = True     # TreeConfig.insert_kernel passthrough
                                    # (default on since round 4 — measured
                                    # faster AND toggle-verified; see the
@@ -580,7 +584,10 @@ class _OnlineDriverBase:
             do_train = diff >= cfg.episodes_per_train or full
         elif p == 3:
             m_size = min(self.n_trains * cfg.memory_growth, cfg.memory_size)
-            do_train = self._mem_rows >= m_size
+            # the n_trains=0 gate is 0 (agent.cpp:687) — require at least
+            # one minibatch so the pre-first-harvest moves don't attempt
+            # (and log) a skipped session every move
+            do_train = self._mem_rows >= max(m_size, cfg.train_batch)
         else:
             raise ValueError(f"acc_policy {p} not in -1..3")
 
@@ -803,6 +810,7 @@ class SelfPlayDriver(_OnlineDriverBase):
             min_visits_store=cfg.min_visits_store,
             store=not cfg.benchmark,
             store_drop=cfg.acc_policy == 0,
+            episode_reuse=cfg.episode_reuse,
         )
         # NOTE: no donate_argnums — trees.root_state and envs alias the same
         # output buffers (advance_root stores the stepped env state), and XLA

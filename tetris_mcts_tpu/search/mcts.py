@@ -505,7 +505,8 @@ def capacity_guard_for(sims: int, tcfg, allow_clamp: bool = False) -> int:
 
 
 def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
-                 store: bool = True, store_drop: bool = False):
+                 store: bool = True, store_drop: bool = False,
+                 episode_reuse: bool = False):
     """Build the jitted per-move function:
 
         (params, ubound, trees, envs, replay, key)
@@ -517,6 +518,11 @@ def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
     `replay.drop_prob` (accumulation policy 0's stochastic thinning,
     agent.cpp:802: `unif(mt) < memory_drop_prob -> continue`); candidates
     are still counted into `replay.cand` pre-drop.
+    `episode_reuse=True` keeps the tree across episode boundaries: a done
+    lane re-roots into the same pool at the reset state
+    (`T.new_episode_root` — the reference's `update_root` semantics,
+    agent.py:296-301) and only pool exhaustion harvests+resets; off, every
+    episode end is a harvest+reset (the pre-round-5 behavior).
     """
     tcfg = cfg.tree
     run_sims = make_run_sims(evaluator, cfg)
@@ -547,7 +553,10 @@ def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
         full = (trees2.n_nodes + capacity_guard > tcfg.max_nodes) | (
             trees2.n_obs + capacity_guard > tcfg.max_obs
         )
-        trigger = done | full | (trees2.root == 0)
+        if episode_reuse:
+            trigger = full | (trees2.root == 0)
+        else:
+            trigger = done | full | (trees2.root == 0)
         n_nodes_before = trees2.n_nodes
 
         envs3 = jax.tree.map(
@@ -589,6 +598,13 @@ def make_move_fn(evaluator, cfg: SearchConfig, min_visits_store: int = 10,
             jnp.any(trigger), harvest_and_reset, no_harvest,
             (trees2, envs3, replay),
         )
+
+        if episode_reuse:
+            # done lanes that did NOT hard-reset re-root in place: the old
+            # episode's subtree stays pooled (retired at the next GC) and
+            # obs stats persist across episodes
+            vreroot = jax.vmap(T.new_episode_root, in_axes=(0, 0, 0, None))
+            trees3 = vreroot(trees3, envs3, done & ~trigger, tcfg)
 
         stats_out = MoveStats(
             action=action, probs=probs, child_stats=stats,

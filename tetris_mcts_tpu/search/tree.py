@@ -624,6 +624,26 @@ def init_tree(env_state: EnvState, cfg: TreeConfig) -> Tree:
     return tree._replace(root=root)
 
 
+def new_episode_root(tree: Tree, env_state: EnvState, ok, cfg: TreeConfig):
+    """Re-root into the SAME pool at a new game's start state (when `ok`),
+    without resetting storage — the reference's `update_root` at episode
+    boundaries (agent.py:296-301): a finished game's subtree simply stays in
+    the pool until the next exhaustion GC retires it (with its accumulated
+    stats, as training data), and obs statistics persist across episodes —
+    shared transpositions like the empty opening board accumulate visits
+    over the whole pool generation instead of restarting every episode.
+    When the pool is full the allocation fails and root becomes 0, which
+    the move loop's `root == 0` trigger turns into a harvest+reset on the
+    next move (the GC path)."""
+    tree2, idx = alloc_node(tree, env_state, ok, cfg)
+    root_state = jax.tree.map(
+        lambda a, b: jnp.where(ok, a, b), env_state, tree2.root_state
+    )
+    return tree2._replace(
+        root=jnp.where(ok, idx, tree2.root), root_state=root_state
+    )
+
+
 def reset_tree(tree: Tree, env_state: EnvState, cfg: TreeConfig) -> Tree:
     """Zero all storage and re-root at `env_state` — the capability equivalent
     of the reference's pool-exhaustion GC (`agents/agent.py:246-257`): the

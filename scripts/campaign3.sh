@@ -56,7 +56,19 @@ fi
 BENCH_EVERY=${BENCH_EVERY:-3000}
 SIMS=${SIMS:-150}
 NODES=${NODES:-8192}
+preflight() {
+    # round-5 failure mode: axon backend INIT hangs ~25 min then errors
+    # UNAVAILABLE when the chip service is down. Probe cheaply (10-min cap)
+    # so dead-chip retries cycle 2.5x faster than a full launch would.
+    timeout 600 python -c "import jax; print(jax.devices())" >/dev/null 2>&1
+}
+
 while [ "$(left_s)" -gt 300 ]; do
+    if ! preflight; then
+        echo "=== preflight: chip unavailable at $(date -u +%FT%TZ); retry in 60s"
+        sleep 60
+        continue
+    fi
     attempt=$((attempt + 1))
     echo "=== attempt $attempt ($(($(left_s) / 60)) min left) at $(date -u +%FT%TZ)"
     timeout "$(left_s)" \

@@ -214,7 +214,7 @@ def main():
                 out["last_tpu"] = json.load(f)
         except OSError:
             pass
-    parity = _parity_sims_per_s()
+    parity = _campaign_sims_per_s("campaign2", 500)
     if parity is not None:
         # sims/s at the learning-parity campaign configuration (500 sims,
         # batch 256, select kernel per the shape guard) — the number parity
@@ -223,6 +223,13 @@ def main():
         # not re-run that program itself (the chip is single-tenant and a
         # campaign is usually the one using it).
         out["parity_sims_per_s"] = parity
+    endless = _campaign_sims_per_s("campaign3", 150)
+    if endless is not None:
+        # sims/s at the round-5 reference-faithful endless configuration
+        # (150 sims/move, batch 256, 8192-node pools with cross-move tree
+        # reuse — the config of the reference's own log_endless run, see
+        # scripts/campaign3.sh); same latest-launch median rule as parity.
+        out["endless_sims_per_s"] = endless
     if on_tpu:
         # persist the last clean real-chip measurement — this is the file
         # the CPU-fallback branch above reads back as `last_tpu`
@@ -237,18 +244,19 @@ def main():
     print(json.dumps(out))
 
 
-def _parity_sims_per_s():
-    """Median sims/s over the campaign's throughput windows at the parity
-    configuration (runs/campaign2/m.jsonl), None when no campaign has run
-    here. Only windows config-tagged with the parity workload (500 sims,
-    batch 256 — the main campaign channel, not the 1000-sims benchmark
-    twin) count, and only from the LATEST launch (`run` id, the monotone
-    per-launch counter added in round 4): earlier launches measured earlier
-    builds, and a whole-stream median would stale-date every improvement
-    (VERDICT r4 weak 4). Streams that predate config tagging fall back to
-    the moves>4 filter over untagged windows (legacy)."""
+def _campaign_sims_per_s(campaign: str, sims: int, batch: int = 256):
+    """Median sims/s over a campaign's throughput windows at the given
+    configuration (runs/<campaign>/m.jsonl), None when no such campaign has
+    run here. Only windows config-tagged with the workload (`sims` per move
+    at `batch` lanes — the main campaign channel, not the 1000-sims
+    benchmark twin) count, and only from the LATEST launch (`run` id, the
+    monotone per-launch counter added in round 4): earlier launches
+    measured earlier builds, and a whole-stream median would stale-date
+    every improvement (VERDICT r4 weak 4). Streams that predate config
+    tagging fall back to the moves>4 filter over untagged windows
+    (legacy)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "runs", "campaign2", "m.jsonl")
+                        "runs", campaign, "m.jsonl")
     tagged, legacy = [], []
     try:
         with open(path) as f:
@@ -263,7 +271,7 @@ def _parity_sims_per_s():
                 if rate is None:
                     continue
                 if "sims" in d:
-                    if d["sims"] == 500 and d.get("batch") == 256:
+                    if d["sims"] == sims and d.get("batch") == batch:
                         tagged.append((d.get("run", 0), rate))
                 else:
                     legacy.append((0, rate))

@@ -53,7 +53,7 @@ def install(wd: Optional["StallWatchdog"]):
 
 # 0 (default) = count THIS process's established TCP connections — the
 # axon tunnel is the only TCP socket the driver holds, and its local port
-# CHANGES between rounds (8093 in rounds 2-4, 48271 in round 5), so a
+# CHANGES between rounds (8093 in rounds 2-4, 8092 in round 5), so a
 # hard-coded port silently disarms the early-wedge check. A positive
 # TMT_TUNNEL_PORT restores port-matching.
 TUNNEL_PORT = int(os.environ.get("TMT_TUNNEL_PORT", "0"))
@@ -87,7 +87,9 @@ def _tunnel_snapshot() -> str:
     n = _tunnel_conns()
     if n < 0:
         return "(ss unavailable)"
-    return f"{n} connection(s) to :{TUNNEL_PORT}"
+    if TUNNEL_PORT > 0:
+        return f"{n} connection(s) to :{TUNNEL_PORT}"
+    return f"{n} established connection(s) held by this pid"
 
 
 class StallWatchdog:

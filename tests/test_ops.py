@@ -130,3 +130,19 @@ def test_select_kernel_config_guard(monkeypatch):
     assert tree_walk.select_kernel_shape_ok(good)
     assert tree_walk.select_kernel_shape_ok(campaign)
     assert not tree_walk.select_kernel_shape_ok(huge)
+
+
+def test_insert_kernel_config_guard():
+    """The insert kernel's minimum block is bg=8 (sublane tile), so beyond
+    a table size no block fits the 64 MB scoped-VMEM ceiling (measured:
+    T=131072 at bg=8 = 76.05 MB stack, compile rejected — round-5 bisect
+    launch). The guard must reject exactly those shapes; every config any
+    campaign actually ran stays allowed."""
+    from tetris_mcts_tpu.ops import tree_walk
+
+    ok = tree_walk.insert_kernel_config_ok
+    assert ok(256, 4096)        # campaign2 (3584 pools, default table)
+    assert ok(256, 16384)       # campaign3 (8192 pools)
+    assert ok(64, 16384)        # benchmark twin
+    assert not ok(8, 131072)    # bisect: 65536 pools -> table 131072
+    assert not ok(256, 131072)  # same table at any batch: bg floors at 8

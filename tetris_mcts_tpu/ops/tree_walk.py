@@ -1011,14 +1011,54 @@ def insert7_walk(h1, h2, ok, th1, th2, tobs, n_obs,
     return th1, th2, tobs, n_obs.reshape(B), obs7
 
 
+_INSERT_GUARD_WARNED = set()
+
+# Mosaic's scoped stack for the insert kernel peaks at ~6-7x the resident
+# table bytes (measured on v5e: T=131072 at bg=8 -> 12.58 MB resident,
+# 76.05 MB scoped stack, compile REJECTED over the 64 MB _VMEM_PARAMS
+# ceiling — round-5 bisect launch; T=4096 -> 21.96 MB stack at 3.1 MB
+# resident). The block loop floors at bg=8 (the sublane tile), so beyond
+# a table size no block choice can fit — guard and fall back to the XLA
+# probe loop instead of failing the whole move-program compile.
+_INSERT_STACK_FACTOR = 7
+_INSERT_STACK_BUDGET = 60 * 1024 * 1024
+
+
+def insert_kernel_config_ok(batch: int, table_size: int) -> bool:
+    """False when the insert kernel's minimum-block scoped-VMEM stack
+    cannot fit the 64 MB ceiling at this (batch, table_size)."""
+    bg = 128
+    while bg > 8 and bg * 3 * table_size * 4 > (3 * 2**20) // 2:
+        bg //= 2
+    bg = min(batch, bg)
+    while batch % bg:
+        bg //= 2
+    resident = bg * 3 * table_size * 4
+    return resident * _INSERT_STACK_FACTOR <= _INSERT_STACK_BUDGET
+
+
 def insert_obs7_batched_pallas(trees, packed7, end7, ok, cfg):
     """Kernel-backed drop-in for `tree.insert_obs7_batched` (projection
     mode): the probe loop runs as one kernel; the fresh-id tail writes
     (obs_end, packed boards) stay as single XLA scatters (measured
-    negligible next to the probe loop)."""
+    negligible next to the probe loop). Shapes whose kernel cannot fit
+    scoped VMEM (insert_kernel_config_ok) delegate to the XLA twin."""
     from tetris_mcts_tpu.search import tree as T_
 
     B = packed7.shape[0]
+    if on_tpu() and not insert_kernel_config_ok(B, cfg.table_size):
+        key = (B, cfg.table_size)
+        if key not in _INSERT_GUARD_WARNED:
+            _INSERT_GUARD_WARNED.add(key)
+            import sys
+            print(
+                f"insert-kernel guard: batch {B} / table {cfg.table_size} "
+                "needs more scoped VMEM than the 64 MB kernel ceiling at "
+                "the minimum block size; using the XLA probe loop "
+                "(ops/tree_walk.py insert_kernel_config_ok)",
+                file=sys.stderr, flush=True,
+            )
+        return T_.insert_obs7_batched(trees, packed7, end7, ok, cfg)
     M = trees.obs_bits.shape[-1]
     h1, h2 = T_._hash_packed(packed7)
     n_obs0 = trees.n_obs

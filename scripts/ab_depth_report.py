@@ -8,6 +8,9 @@ benchmark channel) at 150 sims/move, batch 256, seed 42:
          select/insert kernel envelopes)
   arm a: max_nodes 8192, max_depth 96, no reuse (the campaign3 status quo,
          select kernel on)
+  arm c: max_nodes 8192, max_depth 96, --episode_reuse 1 (isolates the
+         cross-episode-reuse component at ZERO throughput cost — fully
+         inside the kernel envelope)
 
 If deep accumulated trees clear significantly more lines at EQUAL sims and
 an IDENTICAL net, per-sim search strength — and therefore the quality of
@@ -78,19 +81,23 @@ def live_at(stats, m):
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "runs/ab_depth"
     out = {}
-    for arm in ("a", "b"):
+    for arm in ("a", "b", "c"):
         s = arm_stats(f"{root}/{arm}/m.jsonl")
         if s:
             out[arm] = s
-    if "a" in out and "b" in out:
-        m = min(out["a"]["batch_moves"], out["b"]["batch_moves"])
-        la, lb = live_at(out["a"], m), live_at(out["b"], m)
+    arms = [k for k in ("a", "b", "c") if k in out]
+    if len(arms) > 1:
+        m = min(out[k]["batch_moves"] for k in arms)
         out["matched_move_index"] = m
-        out["live_lines_at_match"] = {"a": la, "b": lb}
-        if la and la > 0:
-            out["b_over_a_live"] = round(lb / la, 3)
+        out["live_lines_at_match"] = {k: live_at(out[k], m) for k in arms}
+        la = out["live_lines_at_match"].get("a")
+        if la:
+            for k in arms:
+                if k != "a":
+                    out[f"{k}_over_a_live"] = round(
+                        out["live_lines_at_match"][k] / la, 3)
     # trajectories are long; compress to every 4th point for the report
-    for arm in ("a", "b"):
+    for arm in arms:
         if arm in out:
             tr = out[arm]["live_lines_trajectory"]
             out[arm]["live_lines_trajectory"] = tr[::4] + tr[-1:]
